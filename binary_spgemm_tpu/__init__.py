@@ -1,0 +1,32 @@
+"""binary_spgemm_tpu — a TPU-native boolean SpGEMM framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the MPI+OpenMP
+reference ``pavlidic/Binary-SpGEMM``: the sparsity structure of C = A·B (and
+C = A·A) over boolean CSR matrices, Matrix-Market ingest, masked multiply
+C = F.*(A·B), row-wise sparse union, a row-partitioned multi-chip path over a
+``jax.sharding.Mesh``, and a benchmark/validation CLI emitting the reference's
+CSV schema.
+
+The compute core is not a translation of the reference's scalar Gustavson+SPA
+loop (which is latency-bound random access — the opposite of what TPUs like);
+it is a two-pass expand–sort–compress (ESC) pipeline built from vectorised XLA
+primitives and Pallas kernels with static padded shapes.  See ARCHITECTURE.md.
+"""
+from .formats.bcsr import BCSR, coo_to_csr_stable
+from .io.mmio import read_pattern, write_pattern
+from .ops.spgemm import spgemm, spgemm_flops
+from .ops.masked import masked_spgemm
+from .ops.union import spm_or
+
+__all__ = [
+    "BCSR",
+    "coo_to_csr_stable",
+    "read_pattern",
+    "write_pattern",
+    "spgemm",
+    "spgemm_flops",
+    "masked_spgemm",
+    "spm_or",
+]
+
+__version__ = "0.1.0"

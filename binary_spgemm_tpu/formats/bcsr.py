@@ -1,0 +1,197 @@
+"""Boolean CSR (pattern-only) matrix container.
+
+The reference (pavlidic/Binary-SpGEMM) represents boolean sparse matrices as two raw
+C arrays — row pointers and column indices with no value array (final/SpGEMM_mpi_omp.c,
+final/utils.c:47-81).  ``BCSR`` is the host-side equivalent: ``indptr: int32[n+1]``,
+``indices: int32[nnz]``, shape ``(n, m)``.  There are no values anywhere in the
+framework; the accumulation semiring is OR.
+
+Host-side conversions (COO→CSR ≡ final/coo2csc.c:22-64, transpose, random generation ≡
+Matlab/write_spm.m + Matlab/inc/utils.c:rndCSR) are numpy; the device-facing padded form
+lives in :mod:`binary_spgemm_tpu.ops.spgemm`.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+__all__ = ["BCSR", "coo_to_csr_stable"]
+
+INDEX_DTYPE = np.int32
+
+
+def coo_to_csr_stable(
+    rows: np.ndarray, cols: np.ndarray, n_rows: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Group COO entries by row with a *stable* (input-order-preserving) scatter.
+
+    Mirrors the 4-pass histogram/cumsum/scatter of the reference's ``coo2csc``
+    (final/coo2csc.c:33-62): entries that share a row keep their input order, and
+    duplicates are *not* merged — both properties the reference relies on for
+    bit-exactness of its ingest path.
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=INDEX_DTYPE)
+    counts = np.bincount(rows, minlength=n_rows)
+    indptr = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    # Stable counting-sort scatter (vectorised equivalent of coo2csc's write-cursor
+    # loop): argsort with kind="stable" keys by row, preserving file order in ties.
+    order = np.argsort(rows, kind="stable")
+    indices = cols[order]
+    return indptr.astype(INDEX_DTYPE), indices.astype(INDEX_DTYPE)
+
+
+@dataclasses.dataclass
+class BCSR:
+    """Host-side boolean CSR pattern matrix (no values; OR semiring)."""
+
+    indptr: np.ndarray  # int32 [n_rows + 1]
+    indices: np.ndarray  # int32 [nnz]
+    shape: tuple[int, int]
+
+    def __post_init__(self):
+        self.indptr = np.ascontiguousarray(self.indptr, dtype=INDEX_DTYPE)
+        self.indices = np.ascontiguousarray(self.indices, dtype=INDEX_DTYPE)
+        n = self.shape[0]
+        if self.indptr.shape != (n + 1,):
+            raise ValueError(
+                f"indptr shape {self.indptr.shape} does not match n_rows={n}"
+            )
+        if self.indptr[0] != 0 or self.indptr[-1] != len(self.indices):
+            raise ValueError("indptr must start at 0 and end at nnz")
+
+    # -- basic properties ----------------------------------------------------------
+    @property
+    def nnz(self) -> int:
+        return int(self.indices.shape[0])
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    def row(self, i: int) -> np.ndarray:
+        return self.indices[self.indptr[i] : self.indptr[i + 1]]
+
+    # -- constructors --------------------------------------------------------------
+    @classmethod
+    def from_coo(
+        cls,
+        rows: np.ndarray,
+        cols: np.ndarray,
+        shape: tuple[int, int],
+        *,
+        transpose: bool = False,
+    ) -> "BCSR":
+        """Build from COO pairs, preserving input order within each row.
+
+        With ``transpose=True`` the entries are grouped by the *second* index and the
+        stored indices are the *first* index — the semantics of the reference's
+        ``readCOO`` (final/utils.c:77 passes ``(col, row)`` into ``coo2csc``), which
+        yields the CSR of the transpose of the input pairs.
+        """
+        if transpose:
+            rows, cols = cols, rows
+            shape = (shape[1], shape[0])
+        indptr, indices = coo_to_csr_stable(rows, cols, shape[0])
+        return cls(indptr, indices, shape)
+
+    @classmethod
+    def from_scipy(cls, mat) -> "BCSR":
+        mat = mat.tocsr()
+        return cls(
+            mat.indptr.astype(INDEX_DTYPE),
+            mat.indices.astype(INDEX_DTYPE),
+            tuple(mat.shape),
+        )
+
+    @classmethod
+    def from_dense(cls, dense: np.ndarray) -> "BCSR":
+        dense = np.asarray(dense) != 0
+        rows, cols = np.nonzero(dense)
+        return cls.from_coo(rows, cols, dense.shape)
+
+    @classmethod
+    def random(
+        cls, n_rows: int, n_cols: int, nnz_per_row: float, *, seed: int = 0
+    ) -> "BCSR":
+        """Random Bernoulli pattern matrix ≈ MATLAB ``sprand(n, n, d/n) > 0``.
+
+        Matches the distribution of the reference's benchmark inputs
+        (Matlab/write_spm.m:5-8): ~``nnz_per_row`` nonzeros per row, uniform
+        positions, duplicates merged.
+        """
+        rng = np.random.default_rng(seed)
+        total_cells = n_rows * n_cols
+        density = min(nnz_per_row / n_cols, 1.0)
+        # sprand draws ~density*n*m distinct positions; Poisson-approximate the
+        # pre-dedup draw count so the post-dedup density matches.
+        k = int(rng.poisson(total_cells * density))
+        if k == 0:
+            return cls(np.zeros(n_rows + 1, INDEX_DTYPE), np.zeros(0, INDEX_DTYPE), (n_rows, n_cols))
+        lin = rng.integers(0, total_cells, size=k, dtype=np.uint64)
+        lin = np.unique(lin)
+        rows = (lin // np.uint64(n_cols)).astype(np.int64)
+        cols = (lin % np.uint64(n_cols)).astype(np.int64)
+        return cls.from_coo(rows, cols, (n_rows, n_cols))
+
+    # -- conversions ---------------------------------------------------------------
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        data = np.ones(self.nnz, dtype=np.int64)
+        return sp.csr_matrix((data, self.indices, self.indptr), shape=self.shape)
+
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros(self.shape, dtype=bool)
+        rows = np.repeat(np.arange(self.n_rows), np.diff(self.indptr))
+        out[rows, self.indices] = True
+        return out
+
+    def to_coo(self) -> tuple[np.ndarray, np.ndarray]:
+        rows = np.repeat(
+            np.arange(self.n_rows, dtype=np.int64), np.diff(self.indptr)
+        )
+        return rows, self.indices.astype(np.int64)
+
+    def transpose(self) -> "BCSR":
+        rows, cols = self.to_coo()
+        return BCSR.from_coo(cols, rows, (self.n_cols, self.n_rows))
+
+    # -- canonicalisation ----------------------------------------------------------
+    def sort_indices(self) -> "BCSR":
+        """Return a copy with ascending column order within every row."""
+        indices = self.indices.copy()
+        rows, _ = self.to_coo()
+        order = np.lexsort((self.indices, rows))
+        return BCSR(self.indptr.copy(), indices[order], self.shape)
+
+    def sum_duplicates(self) -> "BCSR":
+        """Return a canonical copy: sorted per-row and deduplicated."""
+        rows, cols = self.to_coo()
+        keys = rows * np.int64(self.n_cols) + cols
+        keys = np.unique(keys)
+        rows = keys // self.n_cols
+        cols = keys % self.n_cols
+        return BCSR.from_coo(rows, cols, self.shape)
+
+    # -- comparison (≡ SpGEMM_valid, final/SpGEMM_mpi_omp_validity.c:290-302) ------
+    def equals(self, other: "BCSR") -> bool:
+        return (
+            self.shape == tuple(other.shape)
+            and np.array_equal(self.indptr, other.indptr)
+            and np.array_equal(self.indices, other.indices)
+        )
+
+    def flops(self, other: "BCSR") -> int:
+        """Gustavson flop count of self @ other: Σ_{(i,j)∈self} nnz(other row j)."""
+        blen = np.diff(other.indptr).astype(np.int64)
+        return int(blen[self.indices].sum())
+
+    def __repr__(self):
+        return f"BCSR(shape={self.shape}, nnz={self.nnz})"

@@ -1,0 +1,121 @@
+"""Matrix Market ingest/egest for pattern matrices.
+
+Replaces the reference's vendored NIST mmio + ``readCOO`` stack (final/mmio.c,
+final/utils.c:47-81).  Reference semantics that matter for bit-exactness, all
+reproduced here:
+
+* only the first two whitespace-separated fields of each entry line are used
+  (``fscanf("%u %u")``; value columns, if present, are ignored),
+* 1-based indices are shifted to 0-based,
+* with ``transpose=True`` (the default, matching ``readCOO``) entries are grouped by
+  the file's *second* index and the stored column indices are the file's *first*
+  index — i.e. the returned matrix is the CSR of the transpose of the file's
+  matrix (final/utils.c:77 passes ``(col, row)`` into ``coo2csc``),
+* within a group, entries keep file order; duplicates are not merged,
+* no symmetric expansion (the reference reads ``general`` pattern files only; we
+  additionally support ``symmetric`` with explicit opt-in expansion).
+"""
+from __future__ import annotations
+
+import io as _io
+
+import numpy as np
+
+from ..formats.bcsr import BCSR
+
+__all__ = ["read_pattern", "write_pattern", "read_banner", "MMBanner"]
+
+
+class MMBanner:
+    def __init__(self, obj, fmt, field, symmetry):
+        self.object = obj
+        self.format = fmt
+        self.field = field
+        self.symmetry = symmetry
+
+    def __repr__(self):
+        return (
+            f"MMBanner({self.object}, {self.format}, {self.field}, {self.symmetry})"
+        )
+
+
+def read_banner(line: str) -> MMBanner:
+    """Parse the ``%%MatrixMarket`` banner (≡ mm_read_banner, final/mmio.c:96-179)."""
+    parts = line.strip().split()
+    if len(parts) < 5 or parts[0] != "%%MatrixMarket":
+        raise ValueError(f"not a MatrixMarket banner: {line!r}")
+    _, obj, fmt, field, symmetry = parts[:5]
+    return MMBanner(obj.lower(), fmt.lower(), field.lower(), symmetry.lower())
+
+
+def read_pattern(
+    path,
+    *,
+    transpose: bool = True,
+    expand_symmetric: bool = False,
+) -> BCSR:
+    """Read a Matrix Market coordinate file as a boolean pattern matrix.
+
+    ``transpose=True`` reproduces the reference ingest exactly (see module
+    docstring).  ``expand_symmetric`` mirrors lower-triangle entries for files
+    declared ``symmetric`` — the reference does *not* do this (its MATLAB oracle
+    compensates with ``tril(A)'``, Matlab/test_mtx.m:3), so it defaults off.
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    text = raw.decode("ascii", errors="replace")
+    buf = _io.StringIO(text)
+
+    banner = read_banner(buf.readline())
+    if banner.format != "coordinate":
+        raise ValueError(f"only coordinate format is supported, got {banner.format}")
+
+    # Size line: first non-comment, non-blank line.
+    while True:
+        line = buf.readline()
+        if not line:
+            raise ValueError("missing size line")
+        s = line.strip()
+        if s and not s.startswith("%"):
+            break
+    n_rows, n_cols, nnz = (int(tok) for tok in s.split()[:3])
+
+    body = text[buf.tell() :]
+    # Bulk-parse all remaining numeric fields.  Pattern files have exactly 2 fields
+    # per line; fielded files (real/integer) carry a value column we must drop.
+    fields_per_line = 2 if banner.field == "pattern" else 3
+    data = np.array(body.split(), dtype=np.float64) if nnz else np.zeros(0)
+    if nnz and data.size % fields_per_line != 0:
+        raise ValueError(
+            f"entry count {data.size} not divisible by {fields_per_line} fields/line"
+        )
+    data = data.reshape(-1, fields_per_line) if nnz else data.reshape(0, 2)
+    if nnz and data.shape[0] != nnz:
+        raise ValueError(f"expected {nnz} entries, found {data.shape[0]}")
+    rows = data[:, 0].astype(np.int64) - 1  # 1-based → 0-based (utils.c:68-69)
+    cols = data[:, 1].astype(np.int64) - 1
+
+    if banner.symmetry == "symmetric" and expand_symmetric:
+        r0, c0 = rows, cols
+        off = r0 != c0
+        rows = np.concatenate([r0, c0[off]])
+        cols = np.concatenate([c0, r0[off]])
+
+    return BCSR.from_coo(rows, cols, (n_rows, n_cols), transpose=transpose)
+
+
+def write_pattern(path, mat: BCSR, *, comment: str | None = None) -> None:
+    """Write a boolean pattern matrix as ``coordinate pattern general``.
+
+    Mirrors the output format of Matlab/write_spm.m:5-8 / mmwrite.m: banner, size
+    line, then 1-based ``row col`` pairs.
+    """
+    rows, cols = mat.to_coo()
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern general\n")
+        if comment:
+            for line in comment.splitlines():
+                f.write(f"% {line}\n")
+        f.write(f"{mat.n_rows} {mat.n_cols} {mat.nnz}\n")
+        out = np.column_stack([rows + 1, cols + 1])
+        np.savetxt(f, out, fmt="%d %d")

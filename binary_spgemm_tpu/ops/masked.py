@@ -1,0 +1,152 @@
+"""Masked boolean SpGEMM: C = F .* (A·B).
+
+The reference's ``SpGEMM_masked`` (final/SpGEMM_mpi_omp.c:232-288) inverts its SPA:
+the accumulator starts "all blocked", F's row unblocks allowed columns, and the
+Gustavson loop then only admits in-mask columns.  The TPU-native equivalent keeps
+the ESC pipeline of :mod:`.spgemm` and replaces the SPA trick with a **vectorised
+binary search**: every expanded candidate pair (i, k) is tested for membership in
+F's row i by a fixed-iteration bisection over F's (canonical, sorted) index array —
+branch-free, the same code path for every lane.  Out-of-mask candidates become
+sentinels before the sort, so sort + compress work is shared with the unmasked op.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.bcsr import BCSR
+from .spgemm import (
+    INT,
+    DEFAULT_CHUNK_FLOPS,
+    _stitch,
+    compress_pairs,
+    expand_pairs,
+    pad_bucket,
+    pad_chunk_csr,
+    row_flops,
+    uniform_chunk_plan,
+)
+
+__all__ = ["masked_spgemm", "masked_spgemm_padded", "rows_in_mask"]
+
+
+def rows_in_mask(
+    row: jax.Array,
+    col: jax.Array,
+    f_indptr: jax.Array,
+    f_indices: jax.Array,
+    *,
+    n_rows: int,
+    bs_iters: int,
+) -> jax.Array:
+    """Vectorised membership test: is (row, col) a nonzero of F?
+
+    ``f_indices`` must be sorted ascending within each row (canonical form).
+    ``bs_iters`` ≥ ceil(log2(max F row length + 1)) — fixed-trip bisection.
+    Sentinel rows (row ≥ n_rows) report False.
+    """
+    r = jnp.clip(row, 0, n_rows - 1)
+    lo = f_indptr[r]
+    hi0 = f_indptr[r + 1]
+    fmax = f_indices.shape[0] - 1
+
+    def body(_, lohi):
+        lo, hi = lohi
+        active = lo < hi
+        mid = (lo + hi) // 2
+        fv = f_indices[jnp.clip(mid, 0, fmax)]
+        go_right = active & (fv < col)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+        return lo, hi
+
+    lo, _ = jax.lax.fori_loop(0, bs_iters, body, (lo, hi0))
+    found = (lo < hi0) & (f_indices[jnp.clip(lo, 0, fmax)] == col)
+    return found & (row < n_rows)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_cols", "flops_pad", "bs_iters")
+)
+def masked_spgemm_padded(
+    f_indptr: jax.Array,
+    f_indices: jax.Array,
+    a_indptr: jax.Array,
+    a_indices: jax.Array,
+    a_nnz: jax.Array,
+    b_indptr: jax.Array,
+    b_indices: jax.Array,
+    *,
+    n_cols: int,
+    flops_pad: int,
+    bs_iters: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Jitted masked ESC SpGEMM.  Same contract as ``spgemm_padded`` plus mask F."""
+    n_rows = a_indptr.shape[0] - 1
+    row, col = expand_pairs(
+        a_indptr, a_indices, a_nnz, b_indptr, b_indices,
+        n_cols=n_cols, flops_pad=flops_pad,
+    )
+    keep = rows_in_mask(
+        row, col, f_indptr, f_indices, n_rows=n_rows, bs_iters=bs_iters
+    )
+    row = jnp.where(keep, row, n_rows)
+    col = jnp.where(keep, col, n_cols)
+    row_s, col_s = jax.lax.sort((row, col), num_keys=2)
+    return compress_pairs(row_s, col_s, n_rows, n_cols)
+
+
+def masked_spgemm(
+    f: BCSR,
+    a: BCSR,
+    b: BCSR,
+    *,
+    chunk_flops: int | None = None,
+) -> BCSR:
+    """C = F .* (A·B) structure (≡ SpGEMM_masked, final/SpGEMM_mpi_omp.c:232-288).
+
+    F is canonicalised (sorted, deduplicated) host-side first; the reference
+    imposes the same requirement implicitly (its mask walk assumes set semantics).
+    """
+    if a.n_cols != b.n_rows or f.shape != (a.n_rows, b.n_cols):
+        raise ValueError(f"shape mismatch: F{f.shape} vs {a.shape} @ {b.shape}")
+    n, m = a.n_rows, b.n_cols
+    if a.nnz == 0 or b.nnz == 0 or f.nnz == 0:
+        return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
+
+    f = f.sum_duplicates()
+    max_row = int(np.diff(f.indptr).max())
+    bs_iters = max(1, math.ceil(math.log2(max_row + 1)) + 1)
+
+    chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
+    rf = row_flops(a, b)
+    chunks, rows_pad, nnz_pad, flops_pad = uniform_chunk_plan(a, rf, chunk_flops)
+    # F is sliced to the same rows (so row ids line up inside the kernel) and
+    # padded to one uniform size across chunks — one compile serves all.
+    f_nnz_pad = pad_bucket(
+        max(int(f.indptr[r1] - f.indptr[r0]) for r0, r1 in chunks)
+    )
+    b_indptr = jnp.asarray(b.indptr)
+    b_indices = jnp.asarray(b.indices)
+
+    def run_chunk(r0, r1):
+        ptr, idx, nnz_local = pad_chunk_csr(a, r0, r1, rows_pad, nnz_pad)
+        f_ptr, f_idx, _ = pad_chunk_csr(f, r0, r1, rows_pad, f_nnz_pad, fill=m)
+        return masked_spgemm_padded(
+            jnp.asarray(f_ptr),
+            jnp.asarray(f_idx),
+            jnp.asarray(ptr),
+            jnp.asarray(idx),
+            jnp.asarray(nnz_local, INT),
+            b_indptr,
+            b_indices,
+            n_cols=m,
+            flops_pad=flops_pad,
+            bs_iters=bs_iters,
+        )
+
+    return _stitch(chunks, n, (n, m), run_chunk)

@@ -1,0 +1,351 @@
+"""TPU-native boolean SpGEMM: the expand–sort–compress (ESC) engine.
+
+The reference computes C = A·B structure with a scalar Gustavson loop and a boolean
+sparse accumulator (``SpGEMM_bigslice``, final/SpGEMM_mpi_omp.c:15-58): per output
+row, random reads of B's rows, random writes into an ``xb`` byte array, a realloc'd
+growing output, and a per-row quicksort.  Every one of those ingredients is hostile
+to a TPU: data-dependent scalar control flow, pointer-chasing gathers, dynamic
+output shapes.
+
+The TPU-native formulation used here is ESC (expansion–sorting–compression):
+
+1. **Expand** every A-nonzero (i, j) into the candidate pairs {(i, k) : k ∈ B(j,:)}.
+   This is a flat, fully vectorised gather: per-A-nonzero B-row lengths → prefix sum
+   → slot-ownership via a scatter + cumulative-max scan → one gather from
+   B's indices.  Total slots = Gustavson flop count.
+2. **Sort** the (row, col) pairs with a two-key ``lax.sort`` — XLA's sort is wide
+   vector code on the VPU, replacing both the SPA's dedup *and* the reference's
+   per-row quicksort (final/SpGEMM_mpi_omp.c:47) in one pass.
+3. **Compress**: adjacent-duplicate masking + prefix sum + unique-index scatter
+   yield the compacted, ascending-column CSR of C; row pointers come from a
+   searchsorted over the compacted row ids (the two-pass symbolic/numeric
+   replacement for the reference's realloc growth at :28-31).
+
+Everything runs under ``jit`` with **static padded shapes**: the flop count is
+computed host-side (one vectorised gather), rounded up to a bucket, and the padded
+tail carries sentinel keys that sort to the end.  Dynamic output size is returned
+as a traced scalar ``nnz_c`` next to a padded index array — the caller slices.
+
+Output convention matches the reference bit-exactly: ascending, deduplicated
+column indices per row; exclusive row pointers.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.bcsr import BCSR
+
+__all__ = [
+    "DeviceBCSR",
+    "spgemm",
+    "spgemm_padded",
+    "spgemm_flops",
+    "row_flops",
+    "pad_bucket",
+    "uniform_chunk_plan",
+    "pad_chunk_csr",
+]
+
+INT = jnp.int32
+
+# Default per-chunk flop budget for the host-chunked path.  48B/slot of live
+# intermediates ⇒ 2^25 slots ≈ 1.6 GB peak — comfortable on a 16 GB chip.
+DEFAULT_CHUNK_FLOPS = 1 << 25
+
+
+def pad_bucket(n: int, minimum: int = 8) -> int:
+    """Round up to the next power of two (compile-cache-friendly padding)."""
+    n = max(int(n), minimum)
+    return 1 << (n - 1).bit_length()
+
+
+# ---------------------------------------------------------------------------------
+# Device-resident padded container
+# ---------------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceBCSR:
+    """Device-side boolean CSR with a padded index array (static shapes for jit).
+
+    ``indptr`` is exact (``[n_rows+1]``); ``indices`` is padded to a bucket size
+    with the tail undefined; ``nnz`` is the traced scalar count of valid entries.
+    """
+
+    indptr: jax.Array  # int32 [n_rows + 1]
+    indices: jax.Array  # int32 [nnz_pad]
+    nnz: jax.Array  # int32 scalar
+    shape: tuple[int, int]
+
+    def tree_flatten(self):
+        return (self.indptr, self.indices, self.nnz), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, shape, children):
+        return cls(*children, shape=tuple(shape))
+
+    @classmethod
+    def from_host(cls, mat: BCSR, *, pad_to: int | None = None) -> "DeviceBCSR":
+        pad = pad_to if pad_to is not None else pad_bucket(mat.nnz)
+        idx = np.zeros(pad, dtype=np.int32)
+        idx[: mat.nnz] = mat.indices
+        return cls(
+            indptr=jnp.asarray(mat.indptr),
+            indices=jnp.asarray(idx),
+            nnz=jnp.asarray(mat.nnz, dtype=INT),
+            shape=tuple(mat.shape),
+        )
+
+    def to_host(self) -> BCSR:
+        nnz = int(self.nnz)
+        return BCSR(
+            np.asarray(self.indptr), np.asarray(self.indices[:nnz]), self.shape
+        )
+
+
+# ---------------------------------------------------------------------------------
+# Traced building blocks
+# ---------------------------------------------------------------------------------
+
+
+def _owner_scan(starts: jax.Array, lengths: jax.Array, size: int) -> jax.Array:
+    """For ``size`` flat slots partitioned into segments (``starts[k]`` = first slot
+    of segment k, ``lengths[k]`` = its extent), return the owning segment id per
+    slot.  Implemented as a unique-index scatter-max + cumulative max — O(size)
+    vector work, no binary search.
+    """
+    k = jnp.arange(starts.shape[0], dtype=INT)
+    dst = jnp.where(lengths > 0, starts, size)  # empty segments own no slots
+    seg = jnp.zeros(size, INT).at[dst].max(k, mode="drop")
+    return jax.lax.cummax(seg)
+
+
+def _row_ids(indptr: jax.Array, nnz_pad: int) -> jax.Array:
+    """Row id of each CSR entry (padded tail gets the last row id; callers mask)."""
+    lengths = indptr[1:] - indptr[:-1]
+    return _owner_scan(indptr[:-1], lengths, nnz_pad)
+
+
+def compress_pairs(
+    row_s: jax.Array, col_s: jax.Array, n_rows: int, n_cols: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Dedupe **sorted** (row, col) pairs into CSR form.
+
+    Pairs with ``row == n_rows`` are padding sentinels (they sort last).  Returns
+    ``(c_indptr [n_rows+1], c_indices padded [len(row_s)], nnz_c scalar)`` with the
+    padded tail of ``c_indices`` set to ``n_cols``.
+    """
+    size = row_s.shape[0]
+    prev_row = jnp.concatenate([jnp.full((1,), -1, INT), row_s[:-1]])
+    prev_col = jnp.concatenate([jnp.full((1,), -1, INT), col_s[:-1]])
+    new = (row_s != prev_row) | (col_s != prev_col)
+    keep = new & (row_s < n_rows)
+    nnz_c = jnp.sum(keep, dtype=INT)
+    pos = jnp.cumsum(keep, dtype=INT) - 1
+    dst = jnp.where(keep, pos, size)
+    c_indices = jnp.full(size, n_cols, INT).at[dst].set(col_s, mode="drop")
+    c_rows = jnp.full(size, n_rows, INT).at[dst].set(row_s, mode="drop")
+    c_indptr = jnp.searchsorted(
+        c_rows, jnp.arange(n_rows + 1, dtype=INT), side="left"
+    ).astype(INT)
+    return c_indptr, c_indices, nnz_c
+
+
+def expand_pairs(
+    a_indptr: jax.Array,
+    a_indices: jax.Array,
+    a_nnz: jax.Array,
+    b_indptr: jax.Array,
+    b_indices: jax.Array,
+    *,
+    n_cols: int,
+    flops_pad: int,
+) -> tuple[jax.Array, jax.Array]:
+    """ESC expansion: all candidate (row, col) pairs of C = A·B, padded to
+    ``flops_pad`` with (n_rows, n_cols) sentinels."""
+    nnz_pad = a_indices.shape[0]
+    n_rows = a_indptr.shape[0] - 1
+    ar = jnp.arange(nnz_pad, dtype=INT)
+    valid_a = ar < a_nnz
+    acol = jnp.where(valid_a, a_indices, 0)
+    bstart = b_indptr[acol]
+    blen = jnp.where(valid_a, b_indptr[acol + 1] - bstart, 0)
+    cum = jnp.cumsum(blen, dtype=INT)
+    total = cum[-1]
+    offs = cum - blen
+    rowid_a = _row_ids(a_indptr, nnz_pad)
+
+    owner = _owner_scan(offs, blen, flops_pad)
+    t = jnp.arange(flops_pad, dtype=INT)
+    valid_t = t < total
+    within = t - offs[owner]
+    bidx = jnp.clip(bstart[owner] + within, 0, b_indices.shape[0] - 1)
+    col = b_indices[bidx]
+    row = rowid_a[owner]
+    row = jnp.where(valid_t, row, n_rows)
+    col = jnp.where(valid_t, col, n_cols)
+    return row, col
+
+
+@functools.partial(jax.jit, static_argnames=("n_cols", "flops_pad"))
+def spgemm_padded(
+    a_indptr: jax.Array,
+    a_indices: jax.Array,
+    a_nnz: jax.Array,
+    b_indptr: jax.Array,
+    b_indices: jax.Array,
+    *,
+    n_cols: int,
+    flops_pad: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Jitted single-call ESC SpGEMM over padded CSR arrays.
+
+    Returns ``(c_indptr [n_rows+1], c_indices padded [flops_pad], nnz_c)``.
+    """
+    n_rows = a_indptr.shape[0] - 1
+    row, col = expand_pairs(
+        a_indptr, a_indices, a_nnz, b_indptr, b_indices,
+        n_cols=n_cols, flops_pad=flops_pad,
+    )
+    row_s, col_s = jax.lax.sort((row, col), num_keys=2)
+    return compress_pairs(row_s, col_s, n_rows, n_cols)
+
+
+# ---------------------------------------------------------------------------------
+# Host-level API
+# ---------------------------------------------------------------------------------
+
+
+def row_flops(a: BCSR, b: BCSR) -> np.ndarray:
+    """Per-output-row Gustavson flop counts of A·B (host, vectorised)."""
+    blen = np.diff(b.indptr).astype(np.int64)
+    per_entry = blen[a.indices] if a.nnz else np.zeros(0, np.int64)
+    cum = np.zeros(a.nnz + 1, dtype=np.int64)
+    np.cumsum(per_entry, out=cum[1:])
+    return cum[a.indptr[1:]] - cum[a.indptr[:-1]]
+
+
+def spgemm_flops(a: BCSR, b: BCSR) -> int:
+    """Total Gustavson flop count (Σ over A-nonzeros (i,j) of nnz(B row j))."""
+    return int(row_flops(a, b).sum())
+
+
+def _chunk_rows(rf: np.ndarray, chunk_flops: int) -> list[tuple[int, int]]:
+    """Greedy contiguous row partition with ≤ chunk_flops per chunk (a single row
+    exceeding the budget gets its own chunk).  This is the flop-balanced analogue
+    of the reference's equal-rows tBlock split (final/SpGEMM_mpi_omp.c:83) — fixing
+    its known load-imbalance weakness on skewed matrices."""
+    chunks = []
+    start, acc = 0, 0
+    for i, f in enumerate(rf):
+        if acc and acc + f > chunk_flops:
+            chunks.append((start, i))
+            start, acc = i, 0
+        acc += int(f)
+    chunks.append((start, len(rf)))
+    return chunks
+
+
+def uniform_chunk_plan(
+    a: BCSR, rf: np.ndarray, chunk_flops: int
+) -> tuple[list[tuple[int, int]], int, int, int]:
+    """Plan flop-bounded row chunks with **uniform padded shapes**.
+
+    Every chunk is padded to the same ``(rows_pad, nnz_pad, flops_pad)`` so one
+    XLA compilation serves all chunks — on TPU each distinct shape costs a
+    ~20-40 s compile, so shape uniformity, not tight padding, wins.
+    """
+    total = int(rf.sum())
+    if total <= chunk_flops:
+        chunks = [(0, a.n_rows)]
+    else:
+        chunks = _chunk_rows(rf, chunk_flops)
+    rows_pad = pad_bucket(max(r1 - r0 for r0, r1 in chunks))
+    nnz_pad = pad_bucket(
+        max(int(a.indptr[r1] - a.indptr[r0]) for r0, r1 in chunks)
+    )
+    flops_pad = pad_bucket(max(int(rf[r0:r1].sum()) for r0, r1 in chunks))
+    return chunks, rows_pad, nnz_pad, flops_pad
+
+
+def pad_chunk_csr(
+    mat: BCSR, r0: int, r1: int, rows_pad: int, nnz_pad: int, fill: int = 0
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Slice rows [r0, r1) of ``mat`` into uniformly padded local CSR arrays.
+
+    Padding rows are empty (indptr tail repeats nnz); padding indices are
+    ``fill``.  Returns (indptr [rows_pad+1], indices [nnz_pad], nnz_local).
+    """
+    nnz_local = int(mat.indptr[r1] - mat.indptr[r0])
+    ptr = np.full(rows_pad + 1, nnz_local, np.int32)
+    ptr[: r1 - r0 + 1] = mat.indptr[r0 : r1 + 1] - mat.indptr[r0]
+    idx = np.full(nnz_pad, fill, np.int32)
+    idx[:nnz_local] = mat.indices[mat.indptr[r0] : mat.indptr[r1]]
+    return ptr, idx, nnz_local
+
+
+def _stitch(chunks, rows_total, shape, run_chunk) -> BCSR:
+    """Run ``run_chunk(r0, r1) -> (c_ptr, c_idx, nnz_c)`` per chunk and stitch the
+    slices with a row-pointer prefix fix (≡ final/SpGEMM_mpi_omp.c:117-141)."""
+    indptr_parts = [np.zeros(1, np.int64)]
+    index_parts = []
+    base = 0
+    for r0, r1 in chunks:
+        c_ptr, c_idx, nnz_c = run_chunk(r0, r1)
+        nnz_c = int(nnz_c)
+        index_parts.append(np.asarray(c_idx[:nnz_c]))
+        local = np.asarray(c_ptr[1 : r1 - r0 + 1], dtype=np.int64)
+        indptr_parts.append(local + base)
+        base += nnz_c
+    indptr = np.concatenate(indptr_parts)
+    indices = (
+        np.concatenate(index_parts) if index_parts else np.zeros(0, np.int32)
+    )
+    return BCSR(indptr.astype(np.int32), indices, shape)
+
+
+def spgemm(
+    a: BCSR,
+    b: BCSR,
+    *,
+    chunk_flops: int | None = None,
+) -> BCSR:
+    """Boolean SpGEMM structure C = A·B on the default JAX device.
+
+    Row-chunked host driver around :func:`spgemm_padded`: rows of A are split into
+    flop-bounded contiguous chunks (memory cap + the reference's row-slice
+    decomposition analogue, with flop balancing instead of its equal-rows split),
+    each chunk runs the same jitted ESC kernel (uniform shapes → one compile),
+    and results are stitched with a row-pointer prefix fix.
+    """
+    if a.n_cols != b.n_rows:
+        raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+    n, m = a.n_rows, b.n_cols
+    if a.nnz == 0 or b.nnz == 0:
+        return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
+
+    chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
+    rf = row_flops(a, b)
+    chunks, rows_pad, nnz_pad, flops_pad = uniform_chunk_plan(a, rf, chunk_flops)
+    b_indptr = jnp.asarray(b.indptr)
+    b_indices = jnp.asarray(b.indices)
+
+    def run_chunk(r0, r1):
+        ptr, idx, nnz_local = pad_chunk_csr(a, r0, r1, rows_pad, nnz_pad)
+        return spgemm_padded(
+            jnp.asarray(ptr),
+            jnp.asarray(idx),
+            jnp.asarray(nnz_local, INT),
+            b_indptr,
+            b_indices,
+            n_cols=m,
+            flops_pad=flops_pad,
+        )
+
+    return _stitch(chunks, n, (n, m), run_chunk)

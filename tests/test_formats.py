@@ -1,0 +1,68 @@
+import numpy as np
+import pytest
+
+from binary_spgemm_tpu import BCSR, coo_to_csr_stable
+
+
+def test_coo_to_csr_stable_preserves_input_order():
+    # Duplicate and out-of-order entries must keep file order within a row,
+    # mirroring coo2csc's write-cursor scatter (final/coo2csc.c:48-56).
+    rows = np.array([2, 0, 2, 0, 1, 2])
+    cols = np.array([5, 3, 1, 9, 0, 5])
+    indptr, indices = coo_to_csr_stable(rows, cols, 3)
+    assert indptr.tolist() == [0, 2, 3, 6]
+    assert indices.tolist() == [3, 9, 0, 5, 1, 5]  # stable, unsorted, with dup
+
+
+def test_from_coo_transpose_matches_reference_semantics():
+    # readCOO (final/utils.c:77) groups by the SECOND index and stores the FIRST:
+    # the result is the CSR of the transpose of the input pairs.
+    rows = np.array([0, 0, 1, 2])
+    cols = np.array([1, 2, 0, 2])
+    mat = BCSR.from_coo(rows, cols, (3, 3), transpose=True)
+    dense = np.zeros((3, 3), bool)
+    dense[rows, cols] = True
+    np.testing.assert_array_equal(mat.to_dense(), dense.T)
+
+
+def test_roundtrip_dense():
+    rng = np.random.default_rng(0)
+    dense = rng.random((17, 23)) < 0.2
+    mat = BCSR.from_dense(dense)
+    np.testing.assert_array_equal(mat.to_dense(), dense)
+    np.testing.assert_array_equal(mat.transpose().to_dense(), dense.T)
+
+
+def test_scipy_roundtrip():
+    mat = BCSR.random(50, 40, 3.0, seed=7)
+    back = BCSR.from_scipy(mat.to_scipy())
+    assert mat.equals(back)
+
+
+def test_random_density():
+    mat = BCSR.random(2000, 2000, 4.0, seed=3)
+    assert mat.nnz == pytest.approx(8000, rel=0.1)
+    assert mat.indices.min() >= 0 and mat.indices.max() < 2000
+    # canonical: random() dedupes via unique linear positions
+    assert mat.sum_duplicates().nnz == mat.nnz
+
+
+def test_sum_duplicates_and_sort():
+    rows = np.array([0, 0, 0, 1])
+    cols = np.array([5, 2, 5, 1])
+    mat = BCSR.from_coo(rows, cols, (2, 8))
+    canon = mat.sum_duplicates()
+    assert canon.indptr.tolist() == [0, 2, 3]
+    assert canon.indices.tolist() == [2, 5, 1]
+
+
+def test_flops():
+    a = BCSR.from_dense(np.array([[1, 1], [0, 1]]))
+    b = BCSR.from_dense(np.array([[1, 0], [1, 1]]))
+    # row0 of A hits B rows 0 (1 nnz) and 1 (2 nnz); row1 hits row 1 (2 nnz)
+    assert a.flops(b) == 5
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError):
+        BCSR(np.array([0, 1]), np.array([0, 1]), (1, 2))  # indptr end != nnz
