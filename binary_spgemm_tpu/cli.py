@@ -1,0 +1,192 @@
+"""Benchmark / validation / data-generation CLI.
+
+Re-creates the reference's command-line surface TPU-natively:
+
+* ``bench``   ≡ ``SpGEMM_mpi_omp path tBlock threads times`` (final/SpGEMM_mpi_omp.c:294-366):
+  times C = A·A over repeats and prints the reference's CSV line
+  ``tasks,threads,total_cpus,blocksize,path,n,input_nnz,output_nnz,mean,median,fastest``
+  (README.md:19-21) — plus an extended JSON record with throughput fields.
+* ``validate`` ≡ ``SpGEMM_mpi_omp_validity`` (make test): runs the multi-device
+  path and a serial recompute, compares bit-exactly, prints the confirm message.
+* ``gen``      ≡ ``Matlab/write_spm.m``: writes a random pattern ``.mtx``.
+
+Mapping of the reference's knobs: MPI ``tasks`` → mesh devices; OpenMP
+``threads`` → 1 (XLA owns intra-chip parallelism); ``tBlock`` (rows per slice)
+→ ``--chunk-flops`` (flop-balanced slices; ``--blocksize`` reports the derived
+mean rows per chunk for CSV compatibility).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from .formats.bcsr import BCSR
+from .io.mmio import read_pattern, write_pattern
+from .ops.spgemm import DEFAULT_CHUNK_FLOPS, spgemm, spgemm_flops
+from .utils.timers import bench_fn
+
+
+def _load(path: str, transpose: bool) -> BCSR:
+    return read_pattern(path, transpose=transpose)
+
+
+def _block_until_ready():
+    import jax
+
+    (jax.device_put(0.0) + 0).block_until_ready()
+
+
+def cmd_bench(args) -> int:
+    import jax
+
+    a = _load(args.path, args.transpose)
+    if a.n_rows != a.n_cols:
+        print("bench computes C = A*A; matrix must be square", file=sys.stderr)
+        return 2
+
+    n_devices = args.devices or 1
+    if n_devices > 1:
+        from .parallel.dist_spgemm import dist_spgemm
+        from .parallel.mesh import make_row_mesh
+
+        mesh = make_row_mesh(n_devices)
+
+        def run():
+            return dist_spgemm(a, a, mesh, balance=args.balance)
+
+    else:
+
+        def run():
+            return spgemm(a, a, chunk_flops=args.chunk_flops)
+
+    c = run()  # warmup: compiles every shape bucket
+    _block_until_ready()
+    stats = bench_fn(lambda: run(), repeats=args.times, barrier=_block_until_ready)
+
+    blocksize = args.chunk_flops if n_devices == 1 else a.n_rows // n_devices
+    csv = (
+        f"{n_devices},1,{n_devices},{blocksize},{args.path},{a.n_rows},"
+        f"{a.nnz},{c.nnz},{stats.mean:.6f},{stats.median:.6f},{stats.fastest:.6f}"
+    )
+    print(csv)
+    if args.json:
+        flops = spgemm_flops(a, a)
+        print(
+            json.dumps(
+                {
+                    "devices": n_devices,
+                    "platform": jax.devices()[0].platform,
+                    "path": args.path,
+                    "n": a.n_rows,
+                    "input_nnz": a.nnz,
+                    "output_nnz": c.nnz,
+                    "flops": flops,
+                    "mean_s": stats.mean,
+                    "median_s": stats.median,
+                    "fastest_s": stats.fastest,
+                    "output_nnz_per_s": c.nnz / stats.fastest,
+                    "flops_per_s": flops / stats.fastest,
+                }
+            )
+        )
+    return 0
+
+
+def cmd_validate(args) -> int:
+    a = _load(args.path, args.transpose)
+    from .parallel.dist_spgemm import dist_spgemm
+    from .parallel.mesh import make_row_mesh
+    from .utils.oracle import spgemm_oracle
+
+    mesh = make_row_mesh(args.devices) if args.devices else make_row_mesh()
+    c_par = dist_spgemm(a, a, mesh, balance=args.balance)
+    c_ser = spgemm(a, a, chunk_flops=args.chunk_flops)
+    ok = c_par.equals(c_ser)
+    oracle_ok = True
+    if args.oracle:
+        oracle_ok = c_ser.equals(spgemm_oracle(a, a))
+    if ok and oracle_ok:
+        # ≡ final/SpGEMM_mpi_omp_validity.c:340
+        print("Results of serial and multicore are the same!")
+        return 0
+    if not ok:
+        print("MISMATCH between serial and multi-device results", file=sys.stderr)
+    if not oracle_ok:
+        print("MISMATCH vs scipy oracle", file=sys.stderr)
+    return 1
+
+
+def cmd_gen(args) -> int:
+    mat = BCSR.random(args.n, args.n, args.d, seed=args.seed)
+    write_pattern(
+        args.out,
+        mat,
+        comment=f"random pattern n={args.n} d={args.d} seed={args.seed}",
+    )
+    print(f"wrote {args.out}: n={args.n} nnz={mat.nnz}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="binary_spgemm_tpu",
+        description="TPU-native boolean SpGEMM benchmark/validation CLI",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("path", help="Matrix-Market pattern file")
+    common.add_argument(
+        "--no-transpose",
+        dest="transpose",
+        action="store_false",
+        help="read the file as-is instead of the reference's transpose semantics",
+    )
+    common.add_argument(
+        "--chunk-flops",
+        type=int,
+        default=DEFAULT_CHUNK_FLOPS,
+        help="max Gustavson flops per row chunk (≈ tBlock)",
+    )
+    common.add_argument(
+        "--devices", type=int, default=None, help="mesh size (≈ MPI tasks)"
+    )
+    common.add_argument(
+        "--balance",
+        choices=["flops", "rows"],
+        default="flops",
+        help="row partition strategy (rows = reference parity)",
+    )
+
+    b = sub.add_parser("bench", parents=[common], help="time C = A*A")
+    b.add_argument("--times", type=int, default=5, help="repeat count")
+    b.add_argument("--json", action="store_true", help="also print a JSON record")
+    b.set_defaults(fn=cmd_bench)
+
+    v = sub.add_parser(
+        "validate", parents=[common], help="serial vs multi-device bit-exact check"
+    )
+    v.add_argument(
+        "--oracle", action="store_true", help="also compare against scipy"
+    )
+    v.set_defaults(fn=cmd_validate)
+
+    g = sub.add_parser("gen", help="generate a random pattern .mtx")
+    g.add_argument("out")
+    g.add_argument("-n", type=int, required=True, help="matrix dimension")
+    g.add_argument("-d", type=float, required=True, help="nnz per row")
+    g.add_argument("--seed", type=int, default=0)
+    g.set_defaults(fn=cmd_gen)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

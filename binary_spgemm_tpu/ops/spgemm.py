@@ -140,21 +140,42 @@ def compress_pairs(
     Pairs with ``row == n_rows`` are padding sentinels (they sort last).  Returns
     ``(c_indptr [n_rows+1], c_indices padded [len(row_s)], nnz_c scalar)`` with the
     padded tail of ``c_indices`` set to ``n_cols``.
+
+    TPU note: compaction is done by re-sorting with duplicates demoted to
+    sentinels rather than by scatter — on TPU a full two-key vector sort
+    (~5 ns/elem) is ~4× cheaper than an element-wise scatter.
     """
-    size = row_s.shape[0]
     prev_row = jnp.concatenate([jnp.full((1,), -1, INT), row_s[:-1]])
     prev_col = jnp.concatenate([jnp.full((1,), -1, INT), col_s[:-1]])
     new = (row_s != prev_row) | (col_s != prev_col)
     keep = new & (row_s < n_rows)
     nnz_c = jnp.sum(keep, dtype=INT)
-    pos = jnp.cumsum(keep, dtype=INT) - 1
-    dst = jnp.where(keep, pos, size)
-    c_indices = jnp.full(size, n_cols, INT).at[dst].set(col_s, mode="drop")
-    c_rows = jnp.full(size, n_rows, INT).at[dst].set(row_s, mode="drop")
+    demoted_r = jnp.where(keep, row_s, n_rows)
+    demoted_c = jnp.where(keep, col_s, n_cols)
+    c_rows, c_indices = jax.lax.sort((demoted_r, demoted_c), num_keys=2)
     c_indptr = jnp.searchsorted(
         c_rows, jnp.arange(n_rows + 1, dtype=INT), side="left"
     ).astype(INT)
     return c_indptr, c_indices, nnz_c
+
+
+def _forward_fill_last(
+    values: jax.Array, mask: jax.Array
+) -> jax.Array:
+    """``out[k]`` = ``values[j]`` for the largest ``j ≤ k`` with ``mask[j]``
+    (0 where no such j).  Max-by-position pair scan — associative, vectorises."""
+    n = values.shape[0]
+    tag = jnp.where(mask, jnp.arange(n, dtype=INT), -1)
+    val = jnp.where(mask, values, 0)
+
+    def comb(a, b):
+        ta, va = a
+        tb, vb = b
+        take_b = tb >= ta
+        return jnp.where(take_b, tb, ta), jnp.where(take_b, vb, va)
+
+    _, filled = jax.lax.associative_scan(comb, (tag, val))
+    return filled
 
 
 def expand_pairs(
@@ -168,9 +189,25 @@ def expand_pairs(
     flops_pad: int,
 ) -> tuple[jax.Array, jax.Array]:
     """ESC expansion: all candidate (row, col) pairs of C = A·B, padded to
-    ``flops_pad`` with (n_rows, n_cols) sentinels."""
+    ``flops_pad`` with (n_rows, n_cols) sentinels.
+
+    TPU-tuned formulation: per-slot segment ownership is never materialised via
+    per-slot *gathers* (XLA's 1-D random gather runs ~10× slower than streaming
+    vector ops on TPU).  Instead:
+
+    * the B-index stream ``bidx[t]`` (which element of B's index array slot t
+      reads) advances by +1 within a segment and jumps at segment starts — so it
+      is exactly ``cumsum`` of a ones-array with per-segment jump corrections
+      scatter-added at the (unique) segment start slots;
+    * the output row id is nondecreasing over slots — so it is ``cummax`` of row
+      ids scatter-maxed at segment starts.
+
+    The only remaining per-slot gather is the unavoidable data fetch
+    ``b_indices[bidx]``.
+    """
     nnz_pad = a_indices.shape[0]
     n_rows = a_indptr.shape[0] - 1
+    E = flops_pad
     ar = jnp.arange(nnz_pad, dtype=INT)
     valid_a = ar < a_nnz
     acol = jnp.where(valid_a, a_indices, 0)
@@ -181,20 +218,30 @@ def expand_pairs(
     offs = cum - blen
     rowid_a = _row_ids(a_indptr, nnz_pad)
 
-    owner = _owner_scan(offs, blen, flops_pad)
-    t = jnp.arange(flops_pad, dtype=INT)
+    # Jump corrections: delta[k] = bstart[k] - offs[k]; at the start slot of a
+    # nonempty segment k, bidx must jump by delta[k] - delta[prev nonempty].
+    ne = blen > 0
+    delta = bstart - offs
+    ff = _forward_fill_last(delta, ne)
+    prev_delta = jnp.concatenate([jnp.zeros(1, INT), ff[:-1]])
+    jumps = delta - prev_delta
+    starts = jnp.where(ne, offs, E)  # distinct for nonempty segments
+    v = jnp.ones(E, INT).at[starts].add(jumps, mode="drop")
+    bidx = jnp.cumsum(v, dtype=INT) - 1
+
+    rid = jnp.zeros(E, INT).at[starts].max(rowid_a, mode="drop")
+    row = jax.lax.cummax(rid)
+
+    t = jnp.arange(E, dtype=INT)
     valid_t = t < total
-    within = t - offs[owner]
-    bidx = jnp.clip(bstart[owner] + within, 0, b_indices.shape[0] - 1)
+    bidx = jnp.clip(bidx, 0, b_indices.shape[0] - 1)
     col = b_indices[bidx]
-    row = rowid_a[owner]
     row = jnp.where(valid_t, row, n_rows)
     col = jnp.where(valid_t, col, n_cols)
     return row, col
 
 
-@functools.partial(jax.jit, static_argnames=("n_cols", "flops_pad"))
-def spgemm_padded(
+def esc_spgemm(
     a_indptr: jax.Array,
     a_indices: jax.Array,
     a_nnz: jax.Array,
@@ -204,7 +251,8 @@ def spgemm_padded(
     n_cols: int,
     flops_pad: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Jitted single-call ESC SpGEMM over padded CSR arrays.
+    """Traced ESC SpGEMM over padded CSR arrays (composable: call under jit,
+    vmap, or inside a ``shard_map`` shard function).
 
     Returns ``(c_indptr [n_rows+1], c_indices padded [flops_pad], nnz_c)``.
     """
@@ -215,6 +263,10 @@ def spgemm_padded(
     )
     row_s, col_s = jax.lax.sort((row, col), num_keys=2)
     return compress_pairs(row_s, col_s, n_rows, n_cols)
+
+
+spgemm_padded = jax.jit(esc_spgemm, static_argnames=("n_cols", "flops_pad"))
+spgemm_padded.__doc__ = "Jitted entry point for :func:`esc_spgemm`."
 
 
 # ---------------------------------------------------------------------------------

@@ -1,0 +1,200 @@
+"""Row-partitioned multi-chip boolean SpGEMM over a device mesh.
+
+TPU-native re-design of the reference's MPI layer (``SpGEMM_mpi``,
+final/SpGEMM_mpi_omp.c:155-225):
+
+========================================  =========================================
+reference (MPI)                           this module (mesh / shard_map)
+========================================  =========================================
+rank owns ``An/numtasks`` contiguous      shard owns a contiguous row range from
+rows (equal-rows, divisibility req.)      :func:`..parallel.mesh.partition_rows`
+                                          (flop-balanced by default, any n)
+inputs replicated: every rank reads       B (and A's full index arrays) replicated
+the whole file (:309)                     across the mesh; A's row slice sharded
+``SpGEMM_omp`` per rank                   :func:`..ops.spgemm.esc_spgemm` per shard
+                                          inside one ``shard_map``-ped jit
+``MPI_Reduce`` of nnz (:178)              ``lax.psum`` over the mesh axis
+``MPI_Gather`` of counts (:186)           ``lax.all_gather`` of per-shard nnz
+``MPI_Gatherv`` + root prefix fix         per-shard global offset = exclusive sum
+(:203-223)                                of gathered counts; output stays
+                                          sharded, host assembles (or stays on
+                                          device for further sharded compute)
+========================================  =========================================
+
+Everything compiles to one XLA program per shape bucket; the collectives ride
+ICI.  The output remains device-sharded — unlike the reference, which serialises
+through rank 0 (its measured multi-node slowdown, report §3 figs 9-10).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..formats.bcsr import BCSR
+from ..ops.spgemm import INT, esc_spgemm, pad_bucket, row_flops
+from .mesh import ROWS_AXIS, make_row_mesh, partition_rows
+
+__all__ = ["ShardedOperands", "dist_spgemm", "dist_spgemm_sharded", "shard_operands"]
+
+
+@dataclasses.dataclass
+class ShardedOperands:
+    """Device-ready stacked operands for the row-partitioned product."""
+
+    mesh: Mesh
+    bounds: np.ndarray  # [S+1] row partition boundaries
+    rows_pad: int
+    a_ptr: jax.Array  # [S, rows_pad+1] shard-local row pointers (sharded)
+    a_idx: jax.Array  # [S, nnz_pad]   shard-local column indices (sharded)
+    a_nnz: jax.Array  # [S, 1]          valid nnz per shard (sharded)
+    b_ptr: jax.Array  # [m+1]           replicated
+    b_idx: jax.Array  # [nnz_b]         replicated
+    flops_pad: int
+    shape: tuple[int, int]
+
+
+def shard_operands(
+    a: BCSR,
+    b: BCSR,
+    mesh: Mesh | None = None,
+    *,
+    balance: str = "flops",
+    flops_pad: int | None = None,
+) -> ShardedOperands:
+    """Partition A's rows across the mesh and lay out device-sharded operands.
+
+    All shards share one padded shape (single compile); B is replicated —
+    the reference's semantics (every rank holds the full B, :309).
+    """
+    if mesh is None:
+        mesh = make_row_mesh()
+    n_shards = mesh.devices.size
+    rf = row_flops(a, b)
+    bounds = partition_rows(rf, n_shards, balance=balance)
+    rows_pad = pad_bucket(int(np.max(np.diff(bounds))), minimum=1)
+    nnz_pad = pad_bucket(
+        int(max(a.indptr[r1] - a.indptr[r0] for r0, r1 in zip(bounds, bounds[1:])))
+    )
+    if flops_pad is None:
+        flops_pad = pad_bucket(
+            int(max(rf[r0:r1].sum() for r0, r1 in zip(bounds, bounds[1:])))
+        )
+
+    ptrs = np.zeros((n_shards, rows_pad + 1), np.int32)
+    idxs = np.zeros((n_shards, nnz_pad), np.int32)
+    nnzs = np.zeros((n_shards, 1), np.int32)
+    for s, (r0, r1) in enumerate(zip(bounds, bounds[1:])):
+        nnz_local = int(a.indptr[r1] - a.indptr[r0])
+        ptrs[s, : r1 - r0 + 1] = a.indptr[r0 : r1 + 1] - a.indptr[r0]
+        ptrs[s, r1 - r0 + 1 :] = nnz_local
+        idxs[s, :nnz_local] = a.indices[a.indptr[r0] : a.indptr[r1]]
+        nnzs[s, 0] = nnz_local
+
+    shard = NamedSharding(mesh, P(ROWS_AXIS))
+    repl = NamedSharding(mesh, P())
+    return ShardedOperands(
+        mesh=mesh,
+        bounds=bounds,
+        rows_pad=rows_pad,
+        a_ptr=jax.device_put(ptrs, shard),
+        a_idx=jax.device_put(idxs, shard),
+        a_nnz=jax.device_put(nnzs, shard),
+        b_ptr=jax.device_put(np.asarray(b.indptr), repl),
+        b_idx=jax.device_put(np.asarray(b.indices), repl),
+        flops_pad=int(flops_pad),
+        shape=(a.n_rows, b.n_cols),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "n_cols", "flops_pad")
+)
+def dist_spgemm_sharded(
+    a_ptr: jax.Array,
+    a_idx: jax.Array,
+    a_nnz: jax.Array,
+    b_ptr: jax.Array,
+    b_idx: jax.Array,
+    *,
+    mesh: Mesh,
+    n_cols: int,
+    flops_pad: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One jitted SPMD step: per-shard ESC SpGEMM + cross-shard assembly.
+
+    Returns (sharded global row pointers [S, rows_pad+1], sharded padded column
+    indices [S, flops_pad], per-shard nnz [S, 1], replicated total nnz scalar).
+    Row pointers come back *globally prefix-fixed* — the shard_map equivalent of
+    the reference's root-side fix (final/SpGEMM_mpi_omp.c:211-223).
+    """
+
+    def shard_fn(a_ptr, a_idx, a_nnz, b_ptr, b_idx):
+        c_ptr, c_idx, nnz_c = esc_spgemm(
+            a_ptr[0], a_idx[0], a_nnz[0, 0], b_ptr, b_idx,
+            n_cols=n_cols, flops_pad=flops_pad,
+        )
+        # ≡ MPI_Reduce(:178) + MPI_Gather(:186) + displacement scan (:190-196)
+        total = jax.lax.psum(nnz_c, ROWS_AXIS)
+        counts = jax.lax.all_gather(nnz_c, ROWS_AXIS)
+        me = jax.lax.axis_index(ROWS_AXIS)
+        offset = jnp.sum(
+            jnp.where(jnp.arange(counts.shape[0], dtype=INT) < me, counts, 0),
+            dtype=INT,
+        )
+        return (
+            (c_ptr + offset)[None],
+            c_idx[None],
+            nnz_c[None, None],
+            total,
+        )
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(), P()),
+        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P()),
+    )(a_ptr, a_idx, a_nnz, b_ptr, b_idx)
+
+
+def dist_spgemm(
+    a: BCSR,
+    b: BCSR,
+    mesh: Mesh | None = None,
+    *,
+    balance: str = "flops",
+) -> BCSR:
+    """Multi-chip C = A·B: shard, run the SPMD step, assemble on host.
+
+    The host assembly is the analogue of the reference's gather-to-root; on a
+    real pod the sharded outputs can instead stay device-resident for further
+    SPMD compute (composition the reference cannot express).
+    """
+    if a.n_cols != b.n_rows:
+        raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+    n, m = a.n_rows, b.n_cols
+    if a.nnz == 0 or b.nnz == 0:
+        return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
+    ops = shard_operands(a, b, mesh, balance=balance)
+    c_ptr, c_idx, nnz_sh, total = dist_spgemm_sharded(
+        ops.a_ptr, ops.a_idx, ops.a_nnz, ops.b_ptr, ops.b_idx,
+        mesh=ops.mesh, n_cols=m, flops_pad=ops.flops_pad,
+    )
+    c_ptr = np.asarray(c_ptr)
+    c_idx = np.asarray(c_idx)
+    nnz_sh = np.asarray(nnz_sh)[:, 0]
+    indptr_parts = [np.zeros(1, np.int64)]
+    index_parts = []
+    for s, (r0, r1) in enumerate(zip(ops.bounds, ops.bounds[1:])):
+        index_parts.append(c_idx[s, : nnz_sh[s]])
+        indptr_parts.append(c_ptr[s, 1 : r1 - r0 + 1].astype(np.int64))
+    indptr = np.concatenate(indptr_parts)
+    indices = (
+        np.concatenate(index_parts) if index_parts else np.zeros(0, np.int32)
+    )
+    assert indptr[-1] == int(total), (indptr[-1], int(total))
+    return BCSR(indptr.astype(np.int32), indices, (n, m))

@@ -1,0 +1,55 @@
+import json
+
+import numpy as np
+import pytest
+
+from binary_spgemm_tpu import BCSR, write_pattern
+from binary_spgemm_tpu.cli import main
+
+
+@pytest.fixture
+def mtx(tmp_path):
+    mat = BCSR.random(200, 200, 2.0, seed=1)
+    p = tmp_path / "a.mtx"
+    write_pattern(p, mat)
+    return str(p)
+
+
+def test_gen_then_validate(tmp_path, capsys):
+    out = str(tmp_path / "g.mtx")
+    assert main(["gen", out, "-n", "300", "-d", "1.5", "--seed", "9"]) == 0
+    assert main(["validate", out, "--oracle"]) == 0
+    captured = capsys.readouterr()
+    # the reference's confirm message (final/SpGEMM_mpi_omp_validity.c:340)
+    assert "Results of serial and multicore are the same!" in captured.out
+
+
+def test_bench_csv_schema(mtx, capsys):
+    assert main(["bench", mtx, "--times", "2", "--json"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    csv = out[0].split(",")
+    # tasks,threads,total_cpus,blocksize,path,n,input_nnz,output_nnz,mean,median,fastest
+    assert len(csv) == 11
+    assert csv[4] == mtx
+    assert int(csv[5]) == 200
+    assert float(csv[8]) > 0 and float(csv[10]) <= float(csv[8]) * 1.5
+    rec = json.loads(out[1])
+    assert rec["n"] == 200 and rec["output_nnz"] == int(csv[7])
+    assert rec["output_nnz_per_s"] > 0
+
+
+def test_bench_multidevice(mtx, capsys):
+    assert main(["bench", mtx, "--times", "1", "--devices", "4"]) == 0
+    csv = capsys.readouterr().out.strip().splitlines()[0].split(",")
+    assert csv[0] == "4"
+
+
+def test_bench_rejects_rectangular(tmp_path, capsys):
+    mat = BCSR.random(20, 30, 1.0, seed=0)
+    p = tmp_path / "r.mtx"
+    write_pattern(p, mat)
+    assert main(["bench", str(p), "--no-transpose"]) == 2
+
+
+def test_validate_rows_balance(mtx):
+    assert main(["validate", mtx, "--balance", "rows", "--devices", "2"]) == 0

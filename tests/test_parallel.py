@@ -1,0 +1,85 @@
+"""Multi-chip row-partitioned SpGEMM on the 8-virtual-device CPU mesh.
+
+This is the analogue of the reference's only automated test — ``make test``
+runs the MPI binary with ``mpirun -n 4`` on one machine and compares against a
+serial recompute (final/Makefile:11-12, SpGEMM_mpi_omp_validity.c:333-345).
+"""
+import jax
+import numpy as np
+import pytest
+
+from binary_spgemm_tpu import BCSR, spgemm
+from binary_spgemm_tpu.parallel.dist_spgemm import dist_spgemm, shard_operands
+from binary_spgemm_tpu.parallel.mesh import make_row_mesh, partition_rows
+from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+
+def test_device_count():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+
+
+def test_partition_rows_modes():
+    w = np.array([100, 1, 1, 1, 1, 1, 1, 1])
+    rows = partition_rows(w, 4, balance="rows")
+    assert rows.tolist() == [0, 2, 4, 6, 8]
+    flops = partition_rows(w, 4, balance="flops")
+    assert flops[0] == 0 and flops[-1] == 8
+    # the heavy row must end up alone-ish: first shard is just row 0
+    assert flops[1] == 1
+    # degenerate: all-zero weights fall back to equal rows
+    z = partition_rows(np.zeros(8, int), 4)
+    assert z.tolist() == [0, 2, 4, 6, 8]
+
+
+@pytest.mark.parametrize("balance", ["flops", "rows"])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dist_matches_serial(balance, seed):
+    # hybrid-vs-serial bit-exact check ≡ SpGEMM_valid (validity.c:290-302)
+    a = BCSR.random(400, 400, 4.0, seed=seed)
+    mesh = make_row_mesh()
+    c_dist = dist_spgemm(a, a, mesh, balance=balance)
+    c_serial = spgemm(a, a)
+    assert c_dist.equals(c_serial)
+    assert c_dist.equals(spgemm_oracle(a, a))
+
+
+def test_dist_non_divisible_rows():
+    # the reference requires numtasks | n (README.md:14); we must not
+    a = BCSR.random(397, 397, 3.0, seed=7)
+    c = dist_spgemm(a, a, make_row_mesh())
+    assert c.equals(spgemm_oracle(a, a))
+
+
+def test_dist_skewed():
+    rng = np.random.default_rng(0)
+    rows = np.concatenate([np.zeros(2000, int), rng.integers(0, 500, 1000)])
+    cols = rng.integers(0, 500, 3000)
+    a = BCSR.from_coo(rows, cols, (500, 500))
+    c = dist_spgemm(a, a, make_row_mesh())
+    assert c.equals(spgemm_oracle(a, a))
+
+
+def test_dist_rectangular():
+    a = BCSR.random(300, 200, 3.0, seed=3)
+    b = BCSR.random(200, 450, 2.0, seed=4)
+    c = dist_spgemm(a, b, make_row_mesh())
+    assert c.equals(spgemm_oracle(a, b))
+
+
+def test_shard_operands_layout():
+    a = BCSR.random(256, 256, 2.0, seed=5)
+    ops = shard_operands(a, a, make_row_mesh())
+    assert ops.a_ptr.shape[0] == 8
+    assert ops.bounds[0] == 0 and ops.bounds[-1] == 256
+    # every shard's local pointers start at 0 and end at its nnz
+    ptrs = np.asarray(ops.a_ptr)
+    nnzs = np.asarray(ops.a_nnz)[:, 0]
+    assert (ptrs[:, 0] == 0).all()
+    assert (ptrs[:, -1] == nnzs).all()
+
+
+def test_dist_small_mesh():
+    a = BCSR.random(100, 100, 2.0, seed=9)
+    mesh = make_row_mesh(2)
+    c = dist_spgemm(a, a, mesh)
+    assert c.equals(spgemm_oracle(a, a))
