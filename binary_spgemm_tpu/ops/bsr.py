@@ -1,0 +1,140 @@
+"""Blocked boolean SpGEMM on the MXU.
+
+TPU-native re-design of the reference's blocked design space (``BSpGEMM*``,
+old/BSpGEMM.c:369-1489): block-level Gustavson over a two-level format, with the
+per-block-pair product and OR-accumulation.  The reference's within-block sparse
+kernels and ``SpM_OR`` pointer-swapping accumulators (old/BSpGEMM.c:552-564)
+become:
+
+* **block-pair expansion** — the block-level structure walk, done host-side in
+  vectorised numpy (block counts are ~10⁴, negligible next to element work);
+* **batched dense tile matmuls on the MXU** — every (A-block, B-block) pair is a
+  bf16 128×128×128 matmul with f32 accumulation (0/1 values ⇒ exact counts);
+* **segment-sum OR-accumulation** — pairs sorted by output block; a single
+  block-granular ``segment_sum`` replaces the reference's merge/OR machinery;
+  ``count > 0`` is the boolean OR.
+
+The reference found blocking never beat its flat kernel on hyper-sparse random
+inputs (report §2.1) — the same holds here (occupancy ~d/b²), but on matrices
+with clustered structure the MXU path turns memory-latency-bound sparse work
+into dense FLOPs, which is exactly what the hardware wants.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.bbcsr import BlockedBCSR
+from ..formats.bcsr import BCSR
+from .spgemm import pad_bucket
+
+__all__ = ["bsr_spgemm", "block_pairs"]
+
+# Pair-chunk size for the batched matmul (bounds device memory:
+# 2 × chunk × b² bf16 gathered operands ≈ 2 × 512 × 16K × 2B = 32 MB).
+PAIR_CHUNK = 512
+
+
+def block_pairs(
+    a: BlockedBCSR, b: BlockedBCSR
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All (A-block, B-block) products and their output blocks, host-side.
+
+    Returns ``(ka, kb, seg, out_brow, out_bcol)``: pair p multiplies A-block
+    ``ka[p]`` with B-block ``kb[p]`` into output block ``seg[p]`` (pairs sorted
+    by seg); output block s has block coords (out_brow[s], out_bcol[s]).
+    """
+    sa, sb = a.structure, b.structure
+    arow, acol = sa.to_coo()  # block coords of A's stored blocks
+    lens = np.diff(sb.indptr)[acol]
+    ka = np.repeat(np.arange(sa.nnz, dtype=np.int64), lens)
+    offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    total = int(lens.sum())
+    kb = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(offs, lens)
+        + np.repeat(sb.indptr[acol], lens)
+    )
+    out_i = np.repeat(arow, lens)
+    out_k = sb.indices[kb]
+    okey = out_i * np.int64(sb.n_cols) + out_k
+    order = np.argsort(okey, kind="stable")
+    ka, kb, okey = ka[order], kb[order], okey[order]
+    uniq, seg = np.unique(okey, return_inverse=True)
+    return ka, kb, seg, uniq // sb.n_cols, uniq % sb.n_cols
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def _pair_matmul_accumulate(
+    a_blocks: jax.Array,  # bf16 [nA, b, b]
+    b_blocks: jax.Array,  # bf16 [nB, b, b]
+    ka: jax.Array,  # int32 [chunk]
+    kb: jax.Array,  # int32 [chunk]
+    seg: jax.Array,  # int32 [chunk], sorted; n_out for padding
+    acc: jax.Array,  # f32 [n_out, b, b]
+    *,
+    n_out: int,
+) -> jax.Array:
+    ag = a_blocks[ka]
+    bg = b_blocks[kb]
+    prod = jax.lax.dot_general(
+        ag, bg,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return acc + jax.ops.segment_sum(
+        prod, seg, num_segments=n_out, indices_are_sorted=True
+    )
+
+
+def bsr_spgemm(a: BlockedBCSR, b: BlockedBCSR) -> BlockedBCSR:
+    """Blocked boolean SpGEMM: C = A·B structure over dense MXU tiles."""
+    if a.block_size != b.block_size:
+        raise ValueError("block sizes must match")
+    if a.structure.n_cols != b.structure.n_rows:
+        raise ValueError(f"block shape mismatch: {a.shape} @ {b.shape}")
+    bs = a.block_size
+    shape = (a.shape[0], b.shape[1])
+    ka, kb, seg, obr, obc = block_pairs(a, b)
+    n_out = len(obr)
+    if n_out == 0:
+        structure = BCSR(
+            np.zeros(a.structure.n_rows + 1, np.int32),
+            np.zeros(0, np.int32),
+            (a.structure.n_rows, b.structure.n_cols),
+        )
+        return BlockedBCSR(structure, np.zeros((0, bs, bs), np.uint8), bs, shape)
+
+    a_dev = jnp.asarray(a.blocks, jnp.bfloat16)
+    b_dev = jnp.asarray(b.blocks, jnp.bfloat16)
+    # +1 guarantees a scratch segment: padded tail pairs accumulate there and
+    # are discarded, keeping every chunk the same shape (one compile).
+    n_out_pad = pad_bucket(n_out + 1, minimum=2)
+    acc = jnp.zeros((n_out_pad, bs, bs), jnp.float32)
+    npairs = len(ka)
+    for p0 in range(0, npairs, PAIR_CHUNK):
+        chunk = slice(p0, min(p0 + PAIR_CHUNK, npairs))
+        cka = np.zeros(PAIR_CHUNK, np.int32)
+        ckb = np.zeros(PAIR_CHUNK, np.int32)
+        cseg = np.full(PAIR_CHUNK, n_out_pad - 1, np.int32)
+        w = chunk.stop - chunk.start
+        cka[:w], ckb[:w] = ka[chunk], kb[chunk]
+        cseg[:w] = seg[chunk]
+        acc = _pair_matmul_accumulate(
+            a_dev, b_dev,
+            jnp.asarray(cka), jnp.asarray(ckb), jnp.asarray(cseg),
+            acc, n_out=n_out_pad,
+        )
+    blocks = (np.asarray(acc[:n_out]) > 0).astype(np.uint8)
+
+    # drop all-zero output blocks (a structural block pair can yield no bits)
+    nonzero = blocks.reshape(n_out, -1).any(axis=1)
+    blocks = blocks[nonzero]
+    structure = BCSR.from_coo(
+        obr[nonzero], obc[nonzero],
+        (a.structure.n_rows, b.structure.n_cols),
+    )
+    return BlockedBCSR(structure, blocks, bs, shape)

@@ -23,11 +23,11 @@ from .spgemm import (
     INT,
     DEFAULT_CHUNK_FLOPS,
     _stitch,
-    compress_pairs,
     expand_pairs,
     pad_bucket,
     pad_chunk_csr,
     row_flops,
+    sort_compress,
     uniform_chunk_plan,
 )
 
@@ -96,8 +96,7 @@ def masked_spgemm_padded(
     )
     row = jnp.where(keep, row, n_rows)
     col = jnp.where(keep, col, n_cols)
-    row_s, col_s = jax.lax.sort((row, col), num_keys=2)
-    return compress_pairs(row_s, col_s, n_rows, n_cols)
+    return sort_compress(row, col, n_rows, n_cols)
 
 
 def masked_spgemm(
@@ -124,7 +123,7 @@ def masked_spgemm(
 
     chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
     rf = row_flops(a, b)
-    chunks, rows_pad, nnz_pad, flops_pad = uniform_chunk_plan(a, rf, chunk_flops)
+    chunks, rows_pad, nnz_pad, flops_pad = uniform_chunk_plan(a, rf, chunk_flops, m)
     # F is sliced to the same rows (so row ids line up inside the kernel) and
     # padded to one uniform size across chunks — one compile serves all.
     f_nnz_pad = pad_bucket(

@@ -49,6 +49,8 @@ __all__ = [
     "pad_bucket",
     "uniform_chunk_plan",
     "pad_chunk_csr",
+    "sort_compress",
+    "packable",
 ]
 
 INT = jnp.int32
@@ -132,19 +134,42 @@ def _row_ids(indptr: jax.Array, nnz_pad: int) -> jax.Array:
     return _owner_scan(indptr[:-1], lengths, nnz_pad)
 
 
-def compress_pairs(
-    row_s: jax.Array, col_s: jax.Array, n_rows: int, n_cols: int
+def packable(n_rows: int, n_cols: int) -> bool:
+    """Can (row, col) pairs pack into one positive int32 key?  Requires
+    ``(n_rows + 1) * next_pow2(n_cols + 1) ≤ 2^31`` (sentinel row included)."""
+    shift = int(n_cols).bit_length()  # smallest s with n_cols < 2**s, so col field holds n_cols
+    return (n_rows + 1) << shift <= (1 << 31)
+
+
+def sort_compress(
+    row: jax.Array, col: jax.Array, n_rows: int, n_cols: int
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Dedupe **sorted** (row, col) pairs into CSR form.
+    """Sort candidate (row, col) pairs, dedupe, and compact into CSR form.
 
     Pairs with ``row == n_rows`` are padding sentinels (they sort last).  Returns
-    ``(c_indptr [n_rows+1], c_indices padded [len(row_s)], nnz_c scalar)`` with the
-    padded tail of ``c_indices`` set to ``n_cols``.
+    ``(c_indptr [n_rows+1], c_indices padded [len(row)], nnz_c scalar)``.
 
-    TPU note: compaction is done by re-sorting with duplicates demoted to
-    sentinels rather than by scatter — on TPU a full two-key vector sort
-    (~5 ns/elem) is ~4× cheaper than an element-wise scatter.
+    TPU notes: when the pair fits one positive int32 (``packable``), a single-key
+    unstable sort is used (~30% cheaper than two-key); compaction is done by
+    re-sorting with duplicates demoted to sentinels rather than by scatter — on
+    TPU a full vector sort is ~4× cheaper than an element-wise scatter.
     """
+    if packable(n_rows, n_cols):
+        shift = int(n_cols).bit_length()
+        key = (row << shift) | col
+        key_s = jax.lax.sort((key,), is_stable=False)[0]
+        prev = jnp.concatenate([jnp.full((1,), -1, INT), key_s[:-1]])
+        keep = (key_s != prev) & (key_s < (n_rows << shift))
+        nnz_c = jnp.sum(keep, dtype=INT)
+        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+        c_keys = jax.lax.sort((demoted,), is_stable=False)[0]
+        c_indices = c_keys & ((1 << shift) - 1)
+        c_indptr = jnp.searchsorted(
+            c_keys, jnp.arange(n_rows + 1, dtype=INT) << shift, side="left"
+        ).astype(INT)
+        return c_indptr, c_indices, nnz_c
+
+    row_s, col_s = jax.lax.sort((row, col), num_keys=2, is_stable=False)
     prev_row = jnp.concatenate([jnp.full((1,), -1, INT), row_s[:-1]])
     prev_col = jnp.concatenate([jnp.full((1,), -1, INT), col_s[:-1]])
     new = (row_s != prev_row) | (col_s != prev_col)
@@ -152,11 +177,20 @@ def compress_pairs(
     nnz_c = jnp.sum(keep, dtype=INT)
     demoted_r = jnp.where(keep, row_s, n_rows)
     demoted_c = jnp.where(keep, col_s, n_cols)
-    c_rows, c_indices = jax.lax.sort((demoted_r, demoted_c), num_keys=2)
+    c_rows, c_indices = jax.lax.sort(
+        (demoted_r, demoted_c), num_keys=2, is_stable=False
+    )
     c_indptr = jnp.searchsorted(
         c_rows, jnp.arange(n_rows + 1, dtype=INT), side="left"
     ).astype(INT)
     return c_indptr, c_indices, nnz_c
+
+
+def compress_pairs(
+    row_s: jax.Array, col_s: jax.Array, n_rows: int, n_cols: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Back-compat shim: dedupe already-sorted pairs (re-sorts internally)."""
+    return sort_compress(row_s, col_s, n_rows, n_cols)
 
 
 def _forward_fill_last(
@@ -261,8 +295,7 @@ def esc_spgemm(
         a_indptr, a_indices, a_nnz, b_indptr, b_indices,
         n_cols=n_cols, flops_pad=flops_pad,
     )
-    row_s, col_s = jax.lax.sort((row, col), num_keys=2)
-    return compress_pairs(row_s, col_s, n_rows, n_cols)
+    return sort_compress(row, col, n_rows, n_cols)
 
 
 spgemm_padded = jax.jit(esc_spgemm, static_argnames=("n_cols", "flops_pad"))
@@ -288,7 +321,9 @@ def spgemm_flops(a: BCSR, b: BCSR) -> int:
     return int(row_flops(a, b).sum())
 
 
-def _chunk_rows(rf: np.ndarray, chunk_flops: int) -> list[tuple[int, int]]:
+def _chunk_rows(
+    rf: np.ndarray, chunk_flops: int, max_rows: int | None = None
+) -> list[tuple[int, int]]:
     """Greedy contiguous row partition with ≤ chunk_flops per chunk (a single row
     exceeding the budget gets its own chunk).  This is the flop-balanced analogue
     of the reference's equal-rows tBlock split (final/SpGEMM_mpi_omp.c:83) — fixing
@@ -296,7 +331,9 @@ def _chunk_rows(rf: np.ndarray, chunk_flops: int) -> list[tuple[int, int]]:
     chunks = []
     start, acc = 0, 0
     for i, f in enumerate(rf):
-        if acc and acc + f > chunk_flops:
+        if (acc and acc + f > chunk_flops) or (
+            max_rows is not None and i - start >= max_rows
+        ):
             chunks.append((start, i))
             start, acc = i, 0
         acc += int(f)
@@ -305,19 +342,40 @@ def _chunk_rows(rf: np.ndarray, chunk_flops: int) -> list[tuple[int, int]]:
 
 
 def uniform_chunk_plan(
-    a: BCSR, rf: np.ndarray, chunk_flops: int
+    a: BCSR,
+    rf: np.ndarray,
+    chunk_flops: int,
+    n_cols: int | None = None,
+    *,
+    force_pack: bool = False,
 ) -> tuple[list[tuple[int, int]], int, int, int]:
     """Plan flop-bounded row chunks with **uniform padded shapes**.
 
     Every chunk is padded to the same ``(rows_pad, nnz_pad, flops_pad)`` so one
     XLA compilation serves all chunks — on TPU each distinct shape costs a
     ~20-40 s compile, so shape uniformity, not tight padding, wins.
+
+    When ``n_cols`` is given, rows per chunk are additionally capped so (row, col)
+    pairs pack into one int32 sort key inside the kernel (see :func:`packable`,
+    ~30% sort saving) — but only when that cap does not inflate the chunk count
+    (each extra chunk costs a full dispatch, ~10 ms through the device tunnel).
     """
     total = int(rf.sum())
     if total <= chunk_flops:
-        chunks = [(0, a.n_rows)]
+        base = [(0, a.n_rows)]
     else:
-        chunks = _chunk_rows(rf, chunk_flops)
+        base = _chunk_rows(rf, chunk_flops)
+    chunks = base
+    if n_cols is not None:
+        shift = int(n_cols).bit_length()
+        cap = 1 << max(0, 30 - shift)
+        rows_max = max(r1 - r0 for r0, r1 in base)
+        if rows_max > cap and cap >= 512:
+            capped = _chunk_rows(rf, chunk_flops, cap)
+            # force_pack: the caller dispatches all chunks in one device loop,
+            # so extra chunks are free and the packed sort always pays.
+            if force_pack or len(capped) <= len(base):
+                chunks = capped
     rows_pad = pad_bucket(max(r1 - r0 for r0, r1 in chunks))
     nnz_pad = pad_bucket(
         max(int(a.indptr[r1] - a.indptr[r0]) for r0, r1 in chunks)
@@ -362,6 +420,71 @@ def _stitch(chunks, rows_total, shape, run_chunk) -> BCSR:
     return BCSR(indptr.astype(np.int32), indices, shape)
 
 
+class SpGEMMExecutor:
+    """Pre-staged repeated C = A·B executor.
+
+    Stages the chunk plan's device arrays once, so each :meth:`run` measures only
+    device compute — the reference's benchmark protocol (matrix resident in RAM,
+    time the multiply only; final/SpGEMM_mpi_omp.c:318-324).
+    """
+
+    def __init__(self, a: BCSR, b: BCSR, *, chunk_flops: int | None = None):
+        if a.n_cols != b.n_rows:
+            raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+        self.shape = (a.n_rows, b.n_cols)
+        chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
+        rf = row_flops(a, b)
+        # force_pack measured slower here: 8 packed 1-key chunks in one lax.map
+        # dispatch ran 0.41 s vs 0.29 s for one unpacked 2-key kernel — chunk
+        # splitting costs more than the cheaper sorts save.
+        self.chunks, rows_pad, nnz_pad, self.flops_pad = uniform_chunk_plan(
+            a, rf, chunk_flops, b.n_cols
+        )
+        self.n_cols = b.n_cols
+        self.b_indptr = jnp.asarray(b.indptr)
+        self.b_indices = jnp.asarray(b.indices)
+        ptrs, idxs, nnzs = [], [], []
+        for r0, r1 in self.chunks:
+            ptr, idx, nnz_local = pad_chunk_csr(a, r0, r1, rows_pad, nnz_pad)
+            ptrs.append(ptr)
+            idxs.append(idx)
+            nnzs.append(nnz_local)
+        self.a_ptr = jnp.asarray(np.stack(ptrs))
+        self.a_idx = jnp.asarray(np.stack(idxs))
+        self.a_nnz = jnp.asarray(np.asarray(nnzs, np.int32))
+
+        # All chunks execute in ONE dispatch via a sequential on-device loop
+        # (lax.map): per-chunk host dispatches cost ~10 ms each through the
+        # device tunnel, and the loop body is compiled once.
+        def _mapped(a_ptr, a_idx, a_nnz, b_ptr, b_idx):
+            return jax.lax.map(
+                lambda t: esc_spgemm(
+                    t[0], t[1], t[2], b_ptr, b_idx,
+                    n_cols=self.n_cols, flops_pad=self.flops_pad,
+                ),
+                (a_ptr, a_idx, a_nnz),
+            )
+
+        self._fn = jax.jit(_mapped)
+
+    def run(self):
+        """One full multiply: stacked (c_indptr, c_indices, nnz_c) device arrays."""
+        return self._fn(
+            self.a_ptr, self.a_idx, self.a_nnz, self.b_indptr, self.b_indices
+        )
+
+    def assemble(self, outputs) -> BCSR:
+        c_ptr, c_idx, nnz_c = (np.asarray(o) for o in outputs)
+        chunks = self.chunks
+        it = iter(range(len(chunks)))
+        return _stitch(
+            chunks,
+            self.shape[0],
+            self.shape,
+            lambda r0, r1: (lambda s: (c_ptr[s], c_idx[s], nnz_c[s]))(next(it)),
+        )
+
+
 def spgemm(
     a: BCSR,
     b: BCSR,
@@ -384,7 +507,7 @@ def spgemm(
 
     chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
     rf = row_flops(a, b)
-    chunks, rows_pad, nnz_pad, flops_pad = uniform_chunk_plan(a, rf, chunk_flops)
+    chunks, rows_pad, nnz_pad, flops_pad = uniform_chunk_plan(a, rf, chunk_flops, m)
     b_indptr = jnp.asarray(b.indptr)
     b_indices = jnp.asarray(b.indices)
 

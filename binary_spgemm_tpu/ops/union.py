@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..formats.bcsr import BCSR
-from .spgemm import INT, _row_ids, compress_pairs, pad_bucket
+from .spgemm import INT, _row_ids, pad_bucket, sort_compress
 
 __all__ = ["spm_or", "spm_or_padded"]
 
@@ -50,8 +50,7 @@ def spm_or_padded(
     rb, cb = pairs(b_indptr, b_indices, b_nnz, pb)
     row = jnp.concatenate([ra, rb])
     col = jnp.concatenate([ca, cb])
-    row_s, col_s = jax.lax.sort((row, col), num_keys=2)
-    return compress_pairs(row_s, col_s, n_rows, n_cols)
+    return sort_compress(row, col, n_rows, n_cols)
 
 
 def spm_or(a: BCSR, b: BCSR) -> BCSR:

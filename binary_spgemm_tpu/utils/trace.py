@@ -1,0 +1,104 @@
+"""Profiling & observability.
+
+The reference's entire observability stack is manual ``tic``/``toc`` region
+timing (final/utils.h:7-8) plus commented-out per-phase printfs
+(old/SpGEMM_omp.c:274,303) and out-of-tree callgrind runs (.gitignore:5).
+Here:
+
+* :func:`phase_timer` — named region timing with device sync (tic/toc parity,
+  but correct under async dispatch);
+* :func:`trace` — a ``jax.profiler`` trace context writing TensorBoard-readable
+  traces (the callgrind replacement);
+* :func:`roofline` — bytes-moved / speed-of-light estimate for an ESC SpGEMM
+  call, used by the benchmark CLI to report % of HBM roofline.
+"""
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+
+import jax
+
+__all__ = ["phase_timer", "trace", "roofline", "PhaseRecord"]
+
+
+@dataclasses.dataclass
+class PhaseRecord:
+    name: str
+    seconds: float
+
+
+class phase_timer:
+    """Collects named, device-synced phase timings.
+
+    >>> pt = phase_timer()
+    >>> with pt("expand"): out = f(x)
+    >>> pt.records  # [PhaseRecord("expand", ...)]
+    """
+
+    def __init__(self):
+        self.records: list[PhaseRecord] = []
+
+    @contextlib.contextmanager
+    def __call__(self, name: str):
+        t0 = time.perf_counter()
+        yield
+        # drain the dispatch queue so the phase really finished
+        (jax.device_put(0.0) + 0).block_until_ready()
+        self.records.append(PhaseRecord(name, time.perf_counter() - t0))
+
+    def report(self) -> str:
+        total = sum(r.seconds for r in self.records) or 1.0
+        lines = [
+            f"{r.name:<24s} {r.seconds * 1e3:9.2f} ms  {r.seconds / total:6.1%}"
+            for r in self.records
+        ]
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """``jax.profiler`` trace context (view with TensorBoard / xprof)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+# Per-chip HBM bandwidth for roofline estimates (bytes/s).  v5e ≈ 819 GB/s.
+HBM_BYTES_PER_S = {
+    "tpu v5 lite": 819e9,
+    "tpu v4": 1228e9,
+    "cpu": 50e9,
+}
+
+
+def roofline(
+    flops_pad: int, nnz_a: int, nnz_c: int, seconds: float, device=None
+) -> dict:
+    """Speed-of-light audit of one ESC SpGEMM call.
+
+    Minimal traffic model (bytes that *must* move through HBM): the expansion
+    streams ~5 E-sized int32 arrays (jump/bidx/row/col/valid fused), the two
+    sorts move ~2×2×2 E-sized arrays (read+write, two operands), compression
+    streams ~3 more, plus the input/output index arrays.  ~60 B per candidate
+    slot is the model used here; it is deliberately coarse — the point is an
+    order-of-magnitude % figure to track between rounds.
+    """
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "cpu").lower()
+    bw = next(
+        (v for k, v in HBM_BYTES_PER_S.items() if k in kind), 100e9
+    )
+    bytes_moved = 60 * flops_pad + 4 * (nnz_a + nnz_c)
+    sol_s = bytes_moved / bw
+    return {
+        "model_bytes": bytes_moved,
+        "speed_of_light_s": sol_s,
+        "achieved_s": seconds,
+        "fraction_of_roofline": sol_s / seconds if seconds else 0.0,
+        "bandwidth_assumed_gbps": bw / 1e9,
+    }

@@ -1,0 +1,82 @@
+import numpy as np
+import pytest
+
+from binary_spgemm_tpu import BCSR
+from binary_spgemm_tpu.formats.bbcsr import BlockedBCSR
+from binary_spgemm_tpu.ops.bsr import bsr_spgemm, block_pairs
+from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+
+def blocked_matrix(n, b, nblocks_per_row, seed=0, block_density=0.3):
+    """Random block-clustered matrix (the structure class where blocking wins)."""
+    rng = np.random.default_rng(seed)
+    nb = n // b
+    rows, cols = [], []
+    for i in range(nb):
+        for j in rng.choice(nb, size=min(nblocks_per_row, nb), replace=False):
+            k = max(1, int(block_density * b * b))
+            r = rng.integers(0, b, k)
+            c = rng.integers(0, b, k)
+            rows.append(i * b + r)
+            cols.append(j * b + c)
+    return BCSR.from_coo(
+        np.concatenate(rows), np.concatenate(cols), (n, n)
+    ).sum_duplicates()
+
+
+def test_roundtrip():
+    mat = blocked_matrix(256, 64, 2, seed=1)
+    blk = BlockedBCSR.from_bcsr(mat, 64)
+    assert blk.to_bcsr().equals(mat)
+    assert blk.nnz == mat.nnz
+
+
+def test_roundtrip_nonmultiple_shape():
+    # element shape not a multiple of block size: ragged edge blocks
+    mat = BCSR.random(100, 70, 3.0, seed=2).sum_duplicates()
+    blk = BlockedBCSR.from_bcsr(mat, 32)
+    assert blk.to_bcsr().equals(mat)
+
+
+def test_block_pairs_counts():
+    a = blocked_matrix(128, 64, 2, seed=3)
+    ab = BlockedBCSR.from_bcsr(a, 64)
+    ka, kb, seg, obr, obc = block_pairs(ab, ab)
+    assert len(ka) == len(kb) == len(seg)
+    assert (np.diff(seg) >= 0).all()  # sorted by output block
+    assert len(obr) == seg.max() + 1 if len(seg) else True
+
+
+@pytest.mark.parametrize("b", [32, 64])
+def test_bsr_spgemm_matches_oracle(b):
+    a = blocked_matrix(256, b, 2, seed=4)
+    ab = BlockedBCSR.from_bcsr(a, b)
+    c = bsr_spgemm(ab, ab)
+    assert c.to_bcsr().equals(spgemm_oracle(a, a))
+
+
+def test_bsr_spgemm_rectangular():
+    rng = np.random.default_rng(5)
+    a = BCSR.random(96, 64, 4.0, seed=5).sum_duplicates()
+    bmat = BCSR.random(64, 128, 4.0, seed=6).sum_duplicates()
+    c = bsr_spgemm(BlockedBCSR.from_bcsr(a, 32), BlockedBCSR.from_bcsr(bmat, 32))
+    assert c.to_bcsr().equals(spgemm_oracle(a, bmat))
+
+
+def test_bsr_spgemm_empty():
+    e = BCSR.from_dense(np.zeros((64, 64)))
+    be = BlockedBCSR.from_bcsr(e, 32)
+    c = bsr_spgemm(be, be)
+    assert c.to_bcsr().nnz == 0
+
+
+def test_bsr_many_pairs_chunking():
+    # more pairs than one PAIR_CHUNK to exercise the chunk loop
+    a = blocked_matrix(512, 32, 6, seed=7, block_density=0.1)
+    ab = BlockedBCSR.from_bcsr(a, 32)
+    ka, _, _, _, _ = block_pairs(ab, ab)
+    from binary_spgemm_tpu.ops import bsr as bsr_mod
+
+    assert len(ka) > bsr_mod.PAIR_CHUNK
+    c = bsr_spgemm(ab, ab)
+    assert c.to_bcsr().equals(spgemm_oracle(a, a))
