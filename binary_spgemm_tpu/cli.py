@@ -184,6 +184,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # honour the env var even though this image's sitecustomize pre-registers
+        # the TPU backend (see tests/conftest.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -17,11 +17,11 @@ reproduced here:
 """
 from __future__ import annotations
 
-import io as _io
-
 import numpy as np
 
 from ..formats.bcsr import BCSR
+from ..native import format_pairs as native_format_pairs
+from ..native import parse_pairs as native_parse_pairs
 
 __all__ = ["read_pattern", "write_pattern", "read_banner", "MMBanner"]
 
@@ -63,37 +63,49 @@ def read_pattern(
     """
     with open(path, "rb") as f:
         raw = f.read()
-    text = raw.decode("ascii", errors="replace")
-    buf = _io.StringIO(text)
 
-    banner = read_banner(buf.readline())
+    nl = raw.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing Matrix-Market banner line")
+    banner = read_banner(raw[:nl].decode("ascii", errors="replace"))
     if banner.format != "coordinate":
         raise ValueError(f"only coordinate format is supported, got {banner.format}")
 
-    # Size line: first non-comment, non-blank line.
+    # Size line: first non-comment, non-blank line after the banner.
+    pos = nl + 1
     while True:
-        line = buf.readline()
-        if not line:
-            raise ValueError("missing size line")
+        nl = raw.find(b"\n", pos)
+        line = raw[pos:] if nl < 0 else raw[pos:nl]
+        pos = len(raw) if nl < 0 else nl + 1
         s = line.strip()
-        if s and not s.startswith("%"):
+        if s and not s.startswith(b"%"):
             break
+        if nl < 0:
+            raise ValueError("missing size line")
     n_rows, n_cols, nnz = (int(tok) for tok in s.split()[:3])
 
-    body = text[buf.tell() :]
-    # Bulk-parse all remaining numeric fields.  Pattern files have exactly 2 fields
-    # per line; fielded files (real/integer) carry a value column we must drop.
-    fields_per_line = 2 if banner.field == "pattern" else 3
-    data = np.array(body.split(), dtype=np.float64) if nnz else np.zeros(0)
-    if nnz and data.size % fields_per_line != 0:
-        raise ValueError(
-            f"entry count {data.size} not divisible by {fields_per_line} fields/line"
+    body = raw[pos:]
+    # Only the first two fields of each entry are used (the reference's
+    # fscanf("%u %u"), final/utils.c:66-71); value columns are skipped.
+    fields_per_line = {"pattern": 2, "complex": 4}.get(banner.field, 3)
+    parsed = native_parse_pairs(body, nnz, fields_per_line) if nnz else None
+    if parsed is not None:  # fast C parser (native tier)
+        rows = parsed[0].astype(np.int64) - 1  # 1-based → 0-based
+        cols = parsed[1].astype(np.int64) - 1
+    else:  # pure-numpy fallback
+        data = (
+            np.array(body.split(), dtype=np.float64) if nnz else np.zeros(0)
         )
-    data = data.reshape(-1, fields_per_line) if nnz else data.reshape(0, 2)
-    if nnz and data.shape[0] != nnz:
-        raise ValueError(f"expected {nnz} entries, found {data.shape[0]}")
-    rows = data[:, 0].astype(np.int64) - 1  # 1-based → 0-based (utils.c:68-69)
-    cols = data[:, 1].astype(np.int64) - 1
+        if nnz and data.size % fields_per_line != 0:
+            raise ValueError(
+                f"entry count {data.size} not divisible by "
+                f"{fields_per_line} fields/line"
+            )
+        data = data.reshape(-1, fields_per_line) if nnz else data.reshape(0, 2)
+        if nnz and data.shape[0] != nnz:
+            raise ValueError(f"expected {nnz} entries, found {data.shape[0]}")
+        rows = data[:, 0].astype(np.int64) - 1
+        cols = data[:, 1].astype(np.int64) - 1
 
     if banner.symmetry == "symmetric" and expand_symmetric:
         r0, c0 = rows, cols
@@ -111,11 +123,14 @@ def write_pattern(path, mat: BCSR, *, comment: str | None = None) -> None:
     line, then 1-based ``row col`` pairs.
     """
     rows, cols = mat.to_coo()
-    with open(path, "w") as f:
-        f.write("%%MatrixMarket matrix coordinate pattern general\n")
+    with open(path, "wb") as f:
+        f.write(b"%%MatrixMarket matrix coordinate pattern general\n")
         if comment:
             for line in comment.splitlines():
-                f.write(f"% {line}\n")
-        f.write(f"{mat.n_rows} {mat.n_cols} {mat.nnz}\n")
-        out = np.column_stack([rows + 1, cols + 1])
-        np.savetxt(f, out, fmt="%d %d")
+                f.write(f"% {line}\n".encode())
+        f.write(f"{mat.n_rows} {mat.n_cols} {mat.nnz}\n".encode())
+        body = native_format_pairs(rows, cols)
+        if body is not None:
+            f.write(body)
+        else:
+            np.savetxt(f, np.column_stack([rows + 1, cols + 1]), fmt="%d %d")

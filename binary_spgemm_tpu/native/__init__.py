@@ -1,0 +1,116 @@
+"""Native (C) components, loaded via ctypes with build-on-demand.
+
+The reference's ingest tier is C (readCOO/mmio); this package provides the
+native equivalents.  ``lib()`` compiles ``libmmparse.so`` on first use with the
+system compiler and caches it next to the source; everything degrades to the
+pure-numpy fallbacks in :mod:`..io.mmio` when no toolchain is available.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libmmparse.so")
+_SRC = os.path.join(_DIR, "mmparse.c")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return True
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return False
+
+
+def lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+            _SRC
+        ):
+            if not _build():
+                return None
+        try:
+            l = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        l.mm_parse_pairs.restype = ctypes.c_long
+        l.mm_parse_pairs.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        l.mm_format_pairs.restype = ctypes.c_long
+        l.mm_format_pairs.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_long,
+            ctypes.c_char_p,
+        ]
+        _lib = l
+        return _lib
+
+
+def parse_pairs(body: bytes, nnz: int, fields: int):
+    """Parse ``nnz`` 'row col [val]' entries; returns 1-based uint32 arrays or
+    None when the native library is unavailable.  Raises ValueError on
+    malformed or truncated input (the caller formats the message)."""
+    l = lib()
+    if l is None:
+        return None
+    rows = np.empty(nnz, dtype=np.uint32)
+    cols = np.empty(nnz, dtype=np.uint32)
+    got = l.mm_parse_pairs(
+        body,
+        len(body),
+        nnz,
+        fields,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    if got < 0:
+        raise ValueError("malformed Matrix-Market entry body")
+    if got != nnz:
+        raise ValueError(f"expected {nnz} entries, found {got}")
+    return rows, cols
+
+
+def format_pairs(rows: np.ndarray, cols: np.ndarray):
+    """Format 0-based pairs as 1-based 'row col\\n' ASCII bytes, or None."""
+    l = lib()
+    if l is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint32)
+    cols = np.ascontiguousarray(cols, dtype=np.uint32)
+    n = len(rows)
+    out = ctypes.create_string_buffer(22 * n if n else 1)
+    wrote = l.mm_format_pairs(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n,
+        out,
+    )
+    return out.raw[:wrote]

@@ -1,0 +1,62 @@
+import numpy as np
+import pytest
+
+from binary_spgemm_tpu import BCSR, spgemm, spm_or, masked_spgemm
+from binary_spgemm_tpu.ops.fused import spgemm_or
+from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+
+def oracle_dor(d, a, b):
+    return (
+        (d.to_scipy() + a.to_scipy() @ b.to_scipy()).tocsr()
+    )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_dor_random(seed):
+    a = BCSR.random(200, 200, 4.0, seed=seed)
+    d = BCSR.random(200, 200, 3.0, seed=seed + 10)
+    c = spgemm_or(d, a, a)
+    ref = oracle_dor(d, a, a)
+    ref.sort_indices()
+    expected = BCSR(ref.indptr, ref.indices, ref.shape)
+    assert c.equals(expected)
+    # and equals the two-op composition
+    assert c.equals(spm_or(d, spgemm(a, a)))
+
+
+def test_dor_empty_d():
+    a = BCSR.random(100, 100, 3.0, seed=0)
+    d = BCSR.from_dense(np.zeros((100, 100)))
+    assert spgemm_or(d, a, a).equals(spgemm_oracle(a, a))
+
+
+def test_dor_empty_product():
+    a = BCSR.from_dense(np.zeros((50, 50)))
+    d = BCSR.random(50, 50, 2.0, seed=1)
+    assert spgemm_or(d, a, a).equals(d.sum_duplicates())
+
+
+def test_dor_masked():
+    # ≡ SpGEMM_dor_masked: D passes through, A*B is masked
+    a = BCSR.random(150, 150, 4.0, seed=2)
+    d = BCSR.random(150, 150, 2.0, seed=3)
+    f = BCSR.random(150, 150, 6.0, seed=4)
+    c = spgemm_or(d, a, a, mask=f)
+    expected = spm_or(d, masked_spgemm(f, a, a))
+    assert c.equals(expected)
+
+
+def test_dor_chunked():
+    a = BCSR.random(300, 300, 5.0, seed=5)
+    d = BCSR.random(300, 300, 2.0, seed=6)
+    c1 = spgemm_or(d, a, a)
+    c2 = spgemm_or(d, a, a, chunk_flops=2048)
+    assert c1.equals(c2)
+
+
+def test_shape_errors():
+    a = BCSR.random(10, 10, 1.0, seed=0)
+    d = BCSR.random(11, 10, 1.0, seed=0)
+    with pytest.raises(ValueError):
+        spgemm_or(d, a, a)

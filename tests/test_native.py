@@ -1,0 +1,54 @@
+import numpy as np
+import pytest
+
+from binary_spgemm_tpu import BCSR, read_pattern, write_pattern
+from binary_spgemm_tpu import native
+
+
+def test_native_lib_builds():
+    # the toolchain is present in CI/dev images; if truly absent the io layer
+    # falls back to numpy (covered by test_mmio), so only warn-skip here
+    if native.lib() is None:
+        pytest.skip("no C toolchain available")
+
+
+def test_parse_pairs_matches_fallback(tmp_path):
+    if native.lib() is None:
+        pytest.skip("no C toolchain")
+    rows, cols = native.parse_pairs(b"1 2\n3 4\n10 20\n", 3, 2)
+    assert rows.tolist() == [1, 3, 10]
+    assert cols.tolist() == [2, 4, 20]
+    # value column skipped (real field)
+    rows, cols = native.parse_pairs(b"1 2 3.5e-2\n4 5 -1\n", 2, 3)
+    assert rows.tolist() == [1, 4] and cols.tolist() == [2, 5]
+
+
+def test_parse_pairs_malformed():
+    if native.lib() is None:
+        pytest.skip("no C toolchain")
+    with pytest.raises(ValueError):
+        native.parse_pairs(b"1 x\n", 1, 2)
+    with pytest.raises(ValueError):
+        native.parse_pairs(b"1 2\n", 5, 2)  # truncated
+
+
+def test_format_pairs():
+    if native.lib() is None:
+        pytest.skip("no C toolchain")
+    out = native.format_pairs(np.array([0, 2]), np.array([1, 9]))
+    assert out == b"1 2\n3 10\n"
+
+
+def test_roundtrip_native_vs_fallback(tmp_path):
+    m = BCSR.random(500, 500, 3.0, seed=0)
+    p1 = tmp_path / "n.mtx"
+    write_pattern(p1, m)
+    a = read_pattern(p1, transpose=False)
+    # force the numpy fallback and compare byte-identical semantics
+    old_lib, old_tried = native._lib, native._tried
+    try:
+        native._lib, native._tried = None, True
+        b = read_pattern(p1, transpose=False)
+    finally:
+        native._lib, native._tried = old_lib, old_tried
+    assert a.equals(b) and a.equals(m)
