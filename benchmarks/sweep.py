@@ -1,0 +1,106 @@
+"""Benchmark sweep over the BASELINE.json config grid.
+
+Runs C = A·A on a set of (n, d) random-pattern configs (the reference's
+experiment grid, report §3 / Matlab/write_spm.m) plus a blocked-structure
+config for the MXU path, and appends one JSON line per config to
+``benchmarks/results.jsonl`` — the machine-readable sweep log the reference's
+one-CSV-line-per-run protocol was designed for (README.md:19-21).
+
+Usage:  python benchmarks/sweep.py [--times N] [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CONFIGS = [
+    # (name, n, d)
+    ("validity-class", 50_000, 0.5),
+    ("mid-64k-d16", 1 << 16, 16.0),
+    ("mid-256k-d16", 1 << 18, 16.0),
+    ("large-1m-d8", 1 << 20, 8.0),
+    ("hypersparse-5m-d2", 5_000_000, 2.0),
+]
+QUICK = [("validity-class", 50_000, 0.5), ("mid-64k-d16", 1 << 16, 16.0)]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--times", type=int, default=3)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--out",
+        default=os.path.join(os.path.dirname(__file__), "results.jsonl"),
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from binary_spgemm_tpu import BCSR
+    from binary_spgemm_tpu.ops.spgemm import SpGEMMExecutor, spgemm_flops
+    from binary_spgemm_tpu.utils.trace import roofline
+
+    dev = jax.devices()[0]
+    configs = QUICK if args.quick else CONFIGS
+    with open(args.out, "a") as f:
+        for name, n, d in configs:
+            a = BCSR.random(n, n, d, seed=7)
+            flops = spgemm_flops(a, a)
+            ex = SpGEMMExecutor(a, a)
+
+            def sync(o):
+                np.asarray(o[-1][2])
+
+            t0 = time.perf_counter()
+            out = ex.run()
+            sync(out)
+            compile_s = time.perf_counter() - t0
+            ts = []
+            for _ in range(args.times):
+                t0 = time.perf_counter()
+                out = ex.run()
+                sync(out)
+                ts.append(time.perf_counter() - t0)
+            c = ex.assemble(out)
+            sp = a.to_scipy()
+            t0 = time.perf_counter()
+            csp = sp @ sp
+            scipy_s = time.perf_counter() - t0
+            assert csp.nnz == c.nnz, (name, csp.nnz, c.nnz)
+            rec = {
+                "config": name,
+                "n": n,
+                "d": d,
+                "platform": dev.platform,
+                "input_nnz": a.nnz,
+                "output_nnz": c.nnz,
+                "flops": flops,
+                "chunks": len(ex.chunks),
+                "fastest_s": min(ts),
+                "mean_s": sum(ts) / len(ts),
+                "compile_or_cached_s": compile_s,
+                "scipy_s": scipy_s,
+                "speedup_vs_scipy": scipy_s / min(ts),
+                "output_nnz_per_s": c.nnz / min(ts),
+                "roofline": roofline(
+                    ex.flops_pad * len(ex.chunks), a.nnz, c.nnz, min(ts), dev
+                ),
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+            line = json.dumps(rec)
+            print(line, flush=True)
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -13,20 +13,27 @@ it is a two-pass expand–sort–compress (ESC) pipeline built from vectorised X
 primitives and Pallas kernels with static padded shapes.  See ARCHITECTURE.md.
 """
 from .formats.bcsr import BCSR, coo_to_csr_stable
+from .formats.bbcsr import BlockedBCSR
 from .io.mmio import read_pattern, write_pattern
-from .ops.spgemm import spgemm, spgemm_flops
+from .ops.spgemm import SpGEMMExecutor, spgemm, spgemm_flops
 from .ops.masked import masked_spgemm
 from .ops.union import spm_or
+from .ops.fused import spgemm_or
+from .ops.bsr import bsr_spgemm
 
 __all__ = [
     "BCSR",
+    "BlockedBCSR",
+    "SpGEMMExecutor",
     "coo_to_csr_stable",
     "read_pattern",
     "write_pattern",
     "spgemm",
     "spgemm_flops",
+    "spgemm_or",
     "masked_spgemm",
     "spm_or",
+    "bsr_spgemm",
 ]
 
 __version__ = "0.1.0"
