@@ -26,8 +26,11 @@ CONFIGS = [
     ("mid-64k-d16", 1 << 16, 16.0),
     ("mid-256k-d16", 1 << 18, 16.0),
     ("large-1m-d8", 1 << 20, 8.0),
-    ("hypersparse-5m-d2", 5_000_000, 2.0),
 ]
+# The reference's largest grid point.  Compiles take tens of minutes through
+# this environment's mandatory remote-compile tunnel (libtpu version mismatch
+# forbids local AOT), so it is opt-in; once cached it runs fast.
+FULL_EXTRA = [("hypersparse-5m-d2", 5_000_000, 2.0)]
 QUICK = [("validity-class", 50_000, 0.5), ("mid-64k-d16", 1 << 16, 16.0)]
 
 
@@ -35,6 +38,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--times", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--full", action="store_true", help="include slow-compile configs")
     ap.add_argument(
         "--out",
         default=os.path.join(os.path.dirname(__file__), "results.jsonl"),
@@ -51,7 +55,7 @@ def main() -> None:
     from binary_spgemm_tpu.utils.trace import roofline
 
     dev = jax.devices()[0]
-    configs = QUICK if args.quick else CONFIGS
+    configs = QUICK if args.quick else CONFIGS + (FULL_EXTRA if args.full else [])
     with open(args.out, "a") as f:
         for name, n, d in configs:
             a = BCSR.random(n, n, d, seed=7)

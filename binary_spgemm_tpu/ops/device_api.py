@@ -1,0 +1,60 @@
+"""Device-resident op entry points over :class:`DeviceBCSR`.
+
+For pipelines that keep matrices in HBM across many ops (iterated products,
+reachability closures, benchmark loops), these avoid the host round-trips of
+the convenience API in :mod:`.spgemm`:  inputs and outputs are DeviceBCSR with
+padded index arrays and traced nnz scalars; nothing syncs to the host.
+
+The output's ``indices`` array is padded to the flop bound of the product —
+call :meth:`DeviceBCSR.compact` (host sync) or feed it onward.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .spgemm import INT, DeviceBCSR, esc_spgemm, pad_bucket
+from .union import spm_or_padded
+
+__all__ = ["spgemm_device", "spm_or_device", "flops_bound_device"]
+
+
+def flops_bound_device(a: DeviceBCSR, b: DeviceBCSR) -> jax.Array:
+    """Traced Gustavson flop count of a·b (device scalar, no host sync).
+
+    int32, like the whole framework's index domain (must be < 2^31; the host
+    APIs enforce this via chunking/overflow guards).
+    """
+    valid = jnp.arange(a.indices.shape[0], dtype=INT) < a.nnz
+    acol = jnp.where(valid, a.indices, 0)
+    blen = b.indptr[acol + 1] - b.indptr[acol]
+    return jnp.sum(jnp.where(valid, blen, 0), dtype=INT)
+
+
+def spgemm_device(
+    a: DeviceBCSR, b: DeviceBCSR, *, flops_pad: int
+) -> DeviceBCSR:
+    """C = A·B structure entirely on device.
+
+    ``flops_pad`` must be a static upper bound on the Gustavson flop count
+    (e.g. from a previous :func:`flops_bound_device` sync, or an analytic
+    bound); the kernel output is padded to it.
+    """
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+    c_ptr, c_idx, nnz_c = esc_spgemm(
+        a.indptr, a.indices, a.nnz, b.indptr, b.indices,
+        n_cols=b.shape[1], flops_pad=flops_pad,
+    )
+    return DeviceBCSR(c_ptr, c_idx, nnz_c, (a.shape[0], b.shape[1]))
+
+
+def spm_or_device(a: DeviceBCSR, b: DeviceBCSR) -> DeviceBCSR:
+    """C = A OR B entirely on device."""
+    if tuple(a.shape) != tuple(b.shape):
+        raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
+    c_ptr, c_idx, nnz_c = spm_or_padded(
+        a.indptr, a.indices, a.nnz, b.indptr, b.indices, b.nnz,
+        n_cols=a.shape[1],
+    )
+    return DeviceBCSR(c_ptr, c_idx, nnz_c, tuple(a.shape))

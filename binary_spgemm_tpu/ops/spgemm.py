@@ -360,6 +360,14 @@ def uniform_chunk_plan(
     ~30% sort saving) — but only when that cap does not inflate the chunk count
     (each extra chunk costs a full dispatch, ~10 ms through the device tunnel).
     """
+    max_row_flops = int(rf.max()) if len(rf) else 0
+    if max_row_flops > np.iinfo(np.int32).max:
+        # a single output row's flop count must fit the kernel's int32 prefix
+        # sums (a chunk is never smaller than one row)
+        raise OverflowError(
+            f"row flop count {max_row_flops} exceeds int32; "
+            "int64 expansion is not implemented yet"
+        )
     total = int(rf.sum())
     if total <= chunk_flops:
         base = [(0, a.n_rows)]
@@ -413,6 +421,11 @@ def _stitch(chunks, rows_total, shape, run_chunk) -> BCSR:
         local = np.asarray(c_ptr[1 : r1 - r0 + 1], dtype=np.int64)
         indptr_parts.append(local + base)
         base += nnz_c
+    if base > np.iinfo(np.int32).max:
+        raise OverflowError(
+            f"output nnz {base} exceeds int32 row-pointer range; "
+            "int64 indptr support is not implemented yet"
+        )
     indptr = np.concatenate(indptr_parts)
     indices = (
         np.concatenate(index_parts) if index_parts else np.zeros(0, np.int32)

@@ -1,0 +1,83 @@
+"""Algebraic property tests — invariants the reference never tested formally."""
+import numpy as np
+import pytest
+
+from binary_spgemm_tpu import (
+    BCSR,
+    masked_spgemm,
+    spgemm,
+    spgemm_or,
+    spm_or,
+)
+from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_transpose_identity(seed):
+    # (A·B)^T == B^T · A^T
+    a = BCSR.random(120, 90, 3.0, seed=seed)
+    b = BCSR.random(90, 150, 3.0, seed=seed + 7)
+    lhs = spgemm(a, b).transpose().sum_duplicates()
+    rhs = spgemm(b.transpose(), a.transpose())
+    assert lhs.equals(rhs)
+
+
+def test_identity_multiply():
+    a = BCSR.random(80, 80, 3.0, seed=1)
+    eye = BCSR.from_dense(np.eye(80))
+    assert spgemm(eye, a).equals(a.sum_duplicates())
+    assert spgemm(a, eye).equals(a.sum_duplicates())
+
+
+def test_union_commutative_associative():
+    x = BCSR.random(60, 60, 2.0, seed=2)
+    y = BCSR.random(60, 60, 2.0, seed=3)
+    z = BCSR.random(60, 60, 2.0, seed=4)
+    assert spm_or(x, y).equals(spm_or(y, x))
+    assert spm_or(spm_or(x, y), z).equals(spm_or(x, spm_or(y, z)))
+
+
+def test_masked_subset_and_composition():
+    a = BCSR.random(100, 100, 4.0, seed=5)
+    f = BCSR.random(100, 100, 6.0, seed=6)
+    full = spgemm(a, a)
+    masked = masked_spgemm(f, a, a)
+    # C_masked == F AND C_full (set intersection)
+    inter = BCSR.from_dense(full.to_dense() & f.to_dense())
+    assert masked.equals(inter)
+
+
+def test_dor_is_union_of_product():
+    a = BCSR.random(90, 90, 3.0, seed=7)
+    d = BCSR.random(90, 90, 2.0, seed=8)
+    assert spgemm_or(d, a, a).equals(spm_or(d, spgemm(a, a)))
+
+
+def test_distributivity_over_union():
+    # A·(B OR C) == (A·B) OR (A·C) for boolean semiring
+    a = BCSR.random(70, 70, 3.0, seed=9)
+    b = BCSR.random(70, 70, 2.0, seed=10)
+    c = BCSR.random(70, 70, 2.0, seed=11)
+    lhs = spgemm(a, spm_or(b, c))
+    rhs = spm_or(spgemm(a, b), spgemm(a, c))
+    assert lhs.equals(rhs)
+
+
+def test_power_iteration_reachability():
+    # A^4 structure == ((A^2)^2) structure — composition consistency
+    a = BCSR.random(64, 64, 2.0, seed=12)
+    a2 = spgemm(a, a)
+    a4_a = spgemm(a2, a2)
+    a4_b = spgemm(spgemm(a, a2), a)
+    assert a4_a.equals(a4_b)
+    assert a4_a.equals(spgemm_oracle(a2, a2))
+
+
+def test_overflow_guard():
+    from binary_spgemm_tpu.ops.spgemm import uniform_chunk_plan
+
+    # a synthetic row-flop vector exceeding int32 must raise, not wrap
+    a = BCSR.random(4, 4, 1.0, seed=0)
+    rf = np.array([2**32, 1, 1, 1], dtype=np.int64)
+    with pytest.raises(OverflowError):
+        uniform_chunk_plan(a, rf, 1 << 25, 4)
