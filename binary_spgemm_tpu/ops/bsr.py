@@ -90,12 +90,33 @@ def _pair_matmul_accumulate(
     )
 
 
-def bsr_spgemm(a: BlockedBCSR, b: BlockedBCSR) -> BlockedBCSR:
-    """Blocked boolean SpGEMM: C = A·B structure over dense MXU tiles."""
+def bsr_spgemm(
+    a: BlockedBCSR,
+    b: BlockedBCSR,
+    *,
+    mask: BlockedBCSR | None = None,
+    backend: str = "auto",
+) -> BlockedBCSR:
+    """Blocked boolean SpGEMM: C = A·B structure over dense MXU tiles.
+
+    ``mask`` applies C = mask .* (A·B) block-wise (≡ ``BSpGEMM_d_masked``,
+    old/BSpGEMM.c:657-822): output blocks outside the mask's block structure
+    are dropped entirely, in-mask blocks are ANDed with the mask tile.
+
+    ``backend``: ``"pallas"`` — the grouped Pallas kernel
+    (:mod:`.pallas_bsr`; interpreted off-TPU); ``"xla"`` — batched
+    ``dot_general`` + ``segment_sum``; ``"auto"`` — pallas.
+    """
+    if mask is not None and (
+        mask.block_size != a.block_size or mask.shape != (a.shape[0], b.shape[1])
+    ):
+        raise ValueError("mask must share block size and product shape")
     if a.block_size != b.block_size:
         raise ValueError("block sizes must match")
     if a.structure.n_cols != b.structure.n_rows:
         raise ValueError(f"block shape mismatch: {a.shape} @ {b.shape}")
+    if backend not in ("auto", "pallas", "xla"):
+        raise ValueError(f"unknown backend {backend!r}")
     bs = a.block_size
     shape = (a.shape[0], b.shape[1])
     ka, kb, seg, obr, obc = block_pairs(a, b)
@@ -110,25 +131,67 @@ def bsr_spgemm(a: BlockedBCSR, b: BlockedBCSR) -> BlockedBCSR:
 
     a_dev = jnp.asarray(a.blocks, jnp.bfloat16)
     b_dev = jnp.asarray(b.blocks, jnp.bfloat16)
-    # +1 guarantees a scratch segment: padded tail pairs accumulate there and
-    # are discarded, keeping every chunk the same shape (one compile).
-    n_out_pad = pad_bucket(n_out + 1, minimum=2)
-    acc = jnp.zeros((n_out_pad, bs, bs), jnp.float32)
     npairs = len(ka)
-    for p0 in range(0, npairs, PAIR_CHUNK):
-        chunk = slice(p0, min(p0 + PAIR_CHUNK, npairs))
-        cka = np.zeros(PAIR_CHUNK, np.int32)
-        ckb = np.zeros(PAIR_CHUNK, np.int32)
-        cseg = np.full(PAIR_CHUNK, n_out_pad - 1, np.int32)
-        w = chunk.stop - chunk.start
-        cka[:w], ckb[:w] = ka[chunk], kb[chunk]
-        cseg[:w] = seg[chunk]
-        acc = _pair_matmul_accumulate(
-            a_dev, b_dev,
-            jnp.asarray(cka), jnp.asarray(ckb), jnp.asarray(cseg),
-            acc, n_out=n_out_pad,
+
+    if backend in ("auto", "pallas"):
+        from .pallas_bsr import grouped_block_matmul
+
+        # pad the pair list to a bucket; tail pairs write a scratch block
+        # (segment n_out) that is dropped, keeping one compile per bucket
+        npairs_pad = pad_bucket(npairs, minimum=1)
+        seg_p = np.full(npairs_pad, n_out, np.int32)
+        ka_p = np.zeros(npairs_pad, np.int32)
+        kb_p = np.zeros(npairs_pad, np.int32)
+        seg_p[:npairs] = seg
+        ka_p[:npairs] = ka
+        kb_p[:npairs] = kb
+        first = np.zeros(npairs_pad, np.int32)
+        first[0] = 1
+        first[1:npairs] = (np.diff(seg) != 0).astype(np.int32)
+        if npairs < npairs_pad:
+            first[npairs] = 1  # init the scratch block
+        counts = grouped_block_matmul(
+            jnp.asarray(seg_p), jnp.asarray(ka_p), jnp.asarray(kb_p),
+            jnp.asarray(first), a_dev, b_dev,
+            n_out=n_out + 1,
+            interpret=jax.default_backend() != "tpu",
         )
-    blocks = (np.asarray(acc[:n_out]) > 0).astype(np.uint8)
+        blocks = (np.asarray(counts[:n_out]) > 0).astype(np.uint8)
+    else:
+        # +1 guarantees a scratch segment: padded tail pairs accumulate there
+        # and are discarded, keeping every chunk the same shape (one compile).
+        n_out_pad = pad_bucket(n_out + 1, minimum=2)
+        acc = jnp.zeros((n_out_pad, bs, bs), jnp.float32)
+        for p0 in range(0, npairs, PAIR_CHUNK):
+            chunk = slice(p0, min(p0 + PAIR_CHUNK, npairs))
+            cka = np.zeros(PAIR_CHUNK, np.int32)
+            ckb = np.zeros(PAIR_CHUNK, np.int32)
+            cseg = np.full(PAIR_CHUNK, n_out_pad - 1, np.int32)
+            w = chunk.stop - chunk.start
+            cka[:w], ckb[:w] = ka[chunk], kb[chunk]
+            cseg[:w] = seg[chunk]
+            acc = _pair_matmul_accumulate(
+                a_dev, b_dev,
+                jnp.asarray(cka), jnp.asarray(ckb), jnp.asarray(cseg),
+                acc, n_out=n_out_pad,
+            )
+        blocks = (np.asarray(acc[:n_out]) > 0).astype(np.uint8)
+
+    if mask is not None:
+        # block-wise AND with the mask: match output blocks to mask blocks by
+        # block coordinate; unmatched output blocks vanish
+        n_bcols = b.structure.n_cols
+        mrow, mcol = mask.structure.to_coo()
+        mkeys = mrow * np.int64(n_bcols) + mcol
+        okeys = obr * np.int64(n_bcols) + obc
+        if len(mkeys) == 0:
+            blocks = np.zeros_like(blocks)
+        else:
+            pos_c = np.minimum(np.searchsorted(mkeys, okeys), len(mkeys) - 1)
+            inmask = mkeys[pos_c] == okeys
+            blocks = np.where(
+                inmask[:, None, None], blocks & mask.blocks[pos_c], 0
+            ).astype(np.uint8)
 
     # drop all-zero output blocks (a structural block pair can yield no bits)
     nonzero = blocks.reshape(n_out, -1).any(axis=1)

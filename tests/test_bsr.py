@@ -80,3 +80,44 @@ def test_bsr_many_pairs_chunking():
     assert len(ka) > bsr_mod.PAIR_CHUNK
     c = bsr_spgemm(ab, ab)
     assert c.to_bcsr().equals(spgemm_oracle(a, a))
+
+
+@pytest.mark.parametrize("backend", ["pallas", "xla"])
+def test_backends_agree(backend):
+    a = blocked_matrix(256, 64, 2, seed=11)
+    ab = BlockedBCSR.from_bcsr(a, 64)
+    c = bsr_spgemm(ab, ab, backend=backend)
+    assert c.to_bcsr().equals(spgemm_oracle(a, a))
+
+
+def test_backend_validation():
+    a = blocked_matrix(128, 64, 1, seed=12)
+    ab = BlockedBCSR.from_bcsr(a, 64)
+    with pytest.raises(ValueError):
+        bsr_spgemm(ab, ab, backend="cuda")
+
+
+def test_bsr_masked():
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle
+    a = blocked_matrix(256, 64, 2, seed=20)
+    f = blocked_matrix(256, 64, 3, seed=21)
+    ab = BlockedBCSR.from_bcsr(a, 64)
+    fb = BlockedBCSR.from_bcsr(f, 64)
+    c = bsr_spgemm(ab, ab, mask=fb)
+    assert c.to_bcsr().equals(masked_spgemm_oracle(f, a, a))
+
+
+def test_bsr_masked_empty_mask():
+    a = blocked_matrix(128, 64, 2, seed=22)
+    ab = BlockedBCSR.from_bcsr(a, 64)
+    empty = BlockedBCSR.from_bcsr(BCSR.from_dense(np.zeros((128, 128))), 64)
+    c = bsr_spgemm(ab, ab, mask=empty)
+    assert c.to_bcsr().nnz == 0
+
+
+def test_bsr_masked_shape_check():
+    a = blocked_matrix(128, 64, 1, seed=23)
+    ab = BlockedBCSR.from_bcsr(a, 64)
+    wrong = BlockedBCSR.from_bcsr(BCSR.from_dense(np.zeros((128, 128))), 32)
+    with pytest.raises(ValueError):
+        bsr_spgemm(ab, ab, mask=wrong)
