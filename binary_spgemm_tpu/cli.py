@@ -21,8 +21,6 @@ import argparse
 import json
 import sys
 
-import numpy as np
-
 from .formats.bcsr import BCSR
 from .io.mmio import read_pattern, write_pattern
 from .ops.spgemm import DEFAULT_CHUNK_FLOPS, spgemm, spgemm_flops

@@ -21,7 +21,7 @@ import dataclasses
 
 import numpy as np
 
-from .bcsr import BCSR, INDEX_DTYPE
+from .bcsr import BCSR
 
 __all__ = ["BlockedBCSR"]
 

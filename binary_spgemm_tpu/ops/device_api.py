@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .spgemm import INT, DeviceBCSR, esc_spgemm, pad_bucket
+from .spgemm import INT, DeviceBCSR, esc_spgemm
 from .union import spm_or_padded
 
 __all__ = ["spgemm_device", "spm_or_device", "flops_bound_device"]

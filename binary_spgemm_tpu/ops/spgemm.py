@@ -10,16 +10,16 @@ output shapes.
 The TPU-native formulation used here is ESC (expansion–sorting–compression):
 
 1. **Expand** every A-nonzero (i, j) into the candidate pairs {(i, k) : k ∈ B(j,:)}.
-   This is a flat, fully vectorised gather: per-A-nonzero B-row lengths → prefix sum
-   → slot-ownership via a scatter + cumulative-max scan → one gather from
-   B's indices.  Total slots = Gustavson flop count.
-2. **Sort** the (row, col) pairs with a two-key ``lax.sort`` — XLA's sort is wide
-   vector code on the VPU, replacing both the SPA's dedup *and* the reference's
-   per-row quicksort (final/SpGEMM_mpi_omp.c:47) in one pass.
-3. **Compress**: adjacent-duplicate masking + prefix sum + unique-index scatter
-   yield the compacted, ascending-column CSR of C; row pointers come from a
-   searchsorted over the compacted row ids (the two-pass symbolic/numeric
-   replacement for the reference's realloc growth at :28-31).
+   Fully vectorised: per-A-nonzero B-row lengths → prefix sum → per-slot index
+   streams built by scatter-add + cumsum / scatter-max + cummax (see
+   ``expand_pairs``) → one gather from B's indices.  Slots = Gustavson flops.
+2. **Sort** the (row, col) pairs with one unstable ``lax.sort`` — packed into a
+   single int32 key when shapes allow — replacing both the SPA's dedup *and*
+   the reference's per-row quicksort (final/SpGEMM_mpi_omp.c:47) in one pass.
+3. **Compress**: adjacent-duplicate masking, compaction by re-sorting with
+   duplicates demoted to sentinels (a vector sort beats an element scatter on
+   TPU), then a searchsorted for row pointers — the two-pass symbolic/numeric
+   replacement for the reference's realloc growth at :28-31.
 
 Everything runs under ``jit`` with **static padded shapes**: the flop count is
 computed host-side (one vectorised gather), rounded up to a bucket, and the padded
@@ -32,7 +32,6 @@ column indices per row; exclusive row pointers.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -221,6 +220,8 @@ def expand_pairs(
     *,
     n_cols: int,
     flops_pad: int,
+    b_row_starts: jax.Array | None = None,
+    b_row_lens: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """ESC expansion: all candidate (row, col) pairs of C = A·B, padded to
     ``flops_pad`` with (n_rows, n_cols) sentinels.
@@ -238,6 +239,12 @@ def expand_pairs(
 
     The only remaining per-slot gather is the unavoidable data fetch
     ``b_indices[bidx]``.
+
+    ``b_row_starts``/``b_row_lens`` (optional) generalise B's row addressing
+    beyond classic CSR: row j of B occupies
+    ``b_indices[b_row_starts[j] : b_row_starts[j] + b_row_lens[j]]``.  Used by
+    the sharded-B distributed path, whose all-gathered B carries per-shard
+    padding gaps; ``b_indptr`` is ignored when they are given.
     """
     nnz_pad = a_indices.shape[0]
     n_rows = a_indptr.shape[0] - 1
@@ -245,8 +252,12 @@ def expand_pairs(
     ar = jnp.arange(nnz_pad, dtype=INT)
     valid_a = ar < a_nnz
     acol = jnp.where(valid_a, a_indices, 0)
-    bstart = b_indptr[acol]
-    blen = jnp.where(valid_a, b_indptr[acol + 1] - bstart, 0)
+    if b_row_starts is not None:
+        bstart = b_row_starts[acol]
+        blen = jnp.where(valid_a, b_row_lens[acol], 0)
+    else:
+        bstart = b_indptr[acol]
+        blen = jnp.where(valid_a, b_indptr[acol + 1] - bstart, 0)
     cum = jnp.cumsum(blen, dtype=INT)
     total = cum[-1]
     offs = cum - blen

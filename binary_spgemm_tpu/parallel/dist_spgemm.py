@@ -36,10 +36,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..formats.bcsr import BCSR
-from ..ops.spgemm import INT, esc_spgemm, pad_bucket, row_flops
+from ..ops.spgemm import (
+    INT,
+    esc_spgemm,
+    expand_pairs,
+    pad_bucket,
+    row_flops,
+    sort_compress,
+)
 from .mesh import ROWS_AXIS, make_row_mesh, partition_rows
 
-__all__ = ["ShardedOperands", "dist_spgemm", "dist_spgemm_sharded", "shard_operands"]
+__all__ = [
+    "ShardedOperands",
+    "dist_spgemm",
+    "dist_spgemm_sharded",
+    "dist_spgemm_sharded_b",
+    "shard_operands",
+    "shard_b_operands",
+]
 
 
 @dataclasses.dataclass
@@ -161,14 +175,109 @@ def dist_spgemm_sharded(
     )(a_ptr, a_idx, a_nnz, b_ptr, b_idx)
 
 
+def shard_b_operands(
+    b: BCSR, mesh: Mesh
+) -> tuple[jax.Array, jax.Array, int]:
+    """Row-shard B across the mesh: stacked shard-local row pointers
+    ``[S, m_per+1]`` and padded indices ``[S, b_pad]`` (trailing shard rows
+    beyond ``m`` are empty).  Returns ``(b_ptr_sh, b_idx_sh, m_per)``.
+    """
+    n_shards = mesh.devices.size
+    m = b.n_rows
+    m_per = -(-m // n_shards)
+    b_pad = pad_bucket(
+        max(
+            int(b.indptr[min((s + 1) * m_per, m)] - b.indptr[min(s * m_per, m)])
+            for s in range(n_shards)
+        ),
+        minimum=1,
+    )
+    ptrs = np.zeros((n_shards, m_per + 1), np.int32)
+    idxs = np.zeros((n_shards, b_pad), np.int32)
+    for s in range(n_shards):
+        r0, r1 = min(s * m_per, m), min((s + 1) * m_per, m)
+        nnz_local = int(b.indptr[r1] - b.indptr[r0])
+        ptrs[s, : r1 - r0 + 1] = b.indptr[r0 : r1 + 1] - b.indptr[r0]
+        ptrs[s, r1 - r0 + 1 :] = nnz_local
+        idxs[s, :nnz_local] = b.indices[b.indptr[r0] : b.indptr[r1]]
+    shard = NamedSharding(mesh, P(ROWS_AXIS))
+    return (
+        jax.device_put(ptrs, shard),
+        jax.device_put(idxs, shard),
+        m_per,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "n_cols", "flops_pad")
+)
+def dist_spgemm_sharded_b(
+    a_ptr: jax.Array,
+    a_idx: jax.Array,
+    a_nnz: jax.Array,
+    b_ptr_sh: jax.Array,  # [S, m_per+1] shard-local B row pointers (sharded)
+    b_idx_sh: jax.Array,  # [S, b_pad]   shard-local B indices (sharded)
+    *,
+    mesh: Mesh,
+    n_cols: int,
+    flops_pad: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """SPMD step with **B row-sharded** instead of replicated.
+
+    Each shard all-gathers B's index shards over ICI and addresses the gathered
+    (gap-padded) layout via generalized row starts/lengths — the memory-scalable
+    improvement over the reference's every-rank-reads-everything ingest
+    (final/SpGEMM_mpi_omp.c:309): per-device B memory is nnz(B)/S until the
+    gather, and the gather is an XLA collective riding ICI, not a file re-read.
+    """
+
+    def shard_fn(a_ptr, a_idx, a_nnz, b_ptr, b_idx):
+        b_pad = b_idx.shape[1]
+        m_per = b_ptr.shape[1] - 1
+        g_idx = jax.lax.all_gather(b_idx[0], ROWS_AXIS)  # [S, b_pad]
+        g_ptr = jax.lax.all_gather(b_ptr[0], ROWS_AXIS)  # [S, m_per+1]
+        n_sh = g_idx.shape[0]
+        shard_base = (jnp.arange(n_sh, dtype=INT) * b_pad)[:, None]
+        starts = (g_ptr[:, :-1] + shard_base).reshape(-1)  # [S*m_per]
+        lens = (g_ptr[:, 1:] - g_ptr[:, :-1]).reshape(-1)
+        b_flat = g_idx.reshape(-1)
+        n_rows = a_ptr.shape[1] - 1
+        row, col = expand_pairs(
+            a_ptr[0], a_idx[0], a_nnz[0, 0], None, b_flat,
+            n_cols=n_cols, flops_pad=flops_pad,
+            b_row_starts=starts, b_row_lens=lens,
+        )
+        c_ptr, c_idx, nnz_c = sort_compress(row, col, n_rows, n_cols)
+        total = jax.lax.psum(nnz_c, ROWS_AXIS)
+        counts = jax.lax.all_gather(nnz_c, ROWS_AXIS)
+        me = jax.lax.axis_index(ROWS_AXIS)
+        offset = jnp.sum(
+            jnp.where(jnp.arange(counts.shape[0], dtype=INT) < me, counts, 0),
+            dtype=INT,
+        )
+        return (c_ptr + offset)[None], c_idx[None], nnz_c[None, None], total
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS)),
+        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P()),
+    )(a_ptr, a_idx, a_nnz, b_ptr_sh, b_idx_sh)
+
+
 def dist_spgemm(
     a: BCSR,
     b: BCSR,
     mesh: Mesh | None = None,
     *,
     balance: str = "flops",
+    b_layout: str = "replicated",
 ) -> BCSR:
     """Multi-chip C = A·B: shard, run the SPMD step, assemble on host.
+
+    ``b_layout``: ``"replicated"`` keeps the full B on every device (the
+    reference's semantics); ``"sharded"`` row-shards B and all-gathers it
+    inside the SPMD step (1/S device memory for B until the gather).
 
     The host assembly is the analogue of the reference's gather-to-root; on a
     real pod the sharded outputs can instead stay device-resident for further
@@ -176,14 +285,23 @@ def dist_spgemm(
     """
     if a.n_cols != b.n_rows:
         raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+    if b_layout not in ("replicated", "sharded"):
+        raise ValueError(f"unknown b_layout {b_layout!r}")
     n, m = a.n_rows, b.n_cols
     if a.nnz == 0 or b.nnz == 0:
         return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
     ops = shard_operands(a, b, mesh, balance=balance)
-    c_ptr, c_idx, nnz_sh, total = dist_spgemm_sharded(
-        ops.a_ptr, ops.a_idx, ops.a_nnz, ops.b_ptr, ops.b_idx,
-        mesh=ops.mesh, n_cols=m, flops_pad=ops.flops_pad,
-    )
+    if b_layout == "sharded":
+        b_ptr_sh, b_idx_sh, _ = shard_b_operands(b, ops.mesh)
+        c_ptr, c_idx, nnz_sh, total = dist_spgemm_sharded_b(
+            ops.a_ptr, ops.a_idx, ops.a_nnz, b_ptr_sh, b_idx_sh,
+            mesh=ops.mesh, n_cols=m, flops_pad=ops.flops_pad,
+        )
+    else:
+        c_ptr, c_idx, nnz_sh, total = dist_spgemm_sharded(
+            ops.a_ptr, ops.a_idx, ops.a_nnz, ops.b_ptr, ops.b_idx,
+            mesh=ops.mesh, n_cols=m, flops_pad=ops.flops_pad,
+        )
     c_ptr = np.asarray(c_ptr)
     c_idx = np.asarray(c_idx)
     nnz_sh = np.asarray(nnz_sh)[:, 0]

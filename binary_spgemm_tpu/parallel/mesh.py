@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 __all__ = ["make_row_mesh", "partition_rows", "ROWS_AXIS"]
 

@@ -1,6 +1,5 @@
 import json
 
-import numpy as np
 import pytest
 
 from binary_spgemm_tpu import BCSR, write_pattern

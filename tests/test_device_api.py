@@ -1,5 +1,4 @@
 import jax
-import numpy as np
 
 from binary_spgemm_tpu import BCSR
 from binary_spgemm_tpu.ops.spgemm import DeviceBCSR, pad_bucket, spgemm_flops

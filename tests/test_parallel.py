@@ -83,3 +83,27 @@ def test_dist_small_mesh():
     mesh = make_row_mesh(2)
     c = dist_spgemm(a, a, mesh)
     assert c.equals(spgemm_oracle(a, a))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_sharded_b_layout(seed):
+    # B row-sharded + in-SPMD all_gather must match the replicated layout
+    a = BCSR.random(400, 400, 4.0, seed=seed)
+    mesh = make_row_mesh()
+    c_repl = dist_spgemm(a, a, mesh, b_layout="replicated")
+    c_shard = dist_spgemm(a, a, mesh, b_layout="sharded")
+    assert c_shard.equals(c_repl)
+    assert c_shard.equals(spgemm_oracle(a, a))
+
+
+def test_sharded_b_rectangular_nondivisible():
+    a = BCSR.random(301, 203, 3.0, seed=5)
+    b = BCSR.random(203, 157, 2.0, seed=6)
+    c = dist_spgemm(a, b, make_row_mesh(), b_layout="sharded")
+    assert c.equals(spgemm_oracle(a, b))
+
+
+def test_bad_b_layout():
+    a = BCSR.random(16, 16, 1.0, seed=0)
+    with pytest.raises(ValueError):
+        dist_spgemm(a, a, make_row_mesh(), b_layout="scattered")

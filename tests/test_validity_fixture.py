@@ -8,8 +8,6 @@ the 8-device mesh AND serially, bit-compare both and the scipy oracle.
 """
 import os
 
-import numpy as np
-
 from binary_spgemm_tpu import read_pattern, spgemm
 from binary_spgemm_tpu.parallel.dist_spgemm import dist_spgemm
 from binary_spgemm_tpu.parallel.mesh import make_row_mesh
