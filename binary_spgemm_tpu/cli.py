@@ -38,6 +38,16 @@ def _block_until_ready():
 
 
 def cmd_bench(args) -> int:
+    if getattr(args, "sweep", None):
+        for value in args.sweep.split(","):
+            sub_args = argparse.Namespace(**vars(args))
+            sub_args.sweep = None
+            sub_args.chunk_flops = int(value)
+            rc = cmd_bench(sub_args)
+            if rc:
+                return rc
+        return 0
+
     import jax
 
     a = _load(args.path, args.transpose)
@@ -162,6 +172,12 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bench", parents=[common], help="time C = A*A")
     b.add_argument("--times", type=int, default=5, help="repeat count")
     b.add_argument("--json", action="store_true", help="also print a JSON record")
+    b.add_argument(
+        "--sweep",
+        default=None,
+        help="comma-separated chunk-flops values to sweep (one CSV line each; "
+        "≡ the reference's tBlock blocksize sweep)",
+    )
     b.set_defaults(fn=cmd_bench)
 
     v = sub.add_parser(

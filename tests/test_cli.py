@@ -52,3 +52,13 @@ def test_bench_rejects_rectangular(tmp_path, capsys):
 
 def test_validate_rows_balance(mtx):
     assert main(["validate", mtx, "--balance", "rows", "--devices", "2"]) == 0
+
+
+def test_bench_blocksize_sweep(mtx, capsys):
+    assert main(["bench", mtx, "--times", "1", "--sweep", "4096,16384"]) == 0
+    lines = [
+        l for l in capsys.readouterr().out.strip().splitlines() if "," in l
+    ]
+    assert len(lines) == 2
+    assert lines[0].split(",")[3] == "4096"
+    assert lines[1].split(",")[3] == "16384"

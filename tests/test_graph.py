@@ -1,0 +1,68 @@
+import numpy as np
+import pytest
+
+from binary_spgemm_tpu import BCSR
+from binary_spgemm_tpu.ops.graph import (
+    k_hop,
+    transitive_closure,
+    triangle_count,
+    triangle_structure,
+)
+from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+
+def ring(n):
+    rows = np.arange(n)
+    cols = (rows + 1) % n
+    return BCSR.from_coo(rows, cols, (n, n))
+
+
+def test_k_hop_ring():
+    a = ring(10)
+    for k in (1, 2, 3, 7):
+        hk = k_hop(a, k)
+        dense = np.zeros((10, 10), bool)
+        dense[np.arange(10), (np.arange(10) + k) % 10] = True
+        np.testing.assert_array_equal(hk.to_dense(), dense)
+
+
+def test_k_hop_matches_iterated_oracle():
+    a = BCSR.random(80, 80, 2.0, seed=1)
+    c = spgemm_oracle(a, a)
+    c3 = spgemm_oracle(c, a)
+    assert k_hop(a, 3).equals(c3)
+    with pytest.raises(ValueError):
+        k_hop(a, 0)
+
+
+def test_transitive_closure_ring():
+    a = ring(8)
+    tc = transitive_closure(a)
+    # every node reaches every node (including itself via the full cycle)
+    assert tc.nnz == 64
+
+
+def test_transitive_closure_dag():
+    # path graph 0->1->2->3: closure = strict upper triangle
+    rows, cols = np.array([0, 1, 2]), np.array([1, 2, 3])
+    a = BCSR.from_coo(rows, cols, (4, 4))
+    tc = transitive_closure(a)
+    expected = np.triu(np.ones((4, 4), bool), 1)
+    np.testing.assert_array_equal(tc.to_dense(), expected)
+
+
+def test_triangle_structure_and_count():
+    # K4: every edge is in a triangle; 4 triangles
+    dense = ~np.eye(4, dtype=bool)
+    a = BCSR.from_dense(dense)
+    ts = triangle_structure(a)
+    np.testing.assert_array_equal(ts.to_dense(), dense)
+    assert triangle_count(a) == 4
+
+    # square (4-cycle): no triangles
+    sq = np.zeros((4, 4), bool)
+    for i in range(4):
+        sq[i, (i + 1) % 4] = sq[(i + 1) % 4, i] = True
+    b = BCSR.from_dense(sq)
+    assert triangle_structure(b).nnz == 0
+    assert triangle_count(b) == 0
