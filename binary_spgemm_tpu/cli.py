@@ -63,7 +63,9 @@ def cmd_bench(args) -> int:
         mesh = make_row_mesh(n_devices)
 
         def run():
-            return dist_spgemm(a, a, mesh, balance=args.balance)
+            return dist_spgemm(
+                a, a, mesh, balance=args.balance, b_layout=args.b_layout
+            )
 
     else:
 
@@ -110,7 +112,9 @@ def cmd_validate(args) -> int:
     from .utils.oracle import spgemm_oracle
 
     mesh = make_row_mesh(args.devices) if args.devices else make_row_mesh()
-    c_par = dist_spgemm(a, a, mesh, balance=args.balance)
+    c_par = dist_spgemm(
+        a, a, mesh, balance=args.balance, b_layout=args.b_layout
+    )
     c_ser = spgemm(a, a, chunk_flops=args.chunk_flops)
     ok = c_par.equals(c_ser)
     oracle_ok = True
@@ -167,6 +171,12 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["flops", "rows"],
         default="flops",
         help="row partition strategy (rows = reference parity)",
+    )
+    common.add_argument(
+        "--b-layout",
+        choices=["replicated", "sharded"],
+        default="replicated",
+        help="B operand layout on the mesh (replicated = reference parity)",
     )
 
     b = sub.add_parser("bench", parents=[common], help="time C = A*A")

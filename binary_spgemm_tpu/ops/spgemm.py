@@ -60,17 +60,19 @@ DEFAULT_CHUNK_FLOPS = 1 << 25
 
 
 def pad_bucket(n: int, minimum: int = 8) -> int:
-    """Round up to the next half-octave bucket (2^k or 1.5·2^k).
+    """Round up to the next sixteenth-octave bucket (multiples of 2^(k-4)
+    within each power-of-two octave).
 
-    Compile-cache-friendly padding with ≤33% waste: pure power-of-two buckets
-    cost up to 2× in sort/scan work right above a boundary (measured 0.60 s vs
-    0.29 s for flops just over 2^24), which is worse than doubling the number
-    of cached kernel shapes.
+    Compile-cache-friendly padding with ≤~12.5% waste.  Pure power-of-two
+    buckets cost up to 2× in sort/scan work right above a boundary — and the
+    natural benchmark shapes (n, d powers of two ⇒ flops ≈ n·d²) sit *exactly*
+    there (measured 0.60 s vs 0.29 s for flops 0.02% over 2^24).  ≤16 cached
+    kernel shapes per octave is cheap next to that.
     """
     n = max(int(n), minimum)
     p = 1 << (n - 1).bit_length()  # smallest power of two ≥ n
-    half = (p // 2) + (p // 4)  # 1.5 · 2^(k-1)
-    return half if half >= n else p
+    step = max(p // 16, 1)
+    return ((n + step - 1) // step) * step
 
 
 # ---------------------------------------------------------------------------------

@@ -62,3 +62,7 @@ def test_bench_blocksize_sweep(mtx, capsys):
     assert len(lines) == 2
     assert lines[0].split(",")[3] == "4096"
     assert lines[1].split(",")[3] == "16384"
+
+
+def test_validate_sharded_b(mtx):
+    assert main(["validate", mtx, "--devices", "4", "--b-layout", "sharded"]) == 0
