@@ -21,11 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 CONFIGS = [
-    # (name, n, d)
+    # (name, n, d[, kind])  kind: "uniform" (sprand-class) | "rmat" (power-law
+    # graph, the SuiteSparse web/social stand-in — BASELINE config 3)
     ("validity-class", 50_000, 0.5),
     ("mid-64k-d16", 1 << 16, 16.0),
     ("mid-256k-d16", 1 << 18, 16.0),
     ("large-1m-d8", 1 << 20, 8.0),
+    ("rmat-s18-e8", 1 << 18, 8.0, "rmat"),
 ]
 # The reference's largest grid point.  Compiles take tens of minutes through
 # this environment's mandatory remote-compile tunnel (libtpu version mismatch
@@ -57,8 +59,13 @@ def main() -> None:
     dev = jax.devices()[0]
     configs = QUICK if args.quick else CONFIGS + (FULL_EXTRA if args.full else [])
     with open(args.out, "a") as f:
-        for name, n, d in configs:
-            a = BCSR.random(n, n, d, seed=7)
+        for cfg in configs:
+            name, n, d = cfg[:3]
+            kind = cfg[3] if len(cfg) > 3 else "uniform"
+            if kind == "rmat":
+                a = BCSR.rmat(n.bit_length() - 1, d, seed=7)
+            else:
+                a = BCSR.random(n, n, d, seed=7)
             flops = spgemm_flops(a, a)
             ex = SpGEMMExecutor(a, a)
 

@@ -132,12 +132,16 @@ def cmd_validate(args) -> int:
 
 
 def cmd_gen(args) -> int:
-    mat = BCSR.random(args.n, args.n, args.d, seed=args.seed)
-    write_pattern(
-        args.out,
-        mat,
-        comment=f"random pattern n={args.n} d={args.d} seed={args.seed}",
-    )
+    if args.rmat:
+        scale = args.n.bit_length() - 1
+        if (1 << scale) != args.n:
+            raise SystemExit("--rmat requires n to be a power of two")
+        mat = BCSR.rmat(scale, args.d, seed=args.seed)
+        comment = f"rmat pattern n={args.n} edge_factor={args.d} seed={args.seed}"
+    else:
+        mat = BCSR.random(args.n, args.n, args.d, seed=args.seed)
+        comment = f"random pattern n={args.n} d={args.d} seed={args.seed}"
+    write_pattern(args.out, mat, comment=comment)
     print(f"wrote {args.out}: n={args.n} nnz={mat.nnz}")
     return 0
 
@@ -174,9 +178,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     common.add_argument(
         "--b-layout",
-        choices=["replicated", "sharded"],
+        choices=["replicated", "sharded", "ring"],
         default="replicated",
-        help="B operand layout on the mesh (replicated = reference parity)",
+        help="B operand layout on the mesh (replicated = reference parity; "
+        "sharded = in-SPMD all-gather; ring = ppermute pipeline, O(nnz/S) mem)",
     )
 
     b = sub.add_parser("bench", parents=[common], help="time C = A*A")
@@ -203,6 +208,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("-n", type=int, required=True, help="matrix dimension")
     g.add_argument("-d", type=float, required=True, help="nnz per row")
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument(
+        "--rmat",
+        action="store_true",
+        help="power-law R-MAT graph instead of uniform Bernoulli "
+        "(SuiteSparse web/social-graph stand-in; n must be a power of two)",
+    )
     g.set_defaults(fn=cmd_gen)
     return p
 

@@ -140,6 +140,48 @@ class BCSR:
         cols = (lin % np.uint64(n_cols)).astype(np.int64)
         return cls.from_coo(rows, cols, (n_rows, n_cols))
 
+    @classmethod
+    def rmat(
+        cls,
+        scale: int,
+        edge_factor: float = 16.0,
+        *,
+        a: float = 0.57,
+        b: float = 0.19,
+        c: float = 0.19,
+        seed: int = 0,
+        symmetric: bool = False,
+    ) -> "BCSR":
+        """R-MAT power-law graph pattern (Chakrabarti et al., SDM'04): the
+        standard synthetic stand-in for SuiteSparse web/social graphs
+        (Graph500 defaults a=0.57, b=c=0.19).
+
+        ``2**scale`` vertices, ~``edge_factor`` edges per vertex; duplicates
+        merged.  The skewed degree distribution is exactly the load-imbalance
+        case the reference's equal-rows split handles badly
+        (old/SpGEMM_omp.c:264's ``schedule(dynamic)`` experiment) and our
+        flop-balanced partitioners are designed for.
+        """
+        n = 1 << scale
+        n_edges = int(edge_factor * n)
+        rng = np.random.default_rng(seed)
+        rows = np.zeros(n_edges, np.int64)
+        cols = np.zeros(n_edges, np.int64)
+        # per bit: quadrant probabilities (a, b, c, d), vectorised over edges
+        for level in range(scale):
+            u = rng.random(n_edges)
+            right = u >= (a + b)  # row bit set (quadrants c, d)
+            # P(col bit | row bit): b/(a+b) top, d/(c+d) bottom
+            d = 1.0 - a - b - c
+            p_col = np.where(right, d / max(c + d, 1e-12), b / max(a + b, 1e-12))
+            down = rng.random(n_edges) < p_col
+            rows |= right.astype(np.int64) << level
+            cols |= down.astype(np.int64) << level
+        if symmetric:
+            rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
+        mat = cls.from_coo(rows, cols, (n, n))
+        return mat.sum_duplicates()
+
     # -- conversions ---------------------------------------------------------------
     def to_scipy(self):
         import scipy.sparse as sp

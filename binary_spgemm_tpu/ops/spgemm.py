@@ -232,6 +232,7 @@ def expand_pairs(
     flops_pad: int,
     b_row_starts: jax.Array | None = None,
     b_row_lens: jax.Array | None = None,
+    b_col_base: jax.Array | int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """ESC expansion: all candidate (row, col) pairs of C = A·B, padded to
     ``flops_pad`` with (n_rows, n_cols) sentinels.
@@ -255,6 +256,13 @@ def expand_pairs(
     ``b_indices[b_row_starts[j] : b_row_starts[j] + b_row_lens[j]]``.  Used by
     the sharded-B distributed path, whose all-gathered B carries per-shard
     padding gaps; ``b_indptr`` is ignored when they are given.
+
+    ``b_col_base`` (optional, traced) shifts that addressing to a *window* of
+    B's rows: ``b_row_starts``/``b_row_lens`` describe global B rows
+    ``[b_col_base, b_col_base + len(b_row_lens))`` and A-entries whose column
+    falls outside the window expand to nothing.  This is what lets the
+    ring-pipelined distributed path expand against one in-flight B shard at a
+    time (see ``parallel/dist_spgemm.py::dist_spgemm_ring``).
     """
     nnz_pad = a_indices.shape[0]
     n_rows = a_indptr.shape[0] - 1
@@ -263,8 +271,12 @@ def expand_pairs(
     valid_a = ar < a_nnz
     acol = jnp.where(valid_a, a_indices, 0)
     if b_row_starts is not None:
-        bstart = b_row_starts[acol]
-        blen = jnp.where(valid_a, b_row_lens[acol], 0)
+        local = acol - b_col_base
+        n_local = b_row_lens.shape[0]
+        in_window = (local >= 0) & (local < n_local)
+        lidx = jnp.clip(local, 0, n_local - 1)
+        bstart = b_row_starts[lidx]
+        blen = jnp.where(valid_a & in_window, b_row_lens[lidx], 0)
     else:
         bstart = b_indptr[acol]
         blen = jnp.where(valid_a, b_indptr[acol + 1] - bstart, 0)

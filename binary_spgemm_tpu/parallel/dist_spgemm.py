@@ -51,6 +51,8 @@ __all__ = [
     "dist_spgemm",
     "dist_spgemm_sharded",
     "dist_spgemm_sharded_b",
+    "dist_spgemm_ring",
+    "ring_step_pad",
     "shard_operands",
     "shard_b_operands",
 ]
@@ -265,6 +267,121 @@ def dist_spgemm_sharded_b(
     )(a_ptr, a_idx, a_nnz, b_ptr_sh, b_idx_sh)
 
 
+def ring_step_pad(
+    a: BCSR, b: BCSR, bounds: np.ndarray, m_per: int, n_shards: int
+) -> int:
+    """Uniform per-(shard, step) expansion pad for the ring schedule.
+
+    Step t on shard s expands exactly the A-entries of shard s whose column
+    lies in B-shard ``(s - t) mod S``'s row range; the pad is the max flop
+    count over all (shard, B-shard) cells, bucket-rounded.
+    """
+    bl = np.diff(b.indptr).astype(np.int64)
+    per_entry = bl[a.indices] if a.nnz else np.zeros(0, np.int64)
+    rows = np.repeat(np.arange(a.n_rows), np.diff(a.indptr))
+    shard_of = np.searchsorted(bounds, rows, side="right") - 1
+    src_of = np.minimum(a.indices // m_per, n_shards - 1)
+    cell = np.bincount(
+        shard_of * n_shards + src_of,
+        weights=per_entry,
+        minlength=n_shards * n_shards,
+    )
+    step_max = int(cell.max()) if cell.size else 0
+    if step_max > np.iinfo(np.int32).max:
+        raise OverflowError(
+            f"ring step flop count {step_max} exceeds int32"
+        )
+    return pad_bucket(step_max, minimum=8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "n_cols", "m_per", "step_pad")
+)
+def dist_spgemm_ring(
+    a_ptr: jax.Array,
+    a_idx: jax.Array,
+    a_nnz: jax.Array,
+    b_ptr_sh: jax.Array,  # [S, m_per+1] shard-local B row pointers (sharded)
+    b_idx_sh: jax.Array,  # [S, b_pad]   shard-local B indices (sharded)
+    *,
+    mesh: Mesh,
+    n_cols: int,
+    m_per: int,
+    step_pad: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Ring-pipelined SPMD step: B stays sharded and **rotates** through the
+    mesh via ``lax.ppermute`` while each shard expands candidates against the
+    B shard it currently holds.
+
+    This is the collective-matmul pattern applied to SpGEMM — the TPU-native
+    fix for the two scaling gaps the reference measured and documented:
+
+    * its every-rank-reads-everything ingest (final/SpGEMM_mpi_omp.c:309) —
+      here per-device B memory stays ``O(nnz(B)/S)`` for the *whole* multiply
+      (the all-gather variant, ``dist_spgemm_sharded_b``, pays full ``nnz(B)``
+      after the gather);
+    * its compute-then-communicate structure with zero overlap (report §3's
+      multi-node slowdown) — here step t's expansion and the ppermute that
+      fetches step t+1's shard are independent, so XLA's scheduler overlaps
+      ICI transfer with compute.
+
+    One sort/compress over the concatenated per-step candidates finishes the
+    shard's rows; assembly matches ``dist_spgemm_sharded``.
+    """
+    n_shards = mesh.devices.size
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    flops_pad = step_pad * n_shards
+
+    def shard_fn(a_ptr, a_idx, a_nnz, b_ptr, b_idx):
+        me = jax.lax.axis_index(ROWS_AXIS)
+        n_rows = a_ptr.shape[1] - 1
+        # mark the per-shard candidate buffers as device-varying so the carry
+        # types match inside fori_loop under shard_map
+        row_buf = jax.lax.pcast(
+            jnp.full((flops_pad,), n_rows, INT), (ROWS_AXIS,), to="varying"
+        )
+        col_buf = jax.lax.pcast(
+            jnp.full((flops_pad,), n_cols, INT), (ROWS_AXIS,), to="varying"
+        )
+
+        def body(t, carry):
+            b_ptr_h, b_idx_h, row_buf, col_buf = carry
+            src = (me - t) % n_shards  # B shard currently held
+            row, col = expand_pairs(
+                a_ptr[0], a_idx[0], a_nnz[0, 0], None, b_idx_h,
+                n_cols=n_cols, flops_pad=step_pad,
+                b_row_starts=b_ptr_h[:-1],
+                b_row_lens=b_ptr_h[1:] - b_ptr_h[:-1],
+                b_col_base=src * m_per,
+            )
+            row_buf = jax.lax.dynamic_update_slice(row_buf, row, (t * step_pad,))
+            col_buf = jax.lax.dynamic_update_slice(col_buf, col, (t * step_pad,))
+            # pass the held shard to the right neighbour; receive from the left
+            b_ptr_h = jax.lax.ppermute(b_ptr_h, ROWS_AXIS, perm)
+            b_idx_h = jax.lax.ppermute(b_idx_h, ROWS_AXIS, perm)
+            return b_ptr_h, b_idx_h, row_buf, col_buf
+
+        _, _, row_buf, col_buf = jax.lax.fori_loop(
+            0, n_shards, body, (b_ptr[0], b_idx[0], row_buf, col_buf)
+        )
+        c_ptr, c_idx, nnz_c = sort_compress(row_buf, col_buf, n_rows, n_cols)
+        total = jax.lax.psum(nnz_c, ROWS_AXIS)
+        counts = jax.lax.all_gather(nnz_c, ROWS_AXIS)
+        me = jax.lax.axis_index(ROWS_AXIS)
+        offset = jnp.sum(
+            jnp.where(jnp.arange(counts.shape[0], dtype=INT) < me, counts, 0),
+            dtype=INT,
+        )
+        return (c_ptr + offset)[None], c_idx[None], nnz_c[None, None], total
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS)),
+        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P()),
+    )(a_ptr, a_idx, a_nnz, b_ptr_sh, b_idx_sh)
+
+
 def dist_spgemm(
     a: BCSR,
     b: BCSR,
@@ -277,7 +394,10 @@ def dist_spgemm(
 
     ``b_layout``: ``"replicated"`` keeps the full B on every device (the
     reference's semantics); ``"sharded"`` row-shards B and all-gathers it
-    inside the SPMD step (1/S device memory for B until the gather).
+    inside the SPMD step (1/S device memory for B until the gather);
+    ``"ring"`` row-shards B and rotates the shards through the mesh with
+    ``ppermute`` overlapped with expansion (O(nnz(B)/S) device memory
+    throughout — see :func:`dist_spgemm_ring`).
 
     The host assembly is the analogue of the reference's gather-to-root; on a
     real pod the sharded outputs can instead stay device-resident for further
@@ -285,13 +405,22 @@ def dist_spgemm(
     """
     if a.n_cols != b.n_rows:
         raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
-    if b_layout not in ("replicated", "sharded"):
+    if b_layout not in ("replicated", "sharded", "ring"):
         raise ValueError(f"unknown b_layout {b_layout!r}")
     n, m = a.n_rows, b.n_cols
     if a.nnz == 0 or b.nnz == 0:
         return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
     ops = shard_operands(a, b, mesh, balance=balance)
-    if b_layout == "sharded":
+    if b_layout == "ring":
+        b_ptr_sh, b_idx_sh, m_per = shard_b_operands(b, ops.mesh)
+        step_pad = ring_step_pad(
+            a, b, ops.bounds, m_per, ops.mesh.devices.size
+        )
+        c_ptr, c_idx, nnz_sh, total = dist_spgemm_ring(
+            ops.a_ptr, ops.a_idx, ops.a_nnz, b_ptr_sh, b_idx_sh,
+            mesh=ops.mesh, n_cols=m, m_per=m_per, step_pad=step_pad,
+        )
+    elif b_layout == "sharded":
         b_ptr_sh, b_idx_sh, _ = shard_b_operands(b, ops.mesh)
         c_ptr, c_idx, nnz_sh, total = dist_spgemm_sharded_b(
             ops.a_ptr, ops.a_idx, ops.a_nnz, b_ptr_sh, b_idx_sh,

@@ -66,3 +66,31 @@ def test_flops():
 def test_validation_errors():
     with pytest.raises(ValueError):
         BCSR(np.array([0, 1]), np.array([0, 1]), (1, 2))  # indptr end != nnz
+
+
+def test_rmat_generator():
+    a = BCSR.rmat(10, 8.0, seed=3)
+    assert a.shape == (1024, 1024)
+    # ~edge_factor * n edges minus dedup losses
+    assert 4000 < a.nnz <= 8192
+    deg = np.diff(a.indptr)
+    # power-law skew: the top-1% rows hold far more than 1% of edges
+    top = np.sort(deg)[-10:].sum()
+    assert top > 0.05 * a.nnz, (top, a.nnz)
+    # canonical CSR invariants
+    for i in range(0, 1024, 97):
+        r = a.row(i)
+        assert np.all(np.diff(r) > 0)
+
+
+def test_rmat_symmetric():
+    a = BCSR.rmat(8, 4.0, seed=1, symmetric=True)
+    assert a.equals(a.transpose().sort_indices().sum_duplicates())
+
+
+def test_rmat_spgemm_oracle():
+    from binary_spgemm_tpu import spgemm
+    from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+    a = BCSR.rmat(9, 6.0, seed=5)
+    assert spgemm(a, a).equals(spgemm_oracle(a, a))

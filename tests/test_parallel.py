@@ -107,3 +107,31 @@ def test_bad_b_layout():
     a = BCSR.random(16, 16, 1.0, seed=0)
     with pytest.raises(ValueError):
         dist_spgemm(a, a, make_row_mesh(), b_layout="scattered")
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_ring_layout(seed):
+    # ring-rotated B shards (ppermute pipeline) must match the oracle and the
+    # replicated layout bit-exactly
+    a = BCSR.random(350, 350, 4.0, seed=seed)
+    mesh = make_row_mesh()
+    c_ring = dist_spgemm(a, a, mesh, b_layout="ring")
+    assert c_ring.equals(spgemm_oracle(a, a))
+    assert c_ring.equals(dist_spgemm(a, a, mesh, b_layout="replicated"))
+
+
+def test_ring_rectangular_nondivisible():
+    # m not divisible by the mesh size: trailing ring steps hold empty rows
+    a = BCSR.random(123, 301, 3.0, seed=11)
+    b = BCSR.random(301, 203, 2.0, seed=12)
+    c = dist_spgemm(a, b, make_row_mesh(), b_layout="ring")
+    assert c.equals(spgemm_oracle(a, b))
+
+
+def test_ring_skewed_and_empty_rows():
+    rng = np.random.default_rng(5)
+    rows = np.concatenate([np.zeros(1500, int), rng.integers(0, 400, 800)])
+    cols = rng.integers(0, 400, 2300)
+    a = BCSR.from_coo(rows, cols, (400, 400))
+    c = dist_spgemm(a, a, make_row_mesh(), b_layout="ring")
+    assert c.equals(spgemm_oracle(a, a))
