@@ -38,13 +38,16 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from binary_spgemm_tpu import BCSR
-    from binary_spgemm_tpu.ops.spgemm import SpGEMMExecutor, spgemm_flops
+    from binary_spgemm_tpu.ops.ell import auto_executor
+    from binary_spgemm_tpu.ops.spgemm import spgemm_flops
 
     a = BCSR.random(N, N, D, seed=SEED)
     flops = spgemm_flops(a, a)
 
-    # Stage operands in device memory (≡ reference: matrix in RAM before timing)
-    ex = SpGEMMExecutor(a, a)
+    # Stage operands in device memory (≡ reference: matrix in RAM before
+    # timing); auto_executor picks the sliced-ELL engine here (the row-gather
+    # expansion is ~6x cheaper than ESC's element gather on TPU).
+    ex = auto_executor(a, a)
     dev = jax.devices()[0]
 
     # Warmup (compile) + correctness gate vs scipy
@@ -74,7 +77,7 @@ def main() -> None:
     # Serial C-class baseline on this host (scipy csr_matmat, single thread)
     sp_a = a.to_scipy()
     sp_times = []
-    for _ in range(3):
+    for _ in range(6):  # first reps pay allocator/page-fault warmup; min converges
         t0 = time.perf_counter()
         c = sp_a @ sp_a
         sp_times.append(time.perf_counter() - t0)

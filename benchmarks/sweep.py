@@ -53,7 +53,8 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from binary_spgemm_tpu import BCSR
-    from binary_spgemm_tpu.ops.spgemm import SpGEMMExecutor, spgemm_flops
+    from binary_spgemm_tpu.ops.ell import auto_executor
+    from binary_spgemm_tpu.ops.spgemm import spgemm_flops
     from binary_spgemm_tpu.utils.trace import roofline
 
     dev = jax.devices()[0]
@@ -67,10 +68,12 @@ def main() -> None:
             else:
                 a = BCSR.random(n, n, d, seed=7)
             flops = spgemm_flops(a, a)
-            ex = SpGEMMExecutor(a, a)
+            ex = auto_executor(a, a)
+            is_ell = not hasattr(ex, "chunks")
+            pad_slots = ex.sort_pad if is_ell else ex.flops_pad * len(ex.chunks)
 
             def sync(o):
-                np.asarray(o[-1][2])
+                np.asarray(o[2] if is_ell else o[-1][2])
 
             t0 = time.perf_counter()
             out = ex.run()
@@ -96,16 +99,15 @@ def main() -> None:
                 "input_nnz": a.nnz,
                 "output_nnz": c.nnz,
                 "flops": flops,
-                "chunks": len(ex.chunks),
+                "engine": "ell" if is_ell else "esc",
+                "chunks": 1 if is_ell else len(ex.chunks),
                 "fastest_s": min(ts),
                 "mean_s": sum(ts) / len(ts),
                 "compile_or_cached_s": compile_s,
                 "scipy_s": scipy_s,
                 "speedup_vs_scipy": scipy_s / min(ts),
                 "output_nnz_per_s": c.nnz / min(ts),
-                "roofline": roofline(
-                    ex.flops_pad * len(ex.chunks), a.nnz, c.nnz, min(ts), dev
-                ),
+                "roofline": roofline(pad_slots, a.nnz, c.nnz, min(ts), dev),
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
             line = json.dumps(rec)

@@ -20,11 +20,14 @@ from .ops.masked import masked_spgemm
 from .ops.union import spm_or
 from .ops.fused import spgemm_or
 from .ops.bsr import bsr_spgemm
+from .ops.ell import EllSpGEMMExecutor, ell_spgemm
 
 __all__ = [
     "BCSR",
     "BlockedBCSR",
     "SpGEMMExecutor",
+    "EllSpGEMMExecutor",
+    "ell_spgemm",
     "coo_to_csr_stable",
     "read_pattern",
     "write_pattern",

@@ -33,6 +33,16 @@ def coo_to_csr_stable(
     """
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=INDEX_DTYPE)
+    if len(rows) and (rows.min() < 0 or rows.max() >= n_rows):
+        raise ValueError("row index out of range in COO->CSR")
+    # Native write-cursor counting sort (C, ≡ the reference's ingest tier);
+    # falls back to the vectorised numpy scatter when no toolchain exists.
+    from .. import native
+
+    res = native.coo2csr(rows, cols, n_rows)
+    if res is not None:
+        indptr, indices = res
+        return indptr.astype(INDEX_DTYPE), indices.astype(INDEX_DTYPE)
     counts = np.bincount(rows, minlength=n_rows)
     indptr = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])

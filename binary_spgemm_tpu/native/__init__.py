@@ -70,6 +70,16 @@ def lib():
             ctypes.c_long,
             ctypes.c_char_p,
         ]
+        if hasattr(l, "coo2csr_stable"):
+            l.coo2csr_stable.restype = ctypes.c_long
+            l.coo2csr_stable.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+            ]
         _lib = l
         return _lib
 
@@ -114,3 +124,27 @@ def format_pairs(rows: np.ndarray, cols: np.ndarray):
         out,
     )
     return out.raw[:wrote]
+
+
+def coo2csr(rows: np.ndarray, cols: np.ndarray, n_rows: int):
+    """Stable COO->CSR via the native write-cursor scatter; None when the
+    native library is unavailable.  Raises ValueError on out-of-range rows."""
+    l = lib()
+    if l is None or not hasattr(l, "coo2csr_stable"):
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint32)
+    cols = np.ascontiguousarray(cols, dtype=np.uint32)
+    nnz = len(rows)
+    indptr = np.empty(n_rows + 1, dtype=np.uint32)
+    indices = np.empty(nnz, dtype=np.uint32)
+    rc = l.coo2csr_stable(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        nnz,
+        n_rows,
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    if rc != 0:
+        raise ValueError("row index out of range in COO->CSR")
+    return indptr, indices

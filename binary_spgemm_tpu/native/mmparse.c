@@ -75,3 +75,30 @@ long mm_format_pairs(const uint32_t *rows, const uint32_t *cols, long n,
     }
     return (long)(q - out);
 }
+
+/* Stable COO->CSR grouping (native tier of formats/bcsr.py::coo_to_csr_stable;
+ * same histogram / exclusive-scan / write-cursor-scatter structure as the
+ * reference's coo2csc, final/coo2csc.c:33-62, but grouping by the FIRST index
+ * — the transpose semantics live in the caller, io/mmio.py).  Entries sharing
+ * a row keep input order; duplicates are kept.  Returns 0, or -1 if any row
+ * id is out of range. */
+long coo2csr_stable(const uint32_t *rows, const uint32_t *cols, long nnz,
+                    long n_rows, uint32_t *indptr /* n_rows+1 */,
+                    uint32_t *indices /* nnz */) {
+    for (long i = 0; i <= n_rows; i++)
+        indptr[i] = 0;
+    for (long e = 0; e < nnz; e++) {
+        if ((long)rows[e] >= n_rows)
+            return -1;
+        indptr[rows[e] + 1]++;
+    }
+    for (long i = 0; i < n_rows; i++)
+        indptr[i + 1] += indptr[i];
+    /* write-cursor scatter on indptr[0..n_rows-1], then shift back */
+    for (long e = 0; e < nnz; e++)
+        indices[indptr[rows[e]]++] = cols[e];
+    for (long i = n_rows; i > 0; i--)
+        indptr[i] = indptr[i - 1];
+    indptr[0] = 0;
+    return 0;
+}

