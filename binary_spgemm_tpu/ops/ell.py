@@ -37,7 +37,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..formats.bcsr import BCSR
-from .spgemm import INT, pad_bucket, row_flops, sort_compress, _row_ids
+from .spgemm import (
+    INT,
+    _stitch,
+    pad_bucket,
+    row_flops,
+    sort_compress,
+)
 
 __all__ = ["EllB", "ell_spgemm", "EllSpGEMMExecutor", "width_bucket"]
 
@@ -155,82 +161,151 @@ def _expand_class(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_rows", "n_cols", "widths", "pads", "sort_pad")
+    jax.jit,
+    static_argnames=("rows_pad", "n_cols", "widths", "pads", "sort_pad"),
 )
 def _ell_spgemm_jit(
     tables: tuple[jax.Array, ...],
-    entry_rows: tuple[jax.Array, ...],
-    entry_pos: tuple[jax.Array, ...],
+    entry_rows: tuple[tuple[jax.Array, ...], ...],  # [chunk][class][pad_c]
+    entry_pos: tuple[tuple[jax.Array, ...], ...],
     *,
-    n_rows: int,
+    rows_pad: int,
     n_cols: int,
     widths: tuple[int, ...],
     pads: tuple[int, ...],
     sort_pad: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    parts_r, parts_c = [], []
-    for t, er, ep in zip(tables, entry_rows, entry_pos):
-        r, c = _expand_class(t, er, ep, n_rows, n_cols)
-        parts_r.append(r)
-        parts_c.append(c)
+    """All row chunks unrolled in ONE program (chunk k+1's gathers overlap
+    chunk k's sorts under XLA's scheduler; one dispatch total).  Row ids are
+    chunk-local, so when ``packable(rows_pad, n_cols)`` holds every chunk's
+    sort runs on single packed int32 keys (~30% cheaper than 2-key)."""
     total = sum(p * w for p, w in zip(pads, widths))
     fill = sort_pad - total
-    if fill:
-        parts_r.append(jnp.full((fill,), n_rows, INT))
-        parts_c.append(jnp.full((fill,), n_cols, INT))
-    row = jnp.concatenate(parts_r)
-    col = jnp.concatenate(parts_c)
-    return sort_compress(row, col, n_rows, n_cols)
+    outs = []
+    for er_k, ep_k in zip(entry_rows, entry_pos):
+        parts_r, parts_c = [], []
+        for t, er, ep in zip(tables, er_k, ep_k):
+            r, c = _expand_class(t, er, ep, rows_pad, n_cols)
+            parts_r.append(r)
+            parts_c.append(c)
+        if fill:
+            parts_r.append(jnp.full((fill,), rows_pad, INT))
+            parts_c.append(jnp.full((fill,), n_cols, INT))
+        row = jnp.concatenate(parts_r)
+        col = jnp.concatenate(parts_c)
+        outs.append(sort_compress(row, col, rows_pad, n_cols))
+    return tuple(jnp.stack([o[i] for o in outs]) for i in range(3))
 
 
 class EllSpGEMMExecutor:
     """Pre-staged repeated C = A·B via the sliced-ELL engine.
 
-    Builds the ELL layout of B and the per-class A-entry partition once
-    (host); each :meth:`run` is one jitted device program.  Same output
-    contract as ``SpGEMMExecutor``.
+    Builds the ELL layout of B, the flop-balanced row-chunk plan, and the
+    per-(chunk, class) A-entry partition once (host); each :meth:`run` is one
+    jitted device program returning stacked per-chunk
+    ``(c_indptr, c_indices, nnz)`` — the same contract as ``SpGEMMExecutor``.
+
+    Row chunking exists for *sort-key packing*, not memory: chunk-local row
+    ids fit ``(row << shift) | col`` in one positive int32, halving sort-key
+    bandwidth.  ``row_chunks="auto"`` picks the coarsest packable split (1
+    chunk when the whole matrix already packs).
     """
 
-    def __init__(self, a: BCSR, b: BCSR):
+    def __init__(self, a: BCSR, b: BCSR, *, row_chunks: int | str = "auto"):
         if a.n_cols != b.n_rows:
             raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
         self.shape = (a.n_rows, b.n_cols)
         self.n_rows, self.n_cols = a.n_rows, b.n_cols
+        rf = row_flops(a, b)
+        total_flops = int(rf.sum())
+        shift = int(self.n_cols).bit_length()
+        cap = 1 << max(0, 30 - shift)  # chunk rows so the packed key fits
+        n = self.n_rows
+        if row_chunks == "auto":
+            # ~32 flop-balanced chunks: measured 0.0753 s (9 chunks) →
+            # 0.0715 (19) → 0.0700 (37) on the headline config — smaller
+            # sorts + deeper cross-chunk overlap, flattening past ~32.
+            # Row cap keeps the packed single-key sort when n_cols allows.
+            budget = max(total_flops // 32, 1 << 19)
+            max_rows = cap if cap >= 512 else max(n, 1)
+            bounds = _chunk_bounds(rf, budget, max_rows)
+        elif row_chunks == 1:
+            bounds = [0, n]
+        else:
+            budget = max(total_flops // int(row_chunks), 1)
+            bounds = _chunk_bounds(rf, budget, -(-n // int(row_chunks)))
+        self.bounds = np.asarray(bounds, np.int64)
+        self.chunks = list(zip(bounds, bounds[1:]))
+        self.rows_pad = pad_bucket(
+            max(r1 - r0 for r0, r1 in self.chunks) if n else 1, minimum=1
+        )
+
         ell = EllB.build(b)
         rows_pc, pos_pc = _build_class_entries(a, ell)
         self.widths = tuple(ell.widths)
+        k = len(self.chunks)
+        counts = np.zeros((k, len(self.widths)), np.int64)
+        cuts_pc = []
+        for ci, rcls in enumerate(rows_pc):
+            cuts = np.searchsorted(rcls, self.bounds)
+            cuts_pc.append(cuts)
+            counts[:, ci] = np.diff(cuts)
         self.pads = tuple(
-            pad_bucket(max(len(r), 1), minimum=8) for r in rows_pc
+            pad_bucket(max(int(counts[:, ci].max()), 1), minimum=8)
+            for ci in range(len(self.widths))
         )
-        tables, er, ep = [], [], []
-        for tbl, rws, pos, pad in zip(ell.tables, rows_pc, pos_pc, self.pads):
-            tables.append(jnp.asarray(tbl))
-            r = np.full(pad, self.n_rows, np.int32)
-            r[: len(rws)] = rws
-            p = np.zeros(pad, np.int32)
-            p[: len(pos)] = pos
-            er.append(jnp.asarray(r))
-            ep.append(jnp.asarray(p))
-        self.tables, self.er, self.ep = tuple(tables), tuple(er), tuple(ep)
         slots = sum(p * w for p, w in zip(self.pads, self.widths))
-        if slots > np.iinfo(np.int32).max:
+        if slots * k > np.iinfo(np.int32).max:
             raise OverflowError(
-                f"ELL expansion {slots} slots exceeds int32; "
+                f"ELL expansion {slots * k} slots exceeds int32; "
                 "use the chunked ESC engine for this product"
             )
         self.sort_pad = pad_bucket(max(slots, 8))
+        self.total_slots = self.sort_pad * k
+
+        self.tables = tuple(jnp.asarray(t) for t in ell.tables)
+        er, ep = [], []
+        for kk, (r0, r1) in enumerate(self.chunks):
+            er_k, ep_k = [], []
+            for ci, (rcls, pcls, pad) in enumerate(
+                zip(rows_pc, pos_pc, self.pads)
+            ):
+                lo, hi = cuts_pc[ci][kk], cuts_pc[ci][kk + 1]
+                r = np.full(pad, self.rows_pad, np.int32)
+                r[: hi - lo] = rcls[lo:hi] - r0  # chunk-local row ids
+                p = np.zeros(pad, np.int32)
+                p[: hi - lo] = pcls[lo:hi]
+                er_k.append(jnp.asarray(r))
+                ep_k.append(jnp.asarray(p))
+            er.append(tuple(er_k))
+            ep.append(tuple(ep_k))
+        self.er, self.ep = tuple(er), tuple(ep)
 
     def run(self):
+        """Stacked per-chunk (c_indptr, c_indices, nnz_c) device arrays."""
         return _ell_spgemm_jit(
             self.tables, self.er, self.ep,
-            n_rows=self.n_rows, n_cols=self.n_cols,
+            rows_pad=self.rows_pad, n_cols=self.n_cols,
             widths=self.widths, pads=self.pads, sort_pad=self.sort_pad,
         )
 
     def assemble(self, outputs) -> BCSR:
         c_ptr, c_idx, nnz_c = (np.asarray(o) for o in outputs)
-        nnz_c = int(nnz_c)
-        return BCSR(c_ptr.astype(np.int32), c_idx[:nnz_c], self.shape)
+        it = iter(range(len(self.chunks)))
+        return _stitch(
+            self.chunks,
+            self.shape[0],
+            self.shape,
+            lambda r0, r1: (lambda s: (c_ptr[s], c_idx[s], nnz_c[s]))(next(it)),
+        )
+
+
+def _chunk_bounds(rf: np.ndarray, budget: int, max_rows: int) -> list[int]:
+    """Contiguous flop-balanced row boundaries with a hard per-chunk row cap."""
+    from .spgemm import _chunk_rows
+
+    chunks = _chunk_rows(rf, budget, max_rows)
+    return [c[0] for c in chunks] + [chunks[-1][1]]
 
 
 def ell_spgemm(a: BCSR, b: BCSR) -> BCSR:
@@ -257,7 +332,7 @@ def auto_executor(a: BCSR, b: BCSR, *, chunk_flops: int | None = None):
 
     try:
         ex = EllSpGEMMExecutor(a, b)
-        if ex.sort_pad <= AUTO_ELL_MAX_SLOTS:
+        if ex.total_slots <= AUTO_ELL_MAX_SLOTS:
             return ex
     except OverflowError:
         pass
