@@ -40,6 +40,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--times", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--configs", default=None, help="comma-separated name filter")
     ap.add_argument("--full", action="store_true", help="include slow-compile configs")
     ap.add_argument(
         "--out",
@@ -59,6 +60,9 @@ def main() -> None:
 
     dev = jax.devices()[0]
     configs = QUICK if args.quick else CONFIGS + (FULL_EXTRA if args.full else [])
+    if args.configs:
+        wanted = set(args.configs.split(","))
+        configs = [c for c in configs if c[0] in wanted]
     with open(args.out, "a") as f:
         for cfg in configs:
             name, n, d = cfg[:3]
@@ -68,12 +72,16 @@ def main() -> None:
             else:
                 a = BCSR.random(n, n, d, seed=7)
             flops = spgemm_flops(a, a)
+            from binary_spgemm_tpu.ops.ell import EllSpGEMMExecutor
+
             ex = auto_executor(a, a)
-            is_ell = not hasattr(ex, "chunks")
-            pad_slots = ex.sort_pad if is_ell else ex.flops_pad * len(ex.chunks)
+            is_ell = isinstance(ex, EllSpGEMMExecutor)
+            pad_slots = (
+                ex.total_slots if is_ell else ex.flops_pad * len(ex.chunks)
+            )
 
             def sync(o):
-                np.asarray(o[2] if is_ell else o[-1][2])
+                np.asarray(o[2])
 
             t0 = time.perf_counter()
             out = ex.run()
@@ -100,14 +108,17 @@ def main() -> None:
                 "output_nnz": c.nnz,
                 "flops": flops,
                 "engine": "ell" if is_ell else "esc",
-                "chunks": 1 if is_ell else len(ex.chunks),
+                "chunks": len(ex.chunks),
                 "fastest_s": min(ts),
                 "mean_s": sum(ts) / len(ts),
                 "compile_or_cached_s": compile_s,
                 "scipy_s": scipy_s,
                 "speedup_vs_scipy": scipy_s / min(ts),
                 "output_nnz_per_s": c.nnz / min(ts),
-                "roofline": roofline(pad_slots, a.nnz, c.nnz, min(ts), dev),
+                "roofline": roofline(
+                    pad_slots, a.nnz, c.nnz, min(ts), dev,
+                    sort_len=ex.sort_pad if is_ell else ex.flops_pad,
+                ),
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
             line = json.dumps(rec)

@@ -162,7 +162,9 @@ def _expand_class(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rows_pad", "n_cols", "widths", "pads", "sort_pad"),
+    static_argnames=(
+        "rows_pad", "n_cols", "widths", "pads", "sort_pad", "out_pad"
+    ),
 )
 def _ell_spgemm_jit(
     tables: tuple[jax.Array, ...],
@@ -174,14 +176,37 @@ def _ell_spgemm_jit(
     widths: tuple[int, ...],
     pads: tuple[int, ...],
     sort_pad: int,
+    out_pad: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """All row chunks unrolled in ONE program (chunk k+1's gathers overlap
     chunk k's sorts under XLA's scheduler; one dispatch total).  Row ids are
     chunk-local, so when ``packable(rows_pad, n_cols)`` holds every chunk's
-    sort runs on single packed int32 keys (~30% cheaper than 2-key)."""
+    sort runs on single packed int32 keys (~30% cheaper than 2-key).
+
+    ``out_pad`` truncates each chunk's compacted index array (valid entries
+    ≤ true chunk flops ≤ out_pad ≤ sort_pad) so the stacked outputs of many
+    chunks don't hold the sort padding resident."""
+    outs = [
+        sort_compress(row, col, rows_pad, n_cols)
+        for row, col in _chunk_pair_streams(
+            tables, entry_rows, entry_pos,
+            rows_pad=rows_pad, n_cols=n_cols,
+            widths=widths, pads=pads, sort_pad=sort_pad,
+        )
+    ]
+    if out_pad is not None and out_pad < sort_pad:
+        outs = [(p, i[:out_pad], n) for p, i, n in outs]
+    return tuple(jnp.stack([o[i] for o in outs]) for i in range(3))
+
+
+def _chunk_pair_streams(
+    tables, entry_rows, entry_pos, *, rows_pad, n_cols, widths, pads, sort_pad
+):
+    """Per-chunk padded candidate (row, col) streams (shared by the plain and
+    masked engines)."""
     total = sum(p * w for p, w in zip(pads, widths))
     fill = sort_pad - total
-    outs = []
+    streams = []
     for er_k, ep_k in zip(entry_rows, entry_pos):
         parts_r, parts_c = [], []
         for t, er, ep in zip(tables, er_k, ep_k):
@@ -191,8 +216,50 @@ def _ell_spgemm_jit(
         if fill:
             parts_r.append(jnp.full((fill,), rows_pad, INT))
             parts_c.append(jnp.full((fill,), n_cols, INT))
-        row = jnp.concatenate(parts_r)
-        col = jnp.concatenate(parts_c)
+        streams.append((jnp.concatenate(parts_r), jnp.concatenate(parts_c)))
+    return streams
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rows_pad", "n_cols", "widths", "pads", "sort_pad", "bs_iters"
+    ),
+)
+def _ell_masked_jit(
+    tables,
+    entry_rows,
+    entry_pos,
+    f_ptr,  # [k, rows_pad+1] chunk-local mask row pointers
+    f_idx,  # [k, f_nnz_pad] mask indices (canonical, fill = n_cols)
+    *,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+    bs_iters: int,
+):
+    """Masked variant: C = F .* (A·B) — the mask bisection test runs between
+    expansion and sort, exactly as in the ESC masked path (ops/masked.py), so
+    the two engines stay bit-exact with each other and the reference's
+    ``SpGEMM_masked`` (final/SpGEMM_mpi_omp.c:232-288)."""
+    from .masked import rows_in_mask
+
+    outs = []
+    for k, (row, col) in enumerate(
+        _chunk_pair_streams(
+            tables, entry_rows, entry_pos,
+            rows_pad=rows_pad, n_cols=n_cols,
+            widths=widths, pads=pads, sort_pad=sort_pad,
+        )
+    ):
+        keep = rows_in_mask(
+            row, col, f_ptr[k], f_idx[k],
+            n_rows=rows_pad, bs_iters=bs_iters,
+        )
+        row = jnp.where(keep, row, rows_pad)
+        col = jnp.where(keep, col, n_cols)
         outs.append(sort_compress(row, col, rows_pad, n_cols))
     return tuple(jnp.stack([o[i] for o in outs]) for i in range(3))
 
@@ -225,9 +292,14 @@ class EllSpGEMMExecutor:
             # ~32 flop-balanced chunks: measured 0.0753 s (9 chunks) →
             # 0.0715 (19) → 0.0700 (37) on the headline config — smaller
             # sorts + deeper cross-chunk overlap, flattening past ~32.
-            # Row cap keeps the packed single-key sort when n_cols allows.
+            # Row cap keeps the packed single-key sort when n_cols allows —
+            # but only while the cap doesn't explode the chunk count (every
+            # chunk is unrolled into the program; compile size is linear in
+            # chunks).  Past ~96 chunks the 2-key sort is the better trade.
             budget = max(total_flops // 32, 1 << 19)
             max_rows = cap if cap >= 512 else max(n, 1)
+            if -(-n // max_rows) > 96:
+                max_rows = max(n, 1)  # unpacked: no row cap
             bounds = _chunk_bounds(rf, budget, max_rows)
         elif row_chunks == 1:
             bounds = [0, n]
@@ -255,13 +327,33 @@ class EllSpGEMMExecutor:
             for ci in range(len(self.widths))
         )
         slots = sum(p * w for p, w in zip(self.pads, self.widths))
-        if slots * k > np.iinfo(np.int32).max:
+        if slots > np.iinfo(np.int32).max:
             raise OverflowError(
-                f"ELL expansion {slots * k} slots exceeds int32; "
+                f"ELL chunk expansion {slots} slots exceeds int32; "
                 "use the chunked ESC engine for this product"
             )
         self.sort_pad = pad_bucket(max(slots, 8))
         self.total_slots = self.sort_pad * k
+        # Valid output entries per chunk never exceed its true flop count, so
+        # the stacked per-chunk index outputs are truncated to this bound
+        # (resident memory ∝ out_pad·k, not sort_pad·k).
+        self.out_pad = min(
+            pad_bucket(
+                max(
+                    (int(rf[r0:r1].sum()) for r0, r1 in self.chunks),
+                    default=8,
+                )
+                or 8
+            ),
+            self.sort_pad,
+        )
+        self.resident_slots = self.out_pad * k
+        # Super-chunking: chunks are dispatched in uniform groups of
+        # ``group_size`` so one compile serves every dispatch and per-dispatch
+        # live memory stays bounded; the last group is padded with all-sentinel
+        # dummy chunks (assemble() walks only the real ones).
+        self.group_size = max(min(k, DISPATCH_SLOT_BUDGET // self.sort_pad), 1)
+        self.n_groups = -(-k // self.group_size)
 
         self.tables = tuple(jnp.asarray(t) for t in ell.tables)
         er, ep = [], []
@@ -281,12 +373,91 @@ class EllSpGEMMExecutor:
             ep.append(tuple(ep_k))
         self.er, self.ep = tuple(er), tuple(ep)
 
+    def _dummy_chunk(self):
+        er = tuple(
+            jnp.full((pad,), self.rows_pad, INT) for pad in self.pads
+        )
+        ep = tuple(jnp.zeros((pad,), INT) for pad in self.pads)
+        return er, ep
+
+    def _groups(self):
+        g, k = self.group_size, len(self.chunks)
+        for g0 in range(0, k, g):
+            er_g = list(self.er[g0 : g0 + g])
+            ep_g = list(self.ep[g0 : g0 + g])
+            while len(er_g) < g:
+                der, dep = self._dummy_chunk()
+                er_g.append(der)
+                ep_g.append(dep)
+            yield tuple(er_g), tuple(ep_g)
+
     def run(self):
-        """Stacked per-chunk (c_indptr, c_indices, nnz_c) device arrays."""
-        return _ell_spgemm_jit(
-            self.tables, self.er, self.ep,
-            rows_pad=self.rows_pad, n_cols=self.n_cols,
-            widths=self.widths, pads=self.pads, sort_pad=self.sort_pad,
+        """Stacked per-chunk (c_indptr, c_indices, nnz_c) device arrays.
+
+        One dispatch per chunk group (all groups share one compiled program);
+        group outputs are concatenated on device.  Trailing dummy-chunk rows
+        (sentinel-only) may follow the real chunks — assemble() ignores them.
+        """
+        outs = [
+            _ell_spgemm_jit(
+                self.tables, er_g, ep_g,
+                rows_pad=self.rows_pad, n_cols=self.n_cols,
+                widths=self.widths, pads=self.pads, sort_pad=self.sort_pad,
+                out_pad=self.out_pad,
+            )
+            for er_g, ep_g in self._groups()
+        ]
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(
+            jnp.concatenate([o[i] for o in outs]) for i in range(3)
+        )
+
+    def run_masked(self, f: "BCSR"):
+        """Masked multiply C = F .* (A·B) with this executor's staged A/B.
+
+        F is canonicalised and chunk-sliced host-side per call; reuse the
+        executor when timing repeated masked products with a fixed mask.
+        """
+        import math
+
+        from .spgemm import pad_chunk_csr
+
+        if f.shape != self.shape:
+            raise ValueError(f"mask shape {f.shape} != product {self.shape}")
+        f = f.sum_duplicates()
+        max_row = int(np.diff(f.indptr).max()) if f.nnz else 0
+        bs_iters = max(1, math.ceil(math.log2(max_row + 1)) + 1)
+        f_nnz_pad = pad_bucket(
+            max(int(f.indptr[r1] - f.indptr[r0]) for r0, r1 in self.chunks)
+        )
+        ptrs, idxs = [], []
+        for r0, r1 in self.chunks:
+            fp, fi, _ = pad_chunk_csr(
+                f, r0, r1, self.rows_pad, f_nnz_pad, fill=self.n_cols
+            )
+            ptrs.append(fp)
+            idxs.append(fi)
+        g = self.group_size
+        while len(ptrs) % g:
+            ptrs.append(np.zeros(self.rows_pad + 1, np.int32))  # empty mask
+            idxs.append(np.full(f_nnz_pad, self.n_cols, np.int32))
+        outs = []
+        for gi, (er_g, ep_g) in enumerate(self._groups()):
+            fp = jnp.asarray(np.stack(ptrs[gi * g : (gi + 1) * g]))
+            fi = jnp.asarray(np.stack(idxs[gi * g : (gi + 1) * g]))
+            outs.append(
+                _ell_masked_jit(
+                    self.tables, er_g, ep_g, fp, fi,
+                    rows_pad=self.rows_pad, n_cols=self.n_cols,
+                    widths=self.widths, pads=self.pads,
+                    sort_pad=self.sort_pad, bs_iters=bs_iters,
+                )
+            )
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(
+            jnp.concatenate([o[i] for o in outs]) for i in range(3)
         )
 
     def assemble(self, outputs) -> BCSR:
@@ -297,6 +468,37 @@ class EllSpGEMMExecutor:
             self.shape[0],
             self.shape,
             lambda r0, r1: (lambda s: (c_ptr[s], c_idx[s], nnz_c[s]))(next(it)),
+        )
+
+    def run_assemble_streaming(self) -> BCSR:
+        """Compute + assemble with per-group host pull: device memory stays
+        bounded by ONE dispatch group instead of the whole product.  This is
+        what lets the ELL engine cover products whose total padded expansion
+        exceeds HBM (the resident :meth:`run` would OOM) — the TPU analogue of
+        the reference's grow-as-you-go realloc for huge outputs
+        (final/SpGEMM_mpi_omp.c:28-31), restructured as bounded-footprint
+        dispatches."""
+        host_parts = []
+        for er_g, ep_g in self._groups():
+            out = _ell_spgemm_jit(
+                self.tables, er_g, ep_g,
+                rows_pad=self.rows_pad, n_cols=self.n_cols,
+                widths=self.widths, pads=self.pads, sort_pad=self.sort_pad,
+                out_pad=self.out_pad,
+            )
+            ptr, nnz = np.asarray(out[0]), np.asarray(out[2])
+            idx_dev = out[1]
+            # pull only the valid prefix of each chunk's indices
+            for j in range(ptr.shape[0]):
+                host_parts.append(
+                    (ptr[j], np.asarray(idx_dev[j, : int(nnz[j])]), int(nnz[j]))
+                )
+        it = iter(range(len(self.chunks)))
+        return _stitch(
+            self.chunks,
+            self.shape[0],
+            self.shape,
+            lambda r0, r1: host_parts[next(it)],
         )
 
 
@@ -314,10 +516,17 @@ def ell_spgemm(a: BCSR, b: BCSR) -> BCSR:
     return ex.assemble(ex.run())
 
 
-# Expansion-slot budget for choosing ELL over chunked ESC: sorts carry ~24 B of
-# live intermediates per slot, so 2^27 slots ≈ 3 GB — comfortable on a 16 GB
-# chip while keeping compile sizes sane.
-AUTO_ELL_MAX_SLOTS = 1 << 27
+# Per-dispatch expansion-slot budget: sorts carry ~24 B of live intermediates
+# per slot, so 2^27 slots ≈ 3 GB per dispatch — comfortable on a 16 GB chip
+# while keeping compile sizes sane.  Larger products run as multiple uniform
+# dispatches sharing one compile (see EllSpGEMMExecutor._groups).
+DISPATCH_SLOT_BUDGET = 1 << 27
+
+# Resident-output budget for auto-choosing ELL over chunked ESC: all chunks'
+# truncated index outputs (out_pad each) are live at once at 4 B/slot, on top
+# of one dispatch's ~24 B/slot sort intermediates → 2^30 out-slots ≈ 4 GB of
+# outputs + ~3 GB transient, comfortable on a 16 GB chip.
+AUTO_ELL_MAX_SLOTS = 1 << 30
 
 
 def auto_executor(a: BCSR, b: BCSR, *, chunk_flops: int | None = None):
@@ -332,7 +541,7 @@ def auto_executor(a: BCSR, b: BCSR, *, chunk_flops: int | None = None):
 
     try:
         ex = EllSpGEMMExecutor(a, b)
-        if ex.total_slots <= AUTO_ELL_MAX_SLOTS:
+        if ex.resident_slots <= AUTO_ELL_MAX_SLOTS:
             return ex
     except OverflowError:
         pass

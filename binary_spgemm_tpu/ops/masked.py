@@ -118,6 +118,22 @@ def masked_spgemm(
         return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
 
     f = f.sum_duplicates()
+
+    # Engine choice mirrors the unmasked auto_executor: the sliced-ELL
+    # expansion (row-gather, packed-key chunk sorts) beats ESC whenever its
+    # padded expansion fits one program; the mask bisection is identical in
+    # both, so results stay bit-exact either way.
+    from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
+
+    try:
+        ex = EllSpGEMMExecutor(a, b)
+        if ex.total_slots <= AUTO_ELL_MAX_SLOTS:
+            # (masked outputs are not out_pad-truncated; use the stricter
+            # sort-domain budget)
+            return ex.assemble(ex.run_masked(f))
+    except OverflowError:
+        pass
+
     max_row = int(np.diff(f.indptr).max())
     bs_iters = max(1, math.ceil(math.log2(max_row + 1)) + 1)
 

@@ -539,17 +539,31 @@ def spgemm(
 ) -> BCSR:
     """Boolean SpGEMM structure C = A·B on the default JAX device.
 
-    Row-chunked host driver around :func:`spgemm_padded`: rows of A are split into
-    flop-bounded contiguous chunks (memory cap + the reference's row-slice
-    decomposition analogue, with flop balancing instead of its equal-rows split),
-    each chunk runs the same jitted ESC kernel (uniform shapes → one compile),
-    and results are stitched with a row-pointer prefix fix.
+    Engine-auto entry point: uses the sliced-ELL executor (ops/ell.py — the
+    fast path, measured ~4x over ESC on TPU) whenever its padded expansion
+    fits the device budget, otherwise the flop-chunked ESC driver below.
+    Passing ``chunk_flops`` explicitly forces the ESC path (callers tuning
+    chunking want the chunked engine).
     """
     if a.n_cols != b.n_rows:
         raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
     n, m = a.n_rows, b.n_cols
     if a.nnz == 0 or b.nnz == 0:
         return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
+
+    if chunk_flops is None:
+        from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
+
+        try:
+            ex = EllSpGEMMExecutor(a, b)
+            if ex.resident_slots <= AUTO_ELL_MAX_SLOTS:
+                return ex.assemble(ex.run())
+            # beyond the resident budget the chunked ESC path below wins on
+            # this environment (device->host streaming through the compile
+            # tunnel measured ~25 MB/s; run_assemble_streaming exists for
+            # directly-attached hosts)
+        except OverflowError:
+            pass
 
     chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
     rf = row_flops(a, b)

@@ -51,6 +51,7 @@ __all__ = [
     "dist_spgemm",
     "dist_spgemm_sharded",
     "dist_spgemm_sharded_b",
+    "dist_spgemm_ell",
     "dist_spgemm_ring",
     "ring_step_pad",
     "shard_operands",
@@ -382,6 +383,102 @@ def dist_spgemm_ring(
     )(a_ptr, a_idx, a_nnz, b_ptr_sh, b_idx_sh)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "rows_pad", "n_cols", "widths", "pads", "sort_pad"),
+)
+def dist_spgemm_ell(
+    tables: tuple[jax.Array, ...],  # [nc, w] replicated ELL class tables
+    entry_rows: tuple[jax.Array, ...],  # [S, pad_c] shard-local row ids (sharded)
+    entry_pos: tuple[jax.Array, ...],  # [S, pad_c] in-class B-row slots (sharded)
+    *,
+    mesh: Mesh,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """SPMD step with the **sliced-ELL expansion** per shard (see ops/ell.py):
+    B's class tables are replicated across the mesh; each shard row-gathers its
+    A-entries' B rows and sorts chunk-locally (packed single-key when
+    ``rows_pad``/``n_cols`` allow).  Brings the single-chip ELL speedup
+    (~4x over ESC, benchmarks/micro.jsonl) to the distributed product.
+    Assembly (psum + all_gather offset fix) matches ``dist_spgemm_sharded``.
+    """
+    from ..ops.ell import _expand_class
+
+    fill = sort_pad - sum(p * w for p, w in zip(pads, widths))
+
+    def shard_fn(tables, entry_rows, entry_pos):
+        parts_r, parts_c = [], []
+        for t, er, ep in zip(tables, entry_rows, entry_pos):
+            r, c = _expand_class(t, er[0], ep[0], rows_pad, n_cols)
+            parts_r.append(r)
+            parts_c.append(c)
+        if fill:
+            sent_r = jnp.full((fill,), rows_pad, INT)
+            sent_c = jnp.full((fill,), n_cols, INT)
+            parts_r.append(jax.lax.pcast(sent_r, (ROWS_AXIS,), to="varying"))
+            parts_c.append(jax.lax.pcast(sent_c, (ROWS_AXIS,), to="varying"))
+        row = jnp.concatenate(parts_r)
+        col = jnp.concatenate(parts_c)
+        c_ptr, c_idx, nnz_c = sort_compress(row, col, rows_pad, n_cols)
+        total = jax.lax.psum(nnz_c, ROWS_AXIS)
+        counts = jax.lax.all_gather(nnz_c, ROWS_AXIS)
+        me = jax.lax.axis_index(ROWS_AXIS)
+        offset = jnp.sum(
+            jnp.where(jnp.arange(counts.shape[0], dtype=INT) < me, counts, 0),
+            dtype=INT,
+        )
+        return (c_ptr + offset)[None], c_idx[None], nnz_c[None, None], total
+
+    n_classes = len(widths)
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            (P(),) * n_classes,
+            (P(ROWS_AXIS),) * n_classes,
+            (P(ROWS_AXIS),) * n_classes,
+        ),
+        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P()),
+    )(tables, entry_rows, entry_pos)
+
+
+def _shard_ell_operands(a: BCSR, b: BCSR, mesh: Mesh, bounds: np.ndarray):
+    """Device-sharded per-(shard, class) ELL entry arrays + replicated tables."""
+    from ..ops.ell import EllB, _build_class_entries
+
+    n_shards = mesh.devices.size
+    ell = EllB.build(b)
+    rows_pc, pos_pc = _build_class_entries(a, ell)
+    widths = tuple(ell.widths)
+    rows_pad = pad_bucket(int(np.max(np.diff(bounds))), minimum=1)
+    cuts_pc = [np.searchsorted(r, bounds) for r in rows_pc]
+    pads = tuple(
+        pad_bucket(max(int(np.diff(c).max()), 1), minimum=8) for c in cuts_pc
+    ) if widths else ()
+    shard = NamedSharding(mesh, P(ROWS_AXIS))
+    repl = NamedSharding(mesh, P())
+    tables = tuple(jax.device_put(t, repl) for t in ell.tables)
+    er, ep = [], []
+    for ci, (rcls, pcls, pad) in enumerate(zip(rows_pc, pos_pc, pads)):
+        r = np.full((n_shards, pad), rows_pad, np.int32)
+        p = np.zeros((n_shards, pad), np.int32)
+        for s in range(n_shards):
+            lo, hi = cuts_pc[ci][s], cuts_pc[ci][s + 1]
+            r[s, : hi - lo] = rcls[lo:hi] - bounds[s]
+            p[s, : hi - lo] = pcls[lo:hi]
+        er.append(jax.device_put(r, shard))
+        ep.append(jax.device_put(p, shard))
+    slots = sum(p * w for p, w in zip(pads, widths))
+    if slots > np.iinfo(np.int32).max:
+        raise OverflowError(f"ELL shard expansion {slots} slots exceeds int32")
+    sort_pad = pad_bucket(max(slots, 8))
+    return tables, tuple(er), tuple(ep), widths, pads, rows_pad, sort_pad
+
+
 def dist_spgemm(
     a: BCSR,
     b: BCSR,
@@ -389,8 +486,13 @@ def dist_spgemm(
     *,
     balance: str = "flops",
     b_layout: str = "replicated",
+    engine: str = "auto",
 ) -> BCSR:
     """Multi-chip C = A·B: shard, run the SPMD step, assemble on host.
+
+    ``engine``: ``"auto"`` uses the sliced-ELL per-shard expansion when B is
+    replicated and the padded expansion fits (``ops/ell.py``'s measured ~4x
+    over ESC); ``"esc"``/``"ell"`` force an engine.
 
     ``b_layout``: ``"replicated"`` keeps the full B on every device (the
     reference's semantics); ``"sharded"`` row-shards B and all-gathers it
@@ -407,9 +509,35 @@ def dist_spgemm(
         raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
     if b_layout not in ("replicated", "sharded", "ring"):
         raise ValueError(f"unknown b_layout {b_layout!r}")
+    if engine not in ("auto", "esc", "ell"):
+        raise ValueError(f"unknown engine {engine!r}")
     n, m = a.n_rows, b.n_cols
     if a.nnz == 0 or b.nnz == 0:
         return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
+
+    if b_layout == "replicated" and engine in ("auto", "ell"):
+        from ..ops.ell import AUTO_ELL_MAX_SLOTS
+
+        mesh_ = mesh if mesh is not None else make_row_mesh()
+        rf = row_flops(a, b)
+        bounds = partition_rows(rf, mesh_.devices.size, balance=balance)
+        try:
+            (tables, er, ep, widths, pads, rows_pad, sort_pad) = (
+                _shard_ell_operands(a, b, mesh_, bounds)
+            )
+            fits = sort_pad <= AUTO_ELL_MAX_SLOTS
+        except OverflowError:
+            fits = False
+        if fits or engine == "ell":
+            c_ptr, c_idx, nnz_sh, total = dist_spgemm_ell(
+                tables, er, ep,
+                mesh=mesh_, rows_pad=rows_pad, n_cols=m,
+                widths=widths, pads=pads, sort_pad=sort_pad,
+            )
+            return _assemble_sharded(
+                c_ptr, c_idx, nnz_sh, total, bounds, (n, m)
+            )
+
     ops = shard_operands(a, b, mesh, balance=balance)
     if b_layout == "ring":
         b_ptr_sh, b_idx_sh, m_per = shard_b_operands(b, ops.mesh)
@@ -431,12 +559,17 @@ def dist_spgemm(
             ops.a_ptr, ops.a_idx, ops.a_nnz, ops.b_ptr, ops.b_idx,
             mesh=ops.mesh, n_cols=m, flops_pad=ops.flops_pad,
         )
+    return _assemble_sharded(c_ptr, c_idx, nnz_sh, total, ops.bounds, (n, m))
+
+
+def _assemble_sharded(c_ptr, c_idx, nnz_sh, total, bounds, shape) -> BCSR:
+    """Host assembly of sharded SPMD outputs (already globally prefix-fixed)."""
     c_ptr = np.asarray(c_ptr)
     c_idx = np.asarray(c_idx)
     nnz_sh = np.asarray(nnz_sh)[:, 0]
     indptr_parts = [np.zeros(1, np.int64)]
     index_parts = []
-    for s, (r0, r1) in enumerate(zip(ops.bounds, ops.bounds[1:])):
+    for s, (r0, r1) in enumerate(zip(bounds, bounds[1:])):
         index_parts.append(c_idx[s, : nnz_sh[s]])
         indptr_parts.append(c_ptr[s, 1 : r1 - r0 + 1].astype(np.int64))
     indptr = np.concatenate(indptr_parts)
@@ -444,4 +577,4 @@ def dist_spgemm(
         np.concatenate(index_parts) if index_parts else np.zeros(0, np.int32)
     )
     assert indptr[-1] == int(total), (indptr[-1], int(total))
-    return BCSR(indptr.astype(np.int32), indices, (n, m))
+    return BCSR(indptr.astype(np.int32), indices, shape)

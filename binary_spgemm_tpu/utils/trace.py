@@ -76,24 +76,39 @@ HBM_BYTES_PER_S = {
 
 
 def roofline(
-    flops_pad: int, nnz_a: int, nnz_c: int, seconds: float, device=None
+    flops_pad: int,
+    nnz_a: int,
+    nnz_c: int,
+    seconds: float,
+    device=None,
+    *,
+    sort_len: int | None = None,
 ) -> dict:
-    """Speed-of-light audit of one ESC SpGEMM call.
+    """Speed-of-light audit of one sort-based SpGEMM call.
 
-    Minimal traffic model (bytes that *must* move through HBM): the expansion
-    streams ~5 E-sized int32 arrays (jump/bidx/row/col/valid fused), the two
-    sorts move ~2×2×2 E-sized arrays (read+write, two operands), compression
-    streams ~3 more, plus the input/output index arrays.  ~60 B per candidate
-    slot is the model used here; it is deliberately coarse — the point is an
-    order-of-magnitude % figure to track between rounds.
+    Traffic model (bytes that *must* move through HBM for this algorithm
+    class): expansion streams ~3 slot-sized int32 arrays (~12 B/slot); each of
+    the two sorts is multi-pass — a merge-style sort of length L reads and
+    writes its key array ~log2(L) times (~8·log2(L) B/slot per sort);
+    compression streams ~3 more arrays; plus the input/output index arrays.
+    ``sort_len`` is the per-sort length (the chunk's padded slot count) —
+    defaults to ``flops_pad``.  Deliberately coarse: the point is a stable %
+    figure to track between rounds, with the sort's pass count modelled
+    honestly instead of pretending a sort is one streaming pass.
     """
+    import math
+
     if device is None:
         device = jax.devices()[0]
     kind = getattr(device, "device_kind", "cpu").lower()
     bw = next(
         (v for k, v in HBM_BYTES_PER_S.items() if k in kind), 100e9
     )
-    bytes_moved = 60 * flops_pad + 4 * (nnz_a + nnz_c)
+    L = sort_len if sort_len else max(flops_pad, 2)
+    sort_passes = max(math.log2(L), 1.0)
+    bytes_moved = int(
+        (12 + 2 * 8 * sort_passes + 12) * flops_pad + 4 * (nnz_a + nnz_c)
+    )
     sol_s = bytes_moved / bw
     return {
         "model_bytes": bytes_moved,

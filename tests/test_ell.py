@@ -67,3 +67,55 @@ def test_ell_executor_reuse():
     c1 = ex.assemble(ex.run())
     c2 = ex.assemble(ex.run())
     assert c1.equals(c2) and c1.equals(spgemm_oracle(a, a))
+
+
+def test_ell_masked_matches_esc_and_oracle():
+    from binary_spgemm_tpu import masked_spgemm
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle as masked_oracle
+
+    a = BCSR.random(400, 400, 5.0, seed=21)
+    f = BCSR.random(400, 400, 3.0, seed=22)
+    ex = EllSpGEMMExecutor(a, a)
+    c_ell = ex.assemble(ex.run_masked(f))
+    assert c_ell.equals(masked_oracle(f, a, a))
+    assert c_ell.equals(masked_spgemm(f, a, a))
+
+
+def test_ell_masked_chunked():
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle as masked_oracle
+
+    a = BCSR.random(600, 600, 4.0, seed=23)
+    f = BCSR.random(600, 600, 2.0, seed=24)
+    ex = EllSpGEMMExecutor(a, a, row_chunks=4)
+    c = ex.assemble(ex.run_masked(f))
+    assert c.equals(masked_oracle(f, a, a))
+
+
+def test_ell_super_chunked_dispatch(monkeypatch):
+    # force tiny per-dispatch budget -> multiple dispatch groups + dummy pad
+    import binary_spgemm_tpu.ops.ell as ell_mod
+
+    a = BCSR.random(500, 500, 6.0, seed=31)
+    ex_ref = EllSpGEMMExecutor(a, a, row_chunks=5)
+    monkeypatch.setattr(ell_mod, "DISPATCH_SLOT_BUDGET", ex_ref.sort_pad * 2)
+    ex = EllSpGEMMExecutor(a, a, row_chunks=5)
+    assert ex.n_groups >= 2, (ex.n_groups, ex.group_size)
+    c = ex.assemble(ex.run())
+    assert c.equals(spgemm_oracle(a, a))
+    # masked through the grouped path too
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle
+
+    f = BCSR.random(500, 500, 2.0, seed=32)
+    cm = ex.assemble(ex.run_masked(f))
+    assert cm.equals(masked_spgemm_oracle(f, a, a))
+
+
+def test_ell_streaming_assembly(monkeypatch):
+    import binary_spgemm_tpu.ops.ell as ell_mod
+
+    a = BCSR.random(500, 500, 6.0, seed=41)
+    ex_ref = EllSpGEMMExecutor(a, a, row_chunks=5)
+    monkeypatch.setattr(ell_mod, "DISPATCH_SLOT_BUDGET", ex_ref.sort_pad * 2)
+    ex = EllSpGEMMExecutor(a, a, row_chunks=5)
+    c = ex.run_assemble_streaming()
+    assert c.equals(spgemm_oracle(a, a))

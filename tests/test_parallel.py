@@ -135,3 +135,20 @@ def test_ring_skewed_and_empty_rows():
     a = BCSR.from_coo(rows, cols, (400, 400))
     c = dist_spgemm(a, a, make_row_mesh(), b_layout="ring")
     assert c.equals(spgemm_oracle(a, a))
+
+
+@pytest.mark.parametrize("engine", ["esc", "ell"])
+def test_dist_engines_bit_exact(engine):
+    a = BCSR.random(450, 450, 5.0, seed=13)
+    c = dist_spgemm(a, a, make_row_mesh(), engine=engine)
+    assert c.equals(spgemm_oracle(a, a))
+
+
+def test_dist_ell_skewed_rectangular():
+    a = BCSR.rmat(9, 4.0, seed=2)
+    c = dist_spgemm(a, a, make_row_mesh(), engine="ell")
+    assert c.equals(spgemm_oracle(a, a))
+    b = BCSR.random(512, 300, 2.0, seed=3)
+    a2 = BCSR.random(123, 512, 3.0, seed=4)
+    c2 = dist_spgemm(a2, b, make_row_mesh(), engine="ell")
+    assert c2.equals(spgemm_oracle(a2, b))
