@@ -37,6 +37,16 @@ def _block_until_ready():
     (jax.device_put(0.0) + 0).block_until_ready()
 
 
+def _single_device_spgemm(a, args):
+    if args.engine == "ell":
+        from .ops.ell import ell_spgemm
+
+        return ell_spgemm(a, a)
+    if args.engine == "esc":
+        return spgemm(a, a, chunk_flops=args.chunk_flops or DEFAULT_CHUNK_FLOPS)
+    return spgemm(a, a, chunk_flops=args.chunk_flops)
+
+
 def cmd_bench(args) -> int:
     if getattr(args, "sweep", None):
         for value in args.sweep.split(","):
@@ -64,19 +74,22 @@ def cmd_bench(args) -> int:
 
         def run():
             return dist_spgemm(
-                a, a, mesh, balance=args.balance, b_layout=args.b_layout
+                a, a, mesh, balance=args.balance, b_layout=args.b_layout,
+                engine=args.engine,
             )
 
     else:
 
         def run():
-            return spgemm(a, a, chunk_flops=args.chunk_flops)
+            return _single_device_spgemm(a, args)
 
     c = run()  # warmup: compiles every shape bucket
     _block_until_ready()
     stats = bench_fn(lambda: run(), repeats=args.times, barrier=_block_until_ready)
 
-    blocksize = args.chunk_flops if n_devices == 1 else a.n_rows // n_devices
+    blocksize = (
+        (args.chunk_flops or 0) if n_devices == 1 else a.n_rows // n_devices
+    )  # 0 = auto engine (no fixed chunk size)
     csv = (
         f"{n_devices},1,{n_devices},{blocksize},{args.path},{a.n_rows},"
         f"{a.nnz},{c.nnz},{stats.mean:.6f},{stats.median:.6f},{stats.fastest:.6f}"
@@ -115,7 +128,7 @@ def cmd_validate(args) -> int:
     c_par = dist_spgemm(
         a, a, mesh, balance=args.balance, b_layout=args.b_layout
     )
-    c_ser = spgemm(a, a, chunk_flops=args.chunk_flops)
+    c_ser = _single_device_spgemm(a, args)
     ok = c_par.equals(c_ser)
     oracle_ok = True
     if args.oracle:
@@ -164,8 +177,15 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument(
         "--chunk-flops",
         type=int,
-        default=DEFAULT_CHUNK_FLOPS,
-        help="max Gustavson flops per row chunk (≈ tBlock)",
+        default=None,
+        help="max Gustavson flops per ESC row chunk (≈ tBlock); setting it "
+        "forces the ESC engine (default: auto engine, sliced-ELL when it fits)",
+    )
+    common.add_argument(
+        "--engine",
+        choices=["auto", "esc", "ell"],
+        default="auto",
+        help="SpGEMM engine (auto = sliced-ELL when its expansion fits)",
     )
     common.add_argument(
         "--devices", type=int, default=None, help="mesh size (≈ MPI tasks)"

@@ -18,7 +18,7 @@ The TPU-native formulation used here is ESC (expansion–sorting–compression):
    the reference's per-row quicksort (final/SpGEMM_mpi_omp.c:47) in one pass.
 3. **Compress**: adjacent-duplicate masking, compaction by re-sorting with
    duplicates demoted to sentinels (a vector sort beats an element scatter on
-   TPU), then a searchsorted for row pointers — the two-pass symbolic/numeric
+   TPU), then a histogram+cumsum for row pointers — the two-pass symbolic/numeric
    replacement for the reference's realloc growth at :28-31.
 
 Everything runs under ``jit`` with **static padded shapes**: the flop count is
@@ -173,9 +173,15 @@ def sort_compress(
         demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
         c_keys = jax.lax.sort((demoted,), is_stable=False)[0]
         c_indices = c_keys & ((1 << shift) - 1)
-        c_indptr = jnp.searchsorted(
-            c_keys, jnp.arange(n_rows + 1, dtype=INT) << shift, side="left"
-        ).astype(INT)
+        if _histogram_indptr_wins(n_rows, row.shape[0]):
+            c_indptr = _indptr_from_sorted_rows(
+                jax.lax.shift_right_logical(c_keys, shift), n_rows
+            )
+        else:
+            c_indptr = jnp.searchsorted(
+                c_keys, jnp.arange(n_rows + 1, dtype=INT) << shift,
+                side="left",
+            ).astype(INT)
         return c_indptr, c_indices, nnz_c
 
     row_s, col_s = jax.lax.sort((row, col), num_keys=2, is_stable=False)
@@ -189,10 +195,42 @@ def sort_compress(
     c_rows, c_indices = jax.lax.sort(
         (demoted_r, demoted_c), num_keys=2, is_stable=False
     )
-    c_indptr = jnp.searchsorted(
-        c_rows, jnp.arange(n_rows + 1, dtype=INT), side="left"
-    ).astype(INT)
+    if _histogram_indptr_wins(n_rows, row.shape[0]):
+        c_indptr = _indptr_from_sorted_rows(c_rows, n_rows)
+    else:
+        c_indptr = jnp.searchsorted(
+            c_rows, jnp.arange(n_rows + 1, dtype=INT), side="left"
+        ).astype(INT)
     return c_indptr, c_indices, nnz_c
+
+
+def _histogram_indptr_wins(n_rows: int, n_slots: int) -> bool:
+    """Pick the cheaper row-pointer formulation (static shapes → static pick).
+
+    searchsorted costs ~n_rows·log2(n_slots) random reads; the scatter-add
+    histogram costs ~n_slots scattered writes (each several× a streamed
+    element).  Measured crossover on v5e: n=65536/d=16 chunks (8K rows, 2.6M
+    slots) regressed 4× under the histogram, while n=5M/d=2 chunks (155K
+    rows, 2.8M slots) improved 2.4×.
+    """
+    import math
+
+    log_len = max(math.log2(max(n_slots, 2)), 1.0)
+    return n_rows * log_len * 4 > n_slots
+
+
+def _indptr_from_sorted_rows(rows_sorted: jax.Array, n_rows: int) -> jax.Array:
+    """Exclusive row pointers from (sorted) per-entry row ids.
+
+    One scatter-add histogram + a tiny cumsum — the large-n/low-density
+    alternative to searchsorted (see ``_histogram_indptr_wins``).
+    Entries with ``row ≥ n_rows`` (sort sentinels) accumulate in a dropped
+    tail bucket.
+    """
+    counts = jnp.zeros(n_rows + 2, INT).at[
+        jnp.minimum(rows_sorted, n_rows) + 1
+    ].add(1)
+    return jnp.cumsum(counts, dtype=INT)[: n_rows + 1]
 
 
 def compress_pairs(

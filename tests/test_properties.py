@@ -81,3 +81,28 @@ def test_overflow_guard():
     rf = np.array([2**32, 1, 1, 1], dtype=np.int64)
     with pytest.raises(OverflowError):
         uniform_chunk_plan(a, rf, 1 << 25, 4)
+
+
+def test_engines_cross_parity_fuzz():
+    """ESC and sliced-ELL must agree bit-exactly with each other and scipy on
+    randomized shapes, densities, and structures."""
+    import numpy as np
+
+    from binary_spgemm_tpu import BCSR
+    from binary_spgemm_tpu.ops.ell import ell_spgemm
+    from binary_spgemm_tpu.ops.spgemm import DEFAULT_CHUNK_FLOPS, spgemm
+    from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+    rng = np.random.default_rng(99)
+    for trial in range(8):
+        n = int(rng.integers(1, 400))
+        m = int(rng.integers(1, 400))
+        k = int(rng.integers(1, 400))
+        d = float(rng.uniform(0.1, 6.0))
+        a = BCSR.random(n, k, d, seed=trial)
+        b = BCSR.random(k, m, d, seed=trial + 100)
+        ref = spgemm_oracle(a, b)
+        esc = spgemm(a, b, chunk_flops=DEFAULT_CHUNK_FLOPS)  # force ESC
+        ell = ell_spgemm(a, b)
+        assert esc.equals(ref), (trial, n, k, m, d)
+        assert ell.equals(ref), (trial, n, k, m, d)
