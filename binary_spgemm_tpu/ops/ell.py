@@ -272,10 +272,11 @@ class EllSpGEMMExecutor:
     jitted device program returning stacked per-chunk
     ``(c_indptr, c_indices, nnz)`` — the same contract as ``SpGEMMExecutor``.
 
-    Row chunking exists for *sort-key packing*, not memory: chunk-local row
-    ids fit ``(row << shift) | col`` in one positive int32, halving sort-key
-    bandwidth.  ``row_chunks="auto"`` picks the coarsest packable split (1
-    chunk when the whole matrix already packs).
+    Row chunking serves two measured purposes: chunk-local row ids pack
+    ``(row << shift) | col`` into one positive int32 (single-key sorts), and
+    unrolled chunks overlap (chunk k+1's gathers run under chunk k's sorts).
+    ``row_chunks="auto"`` targets ~32 flop-balanced chunks, capped for
+    packability while that doesn't explode the chunk count.
     """
 
     def __init__(self, a: BCSR, b: BCSR, *, row_chunks: int | str = "auto"):
@@ -337,16 +338,10 @@ class EllSpGEMMExecutor:
         # Valid output entries per chunk never exceed its true flop count, so
         # the stacked per-chunk index outputs are truncated to this bound
         # (resident memory ∝ out_pad·k, not sort_pad·k).
-        self.out_pad = min(
-            pad_bucket(
-                max(
-                    (int(rf[r0:r1].sum()) for r0, r1 in self.chunks),
-                    default=8,
-                )
-                or 8
-            ),
-            self.sort_pad,
+        max_chunk_flops = max(
+            (int(rf[r0:r1].sum()) for r0, r1 in self.chunks), default=0
         )
+        self.out_pad = min(pad_bucket(max_chunk_flops), self.sort_pad)
         self.resident_slots = self.out_pad * k
         # Super-chunking: chunks are dispatched in uniform groups of
         # ``group_size`` so one compile serves every dispatch and per-dispatch

@@ -207,16 +207,16 @@ def sort_compress(
 def _histogram_indptr_wins(n_rows: int, n_slots: int) -> bool:
     """Pick the cheaper row-pointer formulation (static shapes → static pick).
 
-    searchsorted costs ~n_rows·log2(n_slots) random reads; the scatter-add
-    histogram costs ~n_slots scattered writes (each several× a streamed
-    element).  Measured crossover on v5e: n=65536/d=16 chunks (8K rows, 2.6M
-    slots) regressed 4× under the histogram, while n=5M/d=2 chunks (155K
-    rows, 2.8M slots) improved 2.4×.
+    searchsorted costs ~10 ns per of its n_rows·log2(n_slots) random reads;
+    the scatter-add histogram costs ~7 ns per of its n_slots scattered
+    writes.  Calibrated on v5e per-chunk timings: 8K and 32K rows × 2.6M
+    slots → searchsorted wins (histogram cost ~18 ms/chunk); 155K rows ×
+    2.8M slots → histogram wins by ~16 ms/chunk.
     """
     import math
 
     log_len = max(math.log2(max(n_slots, 2)), 1.0)
-    return n_rows * log_len * 4 > n_slots
+    return n_rows * log_len * 10 > n_slots * 7
 
 
 def _indptr_from_sorted_rows(rows_sorted: jax.Array, n_rows: int) -> jax.Array:
@@ -390,6 +390,41 @@ def row_flops(a: BCSR, b: BCSR) -> np.ndarray:
 def spgemm_flops(a: BCSR, b: BCSR) -> int:
     """Total Gustavson flop count (Σ over A-nonzeros (i,j) of nnz(B row j))."""
     return int(row_flops(a, b).sum())
+
+
+def blocked_route(a: BCSR, b: BCSR) -> BCSR | None:
+    """Opt-in MXU route for block-clustered products (ops/bsr.py).
+
+    Sort-based engines pay per candidate slot; dense-block inputs have huge
+    duplication factors (flops/output ≈ block fill · width), which is exactly
+    where dense tile matmuls win — **device compute** measured 56× faster
+    than the general engine on a 0.12-occupancy block-clustered matrix
+    (benchmarks/results.jsonl, blocked-32k-b128; use ``BsrExecutor`` for
+    repeated products).  NOT taken automatically by :func:`spgemm`: the
+    one-shot path moves the dense tiles host↔device each call, which loses
+    whenever that link is slow (this dev environment's tunnel moves
+    ~25 MB/s).  Returns None if the input isn't block-clustered enough
+    (per-touched-tile fill < 5%) or the structure is too large.
+    """
+    from .bsr import block_clustering_ratio, bsr_spgemm
+
+    # only meaningful at scale — tiny shapes make the per-tile ratio noise
+    if a.nnz < (1 << 17) or min(*a.shape, *b.shape) < 2048:
+        return None
+    min_fill = 0.05 * 128 * 128  # ≥5% tile fill: where dense MXU tiles win
+    if block_clustering_ratio(a) < min_fill:
+        return None
+    if b is not a and block_clustering_ratio(b) < min_fill:
+        return None
+    from ..formats.bbcsr import BlockedBCSR
+
+    blk_a = BlockedBCSR.from_bcsr(a, 128)
+    blk_b = blk_a if b is a else BlockedBCSR.from_bcsr(b, 128)
+    # bound pair count / output blocks so the dense tiles stay in memory
+    pair_flops = spgemm_flops(blk_a.structure, blk_b.structure)
+    if blk_a.n_blocks > 32768 or blk_b.n_blocks > 32768 or pair_flops > 65536:
+        return None
+    return bsr_spgemm(blk_a, blk_b).to_bcsr()
 
 
 def _chunk_rows(

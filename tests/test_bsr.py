@@ -121,3 +121,31 @@ def test_bsr_masked_shape_check():
     wrong = BlockedBCSR.from_bcsr(BCSR.from_dense(np.zeros((128, 128))), 32)
     with pytest.raises(ValueError):
         bsr_spgemm(ab, ab, mask=wrong)
+
+
+def test_bsr_executor_matches_one_shot():
+    from binary_spgemm_tpu.ops.bsr import BsrExecutor
+
+    a = BCSR.random_blocked(512, 128, 1.5, 0.2, seed=8)
+    blk = BlockedBCSR.from_bcsr(a, 128)
+    ref = bsr_spgemm(blk, blk).to_bcsr()
+    ex = BsrExecutor(blk, blk)
+    got = ex.assemble(ex.run()).to_bcsr()
+    assert got.equals(ref)
+    # reuse
+    got2 = ex.assemble(ex.run()).to_bcsr()
+    assert got2.equals(ref)
+
+
+def test_blocked_route_opt_in():
+    from binary_spgemm_tpu.ops.spgemm import blocked_route
+
+    a = BCSR.random_blocked(4096, 128, 2.0, 0.3, seed=3)
+    c = blocked_route(a, a)
+    assert c is not None and c.equals(spgemm_oracle(a, a))
+    # uniform input: not clustered enough
+    u = BCSR.random(4096, 4096, 40.0, seed=1)
+    assert blocked_route(u, u) is None
+    # too small to bother
+    s = BCSR.random_blocked(1024, 128, 2.0, 0.3, seed=3)
+    assert blocked_route(s, s) is None

@@ -94,3 +94,23 @@ def test_rmat_spgemm_oracle():
 
     a = BCSR.rmat(9, 6.0, seed=5)
     assert spgemm(a, a).equals(spgemm_oracle(a, a))
+
+
+def test_random_blocked_structure():
+    a = BCSR.random_blocked(1024, 128, 2.0, 0.3, seed=5)
+    assert a.shape == (1024, 1024) and a.nnz > 0
+    # entries cluster into few distinct 128x128 blocks
+    rows = np.repeat(np.arange(1024), np.diff(a.indptr))
+    bkeys = (rows // 128) * 8 + a.indices // 128
+    assert len(np.unique(bkeys)) <= 24
+
+
+def test_random_blocked_spgemm_parity():
+    from binary_spgemm_tpu import BlockedBCSR, bsr_spgemm, spgemm
+    from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+    a = BCSR.random_blocked(512, 128, 1.5, 0.2, seed=6)
+    ref = spgemm_oracle(a, a)
+    assert spgemm(a, a).equals(ref)
+    blk = BlockedBCSR.from_bcsr(a, 128)
+    assert bsr_spgemm(blk, blk).to_bcsr().equals(ref)
