@@ -31,6 +31,8 @@ CONFIGS = [
     # block-clustered: the blocked-MXU path's home turf (old/BSpGEMM.c class);
     # record both the general engine and bsr_spgemm on the same matrix
     ("blocked-32k-b128", 1 << 15, 2.0, "blocked"),
+    # per-op records (masked multiply + row union) on the headline matrix
+    ("ops-64k-d16", 1 << 16, 16.0, "ops"),
 ]
 # The reference's largest grid point.  Compiles take tens of minutes through
 # this environment's mandatory remote-compile tunnel (libtpu version mismatch
@@ -108,6 +110,44 @@ def main() -> None:
             scipy_s = min(sp_ts)
             assert csp.nnz == c.nnz, (name, csp.nnz, c.nnz)
             extras = {}
+            if kind == "ops":
+                # per-op throughput on this matrix: masked multiply (ELL
+                # executor, staged mask) and row union (staged padded op)
+                import jax.numpy as jnp
+
+                from binary_spgemm_tpu import BCSR as _B
+                from binary_spgemm_tpu.ops.ell import EllSpGEMMExecutor
+                from binary_spgemm_tpu.ops.spgemm import DeviceBCSR
+                from binary_spgemm_tpu.ops.union import spm_or_padded
+
+                fmask = _B.random(n, n, d / 2, seed=8)
+                mex = EllSpGEMMExecutor(a, a)
+                mout = mex.run_masked(fmask)
+                np.asarray(mout[2][:1])
+                mts = []
+                for _ in range(args.times):
+                    t0 = time.perf_counter()
+                    mout = mex.run_masked(fmask)
+                    np.asarray(mout[2][:1])
+                    mts.append(time.perf_counter() - t0)
+                da = DeviceBCSR.from_host(a)
+                db = DeviceBCSR.from_host(fmask)
+                uargs = (da.indptr, da.indices, da.nnz,
+                         db.indptr, db.indices, db.nnz)
+                uout = spm_or_padded(*uargs, n_cols=n)
+                np.asarray(uout[2])
+                uts = []
+                for _ in range(args.times):
+                    t0 = time.perf_counter()
+                    uout = spm_or_padded(*uargs, n_cols=n)
+                    np.asarray(uout[2])
+                    uts.append(time.perf_counter() - t0)
+                extras = {
+                    "masked_fastest_s": min(mts),
+                    "masked_nnz": int(mex.assemble(mout).nnz),
+                    "union_fastest_s": min(uts),
+                    "union_nnz": int(uout[2]),
+                }
             if kind == "blocked":
                 from binary_spgemm_tpu import BlockedBCSR
                 from binary_spgemm_tpu.ops.bsr import BsrExecutor

@@ -49,7 +49,9 @@ def block_clustering_ratio(mat: BCSR, block: int = 128) -> float:
     rows = np.searchsorted(mat.indptr, pos, side="right") - 1
     n_bcols = -(-mat.n_cols // block)
     keys = (rows // block) * n_bcols + mat.indices[pos] // block
-    return len(pos) / len(np.unique(keys))
+    # the sample estimates the touched-tile count; the numerator must stay
+    # the full nnz or clustering is understated by nnz/sample for large mats
+    return mat.nnz / len(np.unique(keys))
 
 # Pair-chunk size for the batched matmul (bounds device memory:
 # 2 × chunk × b² bf16 gathered operands ≈ 2 × 512 × 16K × 2B = 32 MB).
@@ -108,6 +110,27 @@ def _pair_matmul_accumulate(
     )
 
 
+def _pad_pair_plan(ka, kb, seg, n_out):
+    """Bucket-pad the (ka, kb, seg) pair plan; tail pairs target a scratch
+    segment ``n_out`` (dropped by callers).  ``first`` marks each output
+    block's first pair (zero-init) including the scratch block's."""
+    npairs = len(ka)
+    npairs_pad = pad_bucket(max(npairs, 1), minimum=1)
+    seg_p = np.full(npairs_pad, n_out, np.int32)
+    ka_p = np.zeros(npairs_pad, np.int32)
+    kb_p = np.zeros(npairs_pad, np.int32)
+    seg_p[:npairs] = seg
+    ka_p[:npairs] = ka
+    kb_p[:npairs] = kb
+    first = np.zeros(npairs_pad, np.int32)
+    if npairs:
+        first[0] = 1
+        first[1:npairs] = (np.diff(seg) != 0).astype(np.int32)
+    if npairs < npairs_pad:
+        first[npairs] = 1  # init the scratch block
+    return seg_p, ka_p, kb_p, first
+
+
 class BsrExecutor:
     """Pre-staged repeated blocked C = A·B on the MXU.
 
@@ -131,20 +154,7 @@ class BsrExecutor:
         self.n_out = len(self.obr)
         self.a_dev = jnp.asarray(a.blocks, jnp.bfloat16)
         self.b_dev = jnp.asarray(b.blocks, jnp.bfloat16)
-        npairs = len(ka)
-        npairs_pad = pad_bucket(max(npairs, 1), minimum=1)
-        seg_p = np.full(npairs_pad, self.n_out, np.int32)
-        ka_p = np.zeros(npairs_pad, np.int32)
-        kb_p = np.zeros(npairs_pad, np.int32)
-        seg_p[:npairs] = seg
-        ka_p[:npairs] = ka
-        kb_p[:npairs] = kb
-        first = np.zeros(npairs_pad, np.int32)
-        if npairs:
-            first[0] = 1
-            first[1:npairs] = (np.diff(seg) != 0).astype(np.int32)
-        if npairs < npairs_pad:
-            first[npairs] = 1  # init the scratch block
+        seg_p, ka_p, kb_p, first = _pad_pair_plan(ka, kb, seg, self.n_out)
         self.seg = jnp.asarray(seg_p)
         self.ka = jnp.asarray(ka_p)
         self.kb = jnp.asarray(kb_p)
@@ -221,18 +231,7 @@ def bsr_spgemm(
 
         # pad the pair list to a bucket; tail pairs write a scratch block
         # (segment n_out) that is dropped, keeping one compile per bucket
-        npairs_pad = pad_bucket(npairs, minimum=1)
-        seg_p = np.full(npairs_pad, n_out, np.int32)
-        ka_p = np.zeros(npairs_pad, np.int32)
-        kb_p = np.zeros(npairs_pad, np.int32)
-        seg_p[:npairs] = seg
-        ka_p[:npairs] = ka
-        kb_p[:npairs] = kb
-        first = np.zeros(npairs_pad, np.int32)
-        first[0] = 1
-        first[1:npairs] = (np.diff(seg) != 0).astype(np.int32)
-        if npairs < npairs_pad:
-            first[npairs] = 1  # init the scratch block
+        seg_p, ka_p, kb_p, first = _pad_pair_plan(ka, kb, seg, n_out)
         counts = grouped_block_matmul(
             jnp.asarray(seg_p), jnp.asarray(ka_p), jnp.asarray(kb_p),
             jnp.asarray(first), a_dev, b_dev,

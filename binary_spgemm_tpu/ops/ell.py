@@ -240,11 +240,15 @@ def _ell_masked_jit(
     sort_pad: int,
     bs_iters: int,
 ):
-    """Masked variant: C = F .* (A·B) — the mask bisection test runs between
-    expansion and sort, exactly as in the ESC masked path (ops/masked.py), so
-    the two engines stay bit-exact with each other and the reference's
-    ``SpGEMM_masked`` (final/SpGEMM_mpi_omp.c:232-288)."""
-    from .masked import rows_in_mask
+    """Masked variant: C = F .* (A·B) — the mask join is fused into the sort
+    (``sort_compress_masked``: mask pairs enter the candidate stream tagged to
+    sort first within a pair; a candidate survives iff its predecessor is its
+    pair's mask entry).  Replaces the per-slot bisection, whose log2(width)
+    random gathers cost ~25× the whole unmasked multiply (measured 1.78 s vs
+    0.072 s on n=64K d=16).  Bit-exact with the reference's ``SpGEMM_masked``
+    (final/SpGEMM_mpi_omp.c:232-288)."""
+    del bs_iters  # retained in the signature for cache-key stability
+    from .spgemm import _row_ids, sort_compress_masked
 
     outs = []
     for k, (row, col) in enumerate(
@@ -254,13 +258,12 @@ def _ell_masked_jit(
             widths=widths, pads=pads, sort_pad=sort_pad,
         )
     ):
-        keep = rows_in_mask(
-            row, col, f_ptr[k], f_idx[k],
-            n_rows=rows_pad, bs_iters=bs_iters,
+        f_rows = _row_ids(f_ptr[k], f_idx[k].shape[0])
+        outs.append(
+            sort_compress_masked(
+                row, col, f_rows, f_idx[k], f_ptr[k][-1], rows_pad, n_cols
+            )
         )
-        row = jnp.where(keep, row, rows_pad)
-        col = jnp.where(keep, col, n_cols)
-        outs.append(sort_compress(row, col, rows_pad, n_cols))
     return tuple(jnp.stack([o[i] for o in outs]) for i in range(3))
 
 

@@ -204,6 +204,102 @@ def sort_compress(
     return c_indptr, c_indices, nnz_c
 
 
+def sort_compress_masked(
+    row: jax.Array,
+    col: jax.Array,
+    f_row: jax.Array,
+    f_col: jax.Array,
+    f_nnz: jax.Array,
+    n_rows: int,
+    n_cols: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Masked sort/compress: keep candidate pairs that appear in mask F.
+
+    The mask test is **fused into the sort** instead of a per-candidate
+    bisection: mask pairs join the candidate stream with a tag bit that
+    sorts them *first* within an equal (row, col) run, so a candidate
+    survives iff its sorted predecessor is its own pair's mask entry (later
+    duplicates see a candidate predecessor and die — dedup falls out of the
+    same comparison).  This replaces ``rows_in_mask``'s log2(row-width)
+    random gathers per slot (~6×10 ns — measured 1.78 s vs 0.072 s unmasked
+    on the headline config) with one slightly longer sort plus streaming
+    compares.
+
+    ``f_row``/``f_col`` are padded mask pairs (entries ≥ ``f_nnz`` are
+    ignored); F must be canonical (sorted, deduplicated).  Sentinel
+    convention and return contract match :func:`sort_compress`; the padded
+    index array has ``len(row) + len(f_row)`` slots.
+    """
+    fi = jnp.arange(f_row.shape[0], dtype=INT)
+    f_valid = fi < f_nnz
+    f_row = jnp.where(f_valid, f_row, n_rows)
+    f_col = jnp.where(f_valid, f_col, n_cols)
+
+    if packable(n_rows, 2 * n_cols + 1):
+        # pack (row, col, tag) into one key; tag 0 = mask entry (sorts first)
+        shift = int(n_cols).bit_length() + 1
+        keys = jnp.concatenate(
+            [
+                ((row << shift) | (col << 1)) | 1,
+                (f_row << shift) | (f_col << 1),
+            ]
+        )
+        key_s = jax.lax.sort((keys,), is_stable=False)[0]
+        prev = jnp.concatenate([jnp.full((1,), -2, INT), key_s[:-1]])
+        is_cand = (key_s & 1) == 1
+        keep = (
+            is_cand
+            & (prev == (key_s & ~1))  # predecessor is THIS pair's mask entry
+            & (key_s < ((n_rows << shift) | 1))
+        )
+        nnz_c = jnp.sum(keep, dtype=INT)
+        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+        c_keys = jax.lax.sort((demoted,), is_stable=False)[0]
+        c_indices = (c_keys >> 1) & ((1 << (shift - 1)) - 1)
+        rows_sorted = jax.lax.shift_right_logical(c_keys, shift)
+        if _histogram_indptr_wins(n_rows, keys.shape[0]):
+            c_indptr = _indptr_from_sorted_rows(rows_sorted, n_rows)
+        else:
+            c_indptr = jnp.searchsorted(
+                c_keys,
+                (jnp.arange(n_rows + 1, dtype=INT) << shift),
+                side="left",
+            ).astype(INT)
+        return c_indptr, c_indices, nnz_c
+
+    rows = jnp.concatenate([row, f_row])
+    cols = jnp.concatenate([col, f_col])
+    tags = jnp.concatenate(
+        [jnp.ones(row.shape[0], INT), jnp.zeros(f_row.shape[0], INT)]
+    )
+    row_s, col_s, tag_s = jax.lax.sort(
+        (rows, cols, tags), num_keys=3, is_stable=False
+    )
+    prev_row = jnp.concatenate([jnp.full((1,), -1, INT), row_s[:-1]])
+    prev_col = jnp.concatenate([jnp.full((1,), -1, INT), col_s[:-1]])
+    prev_tag = jnp.concatenate([jnp.ones((1,), INT), tag_s[:-1]])
+    keep = (
+        (tag_s == 1)
+        & (row_s == prev_row)
+        & (col_s == prev_col)
+        & (prev_tag == 0)
+        & (row_s < n_rows)
+    )
+    nnz_c = jnp.sum(keep, dtype=INT)
+    demoted_r = jnp.where(keep, row_s, n_rows)
+    demoted_c = jnp.where(keep, col_s, n_cols)
+    c_rows, c_indices = jax.lax.sort(
+        (demoted_r, demoted_c), num_keys=2, is_stable=False
+    )
+    if _histogram_indptr_wins(n_rows, rows.shape[0]):
+        c_indptr = _indptr_from_sorted_rows(c_rows, n_rows)
+    else:
+        c_indptr = jnp.searchsorted(
+            c_rows, jnp.arange(n_rows + 1, dtype=INT), side="left"
+        ).astype(INT)
+    return c_indptr, c_indices, nnz_c
+
+
 def _histogram_indptr_wins(n_rows: int, n_slots: int) -> bool:
     """Pick the cheaper row-pointer formulation (static shapes → static pick).
 

@@ -128,6 +128,20 @@ def shard_operands(
     )
 
 
+def _assembly_epilogue(c_ptr, c_idx, nnz_c):
+    """Shared SPMD assembly tail: replicated total nnz + per-shard global
+    offset for the row pointers (≡ MPI_Reduce + MPI_Gather + displacement
+    scan, final/SpGEMM_mpi_omp.c:178-196)."""
+    total = jax.lax.psum(nnz_c, ROWS_AXIS)
+    counts = jax.lax.all_gather(nnz_c, ROWS_AXIS)
+    me = jax.lax.axis_index(ROWS_AXIS)
+    offset = jnp.sum(
+        jnp.where(jnp.arange(counts.shape[0], dtype=INT) < me, counts, 0),
+        dtype=INT,
+    )
+    return (c_ptr + offset)[None], c_idx[None], nnz_c[None, None], total
+
+
 @functools.partial(
     jax.jit, static_argnames=("mesh", "n_cols", "flops_pad")
 )
@@ -156,19 +170,7 @@ def dist_spgemm_sharded(
             n_cols=n_cols, flops_pad=flops_pad,
         )
         # ≡ MPI_Reduce(:178) + MPI_Gather(:186) + displacement scan (:190-196)
-        total = jax.lax.psum(nnz_c, ROWS_AXIS)
-        counts = jax.lax.all_gather(nnz_c, ROWS_AXIS)
-        me = jax.lax.axis_index(ROWS_AXIS)
-        offset = jnp.sum(
-            jnp.where(jnp.arange(counts.shape[0], dtype=INT) < me, counts, 0),
-            dtype=INT,
-        )
-        return (
-            (c_ptr + offset)[None],
-            c_idx[None],
-            nnz_c[None, None],
-            total,
-        )
+        return _assembly_epilogue(c_ptr, c_idx, nnz_c)
 
     return jax.shard_map(
         shard_fn,
@@ -195,6 +197,11 @@ def shard_b_operands(
         ),
         minimum=1,
     )
+    if n_shards * b_pad > np.iinfo(np.int32).max:
+        # the gathered layout addresses b_idx with int32 shard_base offsets
+        raise OverflowError(
+            f"gathered B layout {n_shards}x{b_pad} exceeds int32 addressing"
+        )
     ptrs = np.zeros((n_shards, m_per + 1), np.int32)
     idxs = np.zeros((n_shards, b_pad), np.int32)
     for s in range(n_shards):
@@ -251,14 +258,7 @@ def dist_spgemm_sharded_b(
             b_row_starts=starts, b_row_lens=lens,
         )
         c_ptr, c_idx, nnz_c = sort_compress(row, col, n_rows, n_cols)
-        total = jax.lax.psum(nnz_c, ROWS_AXIS)
-        counts = jax.lax.all_gather(nnz_c, ROWS_AXIS)
-        me = jax.lax.axis_index(ROWS_AXIS)
-        offset = jnp.sum(
-            jnp.where(jnp.arange(counts.shape[0], dtype=INT) < me, counts, 0),
-            dtype=INT,
-        )
-        return (c_ptr + offset)[None], c_idx[None], nnz_c[None, None], total
+        return _assembly_epilogue(c_ptr, c_idx, nnz_c)
 
     return jax.shard_map(
         shard_fn,
@@ -366,14 +366,7 @@ def dist_spgemm_ring(
             0, n_shards, body, (b_ptr[0], b_idx[0], row_buf, col_buf)
         )
         c_ptr, c_idx, nnz_c = sort_compress(row_buf, col_buf, n_rows, n_cols)
-        total = jax.lax.psum(nnz_c, ROWS_AXIS)
-        counts = jax.lax.all_gather(nnz_c, ROWS_AXIS)
-        me = jax.lax.axis_index(ROWS_AXIS)
-        offset = jnp.sum(
-            jnp.where(jnp.arange(counts.shape[0], dtype=INT) < me, counts, 0),
-            dtype=INT,
-        )
-        return (c_ptr + offset)[None], c_idx[None], nnz_c[None, None], total
+        return _assembly_epilogue(c_ptr, c_idx, nnz_c)
 
     return jax.shard_map(
         shard_fn,
@@ -424,14 +417,7 @@ def dist_spgemm_ell(
         row = jnp.concatenate(parts_r)
         col = jnp.concatenate(parts_c)
         c_ptr, c_idx, nnz_c = sort_compress(row, col, rows_pad, n_cols)
-        total = jax.lax.psum(nnz_c, ROWS_AXIS)
-        counts = jax.lax.all_gather(nnz_c, ROWS_AXIS)
-        me = jax.lax.axis_index(ROWS_AXIS)
-        offset = jnp.sum(
-            jnp.where(jnp.arange(counts.shape[0], dtype=INT) < me, counts, 0),
-            dtype=INT,
-        )
-        return (c_ptr + offset)[None], c_idx[None], nnz_c[None, None], total
+        return _assembly_epilogue(c_ptr, c_idx, nnz_c)
 
     n_classes = len(widths)
     return jax.shard_map(
@@ -515,6 +501,11 @@ def dist_spgemm(
     if a.nnz == 0 or b.nnz == 0:
         return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
 
+    if engine == "ell" and b_layout != "replicated":
+        raise ValueError(
+            "engine='ell' is only implemented for b_layout='replicated' "
+            "(the sharded/ring layouts use the ESC expansion)"
+        )
     if b_layout == "replicated" and engine in ("auto", "ell"):
         from ..ops.ell import AUTO_ELL_MAX_SLOTS
 
@@ -527,6 +518,8 @@ def dist_spgemm(
             )
             fits = sort_pad <= AUTO_ELL_MAX_SLOTS
         except OverflowError:
+            if engine == "ell":
+                raise  # forced engine: surface the guard, don't mask it
             fits = False
         if fits or engine == "ell":
             c_ptr, c_idx, nnz_sh, total = dist_spgemm_ell(
