@@ -393,31 +393,55 @@ def dist_spgemm_ell(
     sort_pad: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """SPMD step with the **sliced-ELL expansion** per shard (see ops/ell.py):
-    B's class tables are replicated across the mesh; each shard row-gathers its
-    A-entries' B rows and sorts chunk-locally (packed single-key when
-    ``rows_pad``/``n_cols`` allow).  Brings the single-chip ELL speedup
-    (~4x over ESC, benchmarks/micro.jsonl) to the distributed product.
-    Assembly (psum + all_gather offset fix) matches ``dist_spgemm_sharded``.
+    B's class tables are replicated across the mesh; each shard row-gathers
+    its A-entries' B rows and runs the same sub-chunked sort plan as the
+    single-chip executor — chunk-local row ids pack the sort key into one
+    int32 when ``rows_pad``/``n_cols`` allow, and unrolled chunks overlap.
+    Entry arrays are ``[S, C, pad_c]`` (chunk dim C static).  Row pointers
+    come back globally prefix-fixed across both chunks and shards.
     """
     from ..ops.ell import _expand_class
 
+    n_chunks = entry_rows[0].shape[1] if widths else 1
     fill = sort_pad - sum(p * w for p, w in zip(pads, widths))
 
     def shard_fn(tables, entry_rows, entry_pos):
-        parts_r, parts_c = [], []
-        for t, er, ep in zip(tables, entry_rows, entry_pos):
-            r, c = _expand_class(t, er[0], ep[0], rows_pad, n_cols)
-            parts_r.append(r)
-            parts_c.append(c)
-        if fill:
-            sent_r = jnp.full((fill,), rows_pad, INT)
-            sent_c = jnp.full((fill,), n_cols, INT)
-            parts_r.append(jax.lax.pcast(sent_r, (ROWS_AXIS,), to="varying"))
-            parts_c.append(jax.lax.pcast(sent_c, (ROWS_AXIS,), to="varying"))
-        row = jnp.concatenate(parts_r)
-        col = jnp.concatenate(parts_c)
-        c_ptr, c_idx, nnz_c = sort_compress(row, col, rows_pad, n_cols)
-        return _assembly_epilogue(c_ptr, c_idx, nnz_c)
+        outs = []
+        for c in range(n_chunks):
+            parts_r, parts_c = [], []
+            for t, er, ep in zip(tables, entry_rows, entry_pos):
+                r, cc = _expand_class(t, er[0, c], ep[0, c], rows_pad, n_cols)
+                parts_r.append(r)
+                parts_c.append(cc)
+            if fill:
+                sent_r = jnp.full((fill,), rows_pad, INT)
+                sent_c = jnp.full((fill,), n_cols, INT)
+                parts_r.append(
+                    jax.lax.pcast(sent_r, (ROWS_AXIS,), to="varying")
+                )
+                parts_c.append(
+                    jax.lax.pcast(sent_c, (ROWS_AXIS,), to="varying")
+                )
+            row = jnp.concatenate(parts_r)
+            col = jnp.concatenate(parts_c)
+            outs.append(sort_compress(row, col, rows_pad, n_cols))
+        ptr = jnp.stack([o[0] for o in outs])  # [C, rows_pad+1]
+        idx = jnp.stack([o[1] for o in outs])  # [C, sort_pad]
+        nnzs = jnp.stack([o[2] for o in outs])  # [C]
+        # global offsets: exclusive chunk prefix within the shard, plus the
+        # shard's global offset (≡ the reference's two-level pointer fix:
+        # intra-rank stitch :134-141 + root cross-rank fix :211-223)
+        local_off = jnp.cumsum(nnzs) - nnzs
+        shard_total = jnp.sum(nnzs, dtype=INT)
+        total = jax.lax.psum(shard_total, ROWS_AXIS)
+        counts = jax.lax.all_gather(shard_total, ROWS_AXIS)
+        me = jax.lax.axis_index(ROWS_AXIS)
+        shard_off = jnp.sum(
+            jnp.where(jnp.arange(counts.shape[0], dtype=INT) < me, counts, 0),
+            dtype=INT,
+        )
+        ptr = ptr + (local_off + shard_off)[:, None]
+        return ptr[None], idx[None], nnzs[None], total
 
     n_classes = len(widths)
     return jax.shard_map(
@@ -432,37 +456,71 @@ def dist_spgemm_ell(
     )(tables, entry_rows, entry_pos)
 
 
-def _shard_ell_operands(a: BCSR, b: BCSR, mesh: Mesh, bounds: np.ndarray):
-    """Device-sharded per-(shard, class) ELL entry arrays + replicated tables."""
-    from ..ops.ell import EllB, _build_class_entries
+def _shard_ell_operands(
+    a: BCSR, b: BCSR, mesh: Mesh, bounds: np.ndarray, rf: np.ndarray
+):
+    """Device-sharded per-(shard, chunk, class) ELL entry arrays + replicated
+    tables.  Each shard's rows are sub-chunked exactly like the single-chip
+    executor (flop-balanced, row-capped for packed sort keys); all shards
+    share one static chunk count C (trailing chunks empty where a shard
+    needed fewer).  Returns ``(..., sub_bounds [S, C+1])`` for assembly."""
+    from ..ops.ell import EllB, _build_class_entries, _chunk_bounds
 
     n_shards = mesh.devices.size
     ell = EllB.build(b)
     rows_pc, pos_pc = _build_class_entries(a, ell)
     widths = tuple(ell.widths)
-    rows_pad = pad_bucket(int(np.max(np.diff(bounds))), minimum=1)
-    cuts_pc = [np.searchsorted(r, bounds) for r in rows_pc]
+    n_cols = b.n_cols
+    shift = int(n_cols).bit_length()
+    cap = 1 << max(0, 30 - shift)
+
+    per_shard_bounds = []
+    for s in range(n_shards):
+        r0, r1 = int(bounds[s]), int(bounds[s + 1])
+        rf_s = rf[r0:r1]
+        sflops = int(rf_s.sum())
+        budget = max(sflops // 8, 1 << 19)
+        max_rows = cap if cap >= 512 else max(r1 - r0, 1)
+        if max_rows and -(-max(r1 - r0, 1) // max_rows) > 16:
+            max_rows = max(r1 - r0, 1)  # unpacked: keep C small
+        sb = _chunk_bounds(rf_s, budget, max_rows) if r1 > r0 else [0, 0]
+        per_shard_bounds.append([r0 + x for x in sb])
+    C = max(len(sb) - 1 for sb in per_shard_bounds)
+    sub_bounds = np.zeros((n_shards, C + 1), np.int64)
+    for s, sb in enumerate(per_shard_bounds):
+        sub_bounds[s, : len(sb)] = sb
+        sub_bounds[s, len(sb) :] = sb[-1]  # trailing empty chunks
+
+    rows_pad = pad_bucket(
+        int(np.max(np.diff(sub_bounds, axis=1))) or 1, minimum=1
+    )
+    cuts_pc = [
+        np.stack([np.searchsorted(rcls, sub_bounds[s]) for s in range(n_shards)])
+        for rcls in rows_pc
+    ]  # per class: [S, C+1]
     pads = tuple(
-        pad_bucket(max(int(np.diff(c).max()), 1), minimum=8) for c in cuts_pc
+        pad_bucket(max(int(np.diff(c, axis=1).max()), 1), minimum=8)
+        for c in cuts_pc
     ) if widths else ()
     shard = NamedSharding(mesh, P(ROWS_AXIS))
     repl = NamedSharding(mesh, P())
     tables = tuple(jax.device_put(t, repl) for t in ell.tables)
     er, ep = [], []
     for ci, (rcls, pcls, pad) in enumerate(zip(rows_pc, pos_pc, pads)):
-        r = np.full((n_shards, pad), rows_pad, np.int32)
-        p = np.zeros((n_shards, pad), np.int32)
+        r = np.full((n_shards, C, pad), rows_pad, np.int32)
+        p = np.zeros((n_shards, C, pad), np.int32)
         for s in range(n_shards):
-            lo, hi = cuts_pc[ci][s], cuts_pc[ci][s + 1]
-            r[s, : hi - lo] = rcls[lo:hi] - bounds[s]
-            p[s, : hi - lo] = pcls[lo:hi]
+            for c in range(C):
+                lo, hi = cuts_pc[ci][s, c], cuts_pc[ci][s, c + 1]
+                r[s, c, : hi - lo] = rcls[lo:hi] - sub_bounds[s, c]
+                p[s, c, : hi - lo] = pcls[lo:hi]
         er.append(jax.device_put(r, shard))
         ep.append(jax.device_put(p, shard))
     slots = sum(p * w for p, w in zip(pads, widths))
     if slots > np.iinfo(np.int32).max:
         raise OverflowError(f"ELL shard expansion {slots} slots exceeds int32")
     sort_pad = pad_bucket(max(slots, 8))
-    return tables, tuple(er), tuple(ep), widths, pads, rows_pad, sort_pad
+    return tables, tuple(er), tuple(ep), widths, pads, rows_pad, sort_pad, sub_bounds
 
 
 def dist_spgemm(
@@ -513,8 +571,8 @@ def dist_spgemm(
         rf = row_flops(a, b)
         bounds = partition_rows(rf, mesh_.devices.size, balance=balance)
         try:
-            (tables, er, ep, widths, pads, rows_pad, sort_pad) = (
-                _shard_ell_operands(a, b, mesh_, bounds)
+            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
+                _shard_ell_operands(a, b, mesh_, bounds, rf)
             )
             fits = sort_pad <= AUTO_ELL_MAX_SLOTS
         except OverflowError:
@@ -522,13 +580,13 @@ def dist_spgemm(
                 raise  # forced engine: surface the guard, don't mask it
             fits = False
         if fits or engine == "ell":
-            c_ptr, c_idx, nnz_sh, total = dist_spgemm_ell(
+            c_ptr, c_idx, nnz_sc, total = dist_spgemm_ell(
                 tables, er, ep,
                 mesh=mesh_, rows_pad=rows_pad, n_cols=m,
                 widths=widths, pads=pads, sort_pad=sort_pad,
             )
-            return _assemble_sharded(
-                c_ptr, c_idx, nnz_sh, total, bounds, (n, m)
+            return _assemble_subchunked(
+                c_ptr, c_idx, nnz_sc, total, sub_bounds, (n, m)
             )
 
     ops = shard_operands(a, b, mesh, balance=balance)
@@ -553,6 +611,31 @@ def dist_spgemm(
             mesh=ops.mesh, n_cols=m, flops_pad=ops.flops_pad,
         )
     return _assemble_sharded(c_ptr, c_idx, nnz_sh, total, ops.bounds, (n, m))
+
+
+def _assemble_subchunked(
+    c_ptr, c_idx, nnz_sc, total, sub_bounds, shape
+) -> BCSR:
+    """Host assembly of sub-chunked SPMD outputs (row pointers already global
+    across chunks and shards)."""
+    c_ptr = np.asarray(c_ptr)
+    c_idx = np.asarray(c_idx)
+    nnz_sc = np.asarray(nnz_sc)
+    indptr_parts = [np.zeros(1, np.int64)]
+    index_parts = []
+    for s in range(sub_bounds.shape[0]):
+        for c in range(sub_bounds.shape[1] - 1):
+            r0, r1 = sub_bounds[s, c], sub_bounds[s, c + 1]
+            if r1 == r0:
+                continue
+            index_parts.append(c_idx[s, c, : nnz_sc[s, c]])
+            indptr_parts.append(c_ptr[s, c, 1 : r1 - r0 + 1].astype(np.int64))
+    indptr = np.concatenate(indptr_parts)
+    indices = (
+        np.concatenate(index_parts) if index_parts else np.zeros(0, np.int32)
+    )
+    assert indptr[-1] == int(total), (indptr[-1], int(total))
+    return BCSR(indptr.astype(np.int32), indices, shape)
 
 
 def _assemble_sharded(c_ptr, c_idx, nnz_sh, total, bounds, shape) -> BCSR:

@@ -152,3 +152,27 @@ def test_dist_ell_skewed_rectangular():
     a2 = BCSR.random(123, 512, 3.0, seed=4)
     c2 = dist_spgemm(a2, b, make_row_mesh(), engine="ell")
     assert c2.equals(spgemm_oracle(a2, b))
+
+
+def test_dist_ell_subchunked_many_chunks():
+    # force multiple sub-chunks per shard by a matrix big enough that the
+    # flop budget splits shards, and verify the two-level global pointer fix
+    a = BCSR.random(1200, 1200, 8.0, seed=17)
+    from binary_spgemm_tpu.parallel.dist_spgemm import (
+        _shard_ell_operands,
+    )
+    from binary_spgemm_tpu.parallel.mesh import make_row_mesh
+    from binary_spgemm_tpu.ops.spgemm import row_flops
+    import numpy as np
+
+    mesh = make_row_mesh()
+    c = dist_spgemm(a, a, mesh, engine="ell")
+    assert c.equals(spgemm_oracle(a, a))
+    # directly check the sub-chunk plan covers all rows contiguously
+    rf = row_flops(a, a)
+    bounds = partition_rows(rf, 8)
+    *_, sub_bounds = _shard_ell_operands(a, a, mesh, bounds, rf)
+    for s in range(8):
+        assert sub_bounds[s, 0] == bounds[s]
+        assert sub_bounds[s, -1] == bounds[s + 1]
+        assert np.all(np.diff(sub_bounds[s]) >= 0)
