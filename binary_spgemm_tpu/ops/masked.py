@@ -3,11 +3,13 @@
 The reference's ``SpGEMM_masked`` (final/SpGEMM_mpi_omp.c:232-288) inverts its SPA:
 the accumulator starts "all blocked", F's row unblocks allowed columns, and the
 Gustavson loop then only admits in-mask columns.  The TPU-native equivalent keeps
-the ESC pipeline of :mod:`.spgemm` and replaces the SPA trick with a **vectorised
-binary search**: every expanded candidate pair (i, k) is tested for membership in
-F's row i by a fixed-iteration bisection over F's (canonical, sorted) index array —
-branch-free, the same code path for every lane.  Out-of-mask candidates become
-sentinels before the sort, so sort + compress work is shared with the unmasked op.
+the ESC pipeline of :mod:`.spgemm` and fuses the mask test **into the sort**
+(``sort_compress_masked``): F's pairs join the candidate stream with a tag bit
+that orders them first within an equal (row, col) run, so a candidate survives
+iff its sorted predecessor is its own pair's mask entry.  That costs one
+slightly longer sort instead of per-candidate random reads — the earlier
+bisection variant (kept as :func:`rows_in_mask` for the fused-OR op) measured
+25× slower (log2(width) × 10 ns gathers per slot).
 """
 from __future__ import annotations
 
@@ -27,7 +29,6 @@ from .spgemm import (
     pad_bucket,
     pad_chunk_csr,
     row_flops,
-    sort_compress,
     uniform_chunk_plan,
 )
 
@@ -124,8 +125,8 @@ def masked_spgemm(
 
     # Engine choice mirrors the unmasked auto_executor: the sliced-ELL
     # expansion (row-gather, packed-key chunk sorts) beats ESC whenever its
-    # padded expansion fits one program; the mask bisection is identical in
-    # both, so results stay bit-exact either way.
+    # padded expansion fits one program; the sort-fused mask join is shared,
+    # so results stay bit-exact either way.
     from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
 
     try:
