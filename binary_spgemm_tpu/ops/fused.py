@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..formats.bcsr import BCSR
-from .masked import rows_in_mask
+
 from .spgemm import (
     INT,
     DEFAULT_CHUNK_FLOPS,
@@ -56,25 +56,105 @@ def spgemm_or_padded(
     flops_pad: int,
     bs_iters: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Jitted C = D OR (F.*?(A·B)) over padded CSR arrays."""
+    """Jitted C = D OR (F.*?(A·B)) over padded CSR arrays.
+
+    Unmasked: D's pairs simply join the candidate stream before the sort
+    (the SPA pre-seed analogue).  Masked: one **three-way sort-join** — mask,
+    D, and candidate entries share the stream with a 2-bit tag ordering them
+    mask < D < candidate within an equal (row, col) run, so a D entry
+    survives as its run's first D, and a candidate survives only when its
+    immediate predecessor is its pair's mask entry (a D predecessor means the
+    pair is already in the output; a candidate predecessor is a duplicate).
+    No per-candidate probing — same design as ``sort_compress_masked``.
+    """
+    del bs_iters  # retained in the signature for cache-key stability
     n_rows = a_indptr.shape[0] - 1
     row, col = expand_pairs(
         a_indptr, a_indices, a_nnz, b_indptr, b_indices,
         n_cols=n_cols, flops_pad=flops_pad,
     )
-    if f_indptr is not None:
-        keep = rows_in_mask(
-            row, col, f_indptr, f_indices, n_rows=n_rows, bs_iters=bs_iters
-        )
-        row = jnp.where(keep, row, n_rows)
-        col = jnp.where(keep, col, n_cols)
-    # D's pairs join the candidate stream (SPA pre-seed analogue)
     pd = d_indices.shape[0]
     d_rows = _row_ids(d_indptr, pd)
     d_valid = jnp.arange(pd, dtype=INT) < d_nnz
-    row = jnp.concatenate([row, jnp.where(d_valid, d_rows, n_rows)])
-    col = jnp.concatenate([col, jnp.where(d_valid, d_indices, n_cols)])
-    return sort_compress(row, col, n_rows, n_cols)
+    d_rows = jnp.where(d_valid, d_rows, n_rows)
+    d_cols = jnp.where(d_valid, d_indices, n_cols)
+    if f_indptr is None:
+        # D's pairs join the candidate stream (SPA pre-seed analogue)
+        row = jnp.concatenate([row, d_rows])
+        col = jnp.concatenate([col, d_cols])
+        return sort_compress(row, col, n_rows, n_cols)
+    pf = f_indices.shape[0]
+    f_rows = _row_ids(f_indptr, pf)
+    f_valid = jnp.arange(pf, dtype=INT) < f_indptr[-1]
+    f_rows = jnp.where(f_valid, f_rows, n_rows)
+    f_cols = jnp.where(f_valid, f_indices, n_cols)
+    return _sort_compress_or_masked(
+        row, col, d_rows, d_cols, f_rows, f_cols, n_rows, n_cols
+    )
+
+
+def _sort_compress_or_masked(
+    row, col, d_row, d_col, f_row, f_col, n_rows: int, n_cols: int
+):
+    """Three-way tagged sort-join for C = D OR (F .* candidates)."""
+    from .spgemm import _indptr_from_sorted_rows, packable
+
+    if packable(n_rows, 4 * n_cols + 3):
+        shift = int(n_cols).bit_length() + 2
+        keys = jnp.concatenate(
+            [
+                ((row << shift) | (col << 2)) | 2,  # candidates last in run
+                ((d_row << shift) | (d_col << 2)) | 1,
+                (f_row << shift) | (f_col << 2),  # mask first in run
+            ]
+        )
+        key_s = jax.lax.sort((keys,), is_stable=False)[0]
+        prev = jnp.concatenate([jnp.full((1,), -1, INT), key_s[:-1]])
+        pair = jax.lax.shift_right_logical(key_s, 2)
+        prev_pair = jax.lax.shift_right_logical(prev, 2)
+        tag = key_s & 3
+        prev_tag = prev & 3
+        same = pair == prev_pair
+        keep_d = (tag == 1) & (~same | (prev_tag == 0))
+        keep_c = (tag == 2) & same & (prev_tag == 0)
+        bound = key_s < ((n_rows << shift) | 2)
+        keep = (keep_d | keep_c) & bound
+        nnz_c = jnp.sum(keep, dtype=INT)
+        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+        c_keys = jax.lax.sort((demoted,), is_stable=False)[0]
+        c_indices = (c_keys >> 2) & ((1 << (shift - 2)) - 1)
+        c_indptr = jnp.searchsorted(
+            c_keys, jnp.arange(n_rows + 1, dtype=INT) << shift, side="left"
+        ).astype(INT)
+        return c_indptr, c_indices, nnz_c
+
+    rows = jnp.concatenate([row, d_row, f_row])
+    cols = jnp.concatenate([col, d_col, f_col])
+    tags = jnp.concatenate(
+        [
+            jnp.full(row.shape[0], 2, INT),
+            jnp.ones(d_row.shape[0], INT),
+            jnp.zeros(f_row.shape[0], INT),
+        ]
+    )
+    row_s, col_s, tag_s = jax.lax.sort(
+        (rows, cols, tags), num_keys=3, is_stable=False
+    )
+    prev_row = jnp.concatenate([jnp.full((1,), -1, INT), row_s[:-1]])
+    prev_col = jnp.concatenate([jnp.full((1,), -1, INT), col_s[:-1]])
+    prev_tag = jnp.concatenate([jnp.full((1,), 2, INT), tag_s[:-1]])
+    same = (row_s == prev_row) & (col_s == prev_col)
+    keep_d = (tag_s == 1) & (~same | (prev_tag == 0))
+    keep_c = (tag_s == 2) & same & (prev_tag == 0)
+    keep = (keep_d | keep_c) & (row_s < n_rows)
+    nnz_c = jnp.sum(keep, dtype=INT)
+    demoted_r = jnp.where(keep, row_s, n_rows)
+    demoted_c = jnp.where(keep, col_s, n_cols)
+    c_rows, c_indices = jax.lax.sort(
+        (demoted_r, demoted_c), num_keys=2, is_stable=False
+    )
+    c_indptr = _indptr_from_sorted_rows(c_rows, n_rows)
+    return c_indptr, c_indices, nnz_c
 
 
 def spgemm_or(

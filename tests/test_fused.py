@@ -60,3 +60,24 @@ def test_shape_errors():
     d = BCSR.random(11, 10, 1.0, seed=0)
     with pytest.raises(ValueError):
         spgemm_or(d, a, a)
+
+
+def test_fused_masked_three_way_overlaps():
+    """Pairs in all combinations of {D, mask, product} must follow
+    C = D OR (F .* (A.B)) exactly."""
+    import numpy as np
+    from binary_spgemm_tpu import BCSR, spgemm_or
+    from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        n = int(rng.integers(20, 200))
+        a = BCSR.random(n, n, 3.0, seed=trial)
+        d = BCSR.random(n, n, 2.0, seed=trial + 50)
+        f = BCSR.random(n, n, 2.5, seed=trial + 99)
+        got = spgemm_or(d, a, a, mask=f)
+        prod = spgemm_oracle(a, a).to_scipy()
+        want = (d.to_scipy() + f.to_scipy().multiply(prod)).tocsr()
+        want.sort_indices()
+        want_b = BCSR.from_scipy(want)
+        assert got.equals(want_b), trial
