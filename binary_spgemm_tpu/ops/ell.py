@@ -222,9 +222,7 @@ def _chunk_pair_streams(
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "rows_pad", "n_cols", "widths", "pads", "sort_pad", "bs_iters"
-    ),
+    static_argnames=("rows_pad", "n_cols", "widths", "pads", "sort_pad"),
 )
 def _ell_masked_jit(
     tables,
@@ -238,7 +236,6 @@ def _ell_masked_jit(
     widths: tuple[int, ...],
     pads: tuple[int, ...],
     sort_pad: int,
-    bs_iters: int,
 ):
     """Masked variant: C = F .* (A·B) — the mask join is fused into the sort
     (``sort_compress_masked``: mask pairs enter the candidate stream tagged to
@@ -247,7 +244,6 @@ def _ell_masked_jit(
     random gathers cost ~25× the whole unmasked multiply (measured 1.78 s vs
     0.072 s on n=64K d=16).  Bit-exact with the reference's ``SpGEMM_masked``
     (final/SpGEMM_mpi_omp.c:232-288)."""
-    del bs_iters  # retained in the signature for cache-key stability
     from .spgemm import _row_ids, sort_compress_masked
 
     outs = []
@@ -417,15 +413,11 @@ class EllSpGEMMExecutor:
         F is canonicalised and chunk-sliced host-side per call; reuse the
         executor when timing repeated masked products with a fixed mask.
         """
-        import math
-
         from .spgemm import pad_chunk_csr
 
         if f.shape != self.shape:
             raise ValueError(f"mask shape {f.shape} != product {self.shape}")
         f = f.sum_duplicates()
-        max_row = int(np.diff(f.indptr).max()) if f.nnz else 0
-        bs_iters = max(1, math.ceil(math.log2(max_row + 1)) + 1)
         f_nnz_pad = pad_bucket(
             max(int(f.indptr[r1] - f.indptr[r0]) for r0, r1 in self.chunks)
         )
@@ -449,7 +441,7 @@ class EllSpGEMMExecutor:
                     self.tables, er_g, ep_g, fp, fi,
                     rows_pad=self.rows_pad, n_cols=self.n_cols,
                     widths=self.widths, pads=self.pads,
-                    sort_pad=self.sort_pad, bs_iters=bs_iters,
+                    sort_pad=self.sort_pad,
                 )
             )
         if len(outs) == 1:

@@ -13,7 +13,6 @@ through unmasked); ``masked=True`` reproduces that semantics.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -24,11 +23,14 @@ from ..formats.bcsr import BCSR
 from .spgemm import (
     INT,
     DEFAULT_CHUNK_FLOPS,
+    _histogram_indptr_wins,
+    _indptr_from_sorted_rows,
     _row_ids,
     _stitch,
     expand_pairs,
     pad_bucket,
     pad_chunk_csr,
+    packable,
     row_flops,
     sort_compress,
     uniform_chunk_plan,
@@ -37,9 +39,7 @@ from .spgemm import (
 __all__ = ["spgemm_or", "spgemm_or_padded"]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_cols", "flops_pad", "bs_iters")
-)
+@functools.partial(jax.jit, static_argnames=("n_cols", "flops_pad"))
 def spgemm_or_padded(
     d_indptr: jax.Array,
     d_indices: jax.Array,
@@ -54,7 +54,6 @@ def spgemm_or_padded(
     *,
     n_cols: int,
     flops_pad: int,
-    bs_iters: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Jitted C = D OR (F.*?(A·B)) over padded CSR arrays.
 
@@ -67,7 +66,6 @@ def spgemm_or_padded(
     pair is already in the output; a candidate predecessor is a duplicate).
     No per-candidate probing — same design as ``sort_compress_masked``.
     """
-    del bs_iters  # retained in the signature for cache-key stability
     n_rows = a_indptr.shape[0] - 1
     row, col = expand_pairs(
         a_indptr, a_indices, a_nnz, b_indptr, b_indices,
@@ -97,8 +95,6 @@ def _sort_compress_or_masked(
     row, col, d_row, d_col, f_row, f_col, n_rows: int, n_cols: int
 ):
     """Three-way tagged sort-join for C = D OR (F .* candidates)."""
-    from .spgemm import _indptr_from_sorted_rows, packable
-
     if packable(n_rows, 4 * n_cols + 3):
         shift = int(n_cols).bit_length() + 2
         keys = jnp.concatenate(
@@ -123,9 +119,15 @@ def _sort_compress_or_masked(
         demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
         c_keys = jax.lax.sort((demoted,), is_stable=False)[0]
         c_indices = (c_keys >> 2) & ((1 << (shift - 2)) - 1)
-        c_indptr = jnp.searchsorted(
-            c_keys, jnp.arange(n_rows + 1, dtype=INT) << shift, side="left"
-        ).astype(INT)
+        if _histogram_indptr_wins(n_rows, keys.shape[0]):
+            c_indptr = _indptr_from_sorted_rows(
+                jax.lax.shift_right_logical(c_keys, shift), n_rows
+            )
+        else:
+            c_indptr = jnp.searchsorted(
+                c_keys, jnp.arange(n_rows + 1, dtype=INT) << shift,
+                side="left",
+            ).astype(INT)
         return c_indptr, c_indices, nnz_c
 
     rows = jnp.concatenate([row, d_row, f_row])
@@ -153,7 +155,12 @@ def _sort_compress_or_masked(
     c_rows, c_indices = jax.lax.sort(
         (demoted_r, demoted_c), num_keys=2, is_stable=False
     )
-    c_indptr = _indptr_from_sorted_rows(c_rows, n_rows)
+    if _histogram_indptr_wins(n_rows, rows.shape[0]):
+        c_indptr = _indptr_from_sorted_rows(c_rows, n_rows)
+    else:
+        c_indptr = jnp.searchsorted(
+            c_rows, jnp.arange(n_rows + 1, dtype=INT), side="left"
+        ).astype(INT)
     return c_indptr, c_indices, nnz_c
 
 
@@ -178,18 +185,18 @@ def spgemm_or(
         empty = BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
         return spm_or(d, empty)
 
-    bs_iters = 0
     if mask is not None:
         if tuple(mask.shape) != (n, m):
             raise ValueError(f"mask shape {mask.shape} != {(n, m)}")
         mask = mask.sum_duplicates()
-        max_row = int(np.diff(mask.indptr).max()) if mask.nnz else 0
-        bs_iters = max(1, math.ceil(math.log2(max_row + 1)) + 1)
 
     chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
     rf = row_flops(a, b)
+    # the masked kernel packs (row, col, 2-bit tag), so the row cap must be
+    # computed against the wider key (see _sort_compress_or_masked)
+    key_cols = (4 * m + 3) if mask is not None else m
     chunks, rows_pad, nnz_pad, flops_pad = uniform_chunk_plan(
-        a, rf, chunk_flops, m
+        a, rf, chunk_flops, key_cols
     )
     d_nnz_pad = pad_bucket(
         max(int(d.indptr[r1] - d.indptr[r0]) for r0, r1 in chunks)
@@ -212,8 +219,6 @@ def spgemm_or(
         if mask is not None:
             f_ptr, f_idx, _ = pad_chunk_csr(mask, r0, r1, rows_pad, f_nnz_pad, fill=m)
             args += [jnp.asarray(f_ptr), jnp.asarray(f_idx)]
-        return spgemm_or_padded(
-            *args, n_cols=m, flops_pad=flops_pad, bs_iters=bs_iters
-        )
+        return spgemm_or_padded(*args, n_cols=m, flops_pad=flops_pad)
 
     return _stitch(chunks, n, (n, m), run_chunk)

@@ -8,13 +8,12 @@ the ESC pipeline of :mod:`.spgemm` and fuses the mask test **into the sort**
 that orders them first within an equal (row, col) run, so a candidate survives
 iff its sorted predecessor is its own pair's mask entry.  That costs one
 slightly longer sort instead of per-candidate random reads — the earlier
-bisection variant (kept as :func:`rows_in_mask` for the fused-OR op) measured
-25× slower (log2(width) × 10 ns gathers per slot).
+per-candidate bisection design measured 25× slower (log2(width) × 10 ns
+random gathers per slot).
 """
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -32,47 +31,10 @@ from .spgemm import (
     uniform_chunk_plan,
 )
 
-__all__ = ["masked_spgemm", "masked_spgemm_padded", "rows_in_mask"]
+__all__ = ["masked_spgemm", "masked_spgemm_padded"]
 
 
-def rows_in_mask(
-    row: jax.Array,
-    col: jax.Array,
-    f_indptr: jax.Array,
-    f_indices: jax.Array,
-    *,
-    n_rows: int,
-    bs_iters: int,
-) -> jax.Array:
-    """Vectorised membership test: is (row, col) a nonzero of F?
-
-    ``f_indices`` must be sorted ascending within each row (canonical form).
-    ``bs_iters`` ≥ ceil(log2(max F row length + 1)) — fixed-trip bisection.
-    Sentinel rows (row ≥ n_rows) report False.
-    """
-    r = jnp.clip(row, 0, n_rows - 1)
-    lo = f_indptr[r]
-    hi0 = f_indptr[r + 1]
-    fmax = f_indices.shape[0] - 1
-
-    def body(_, lohi):
-        lo, hi = lohi
-        active = lo < hi
-        mid = (lo + hi) // 2
-        fv = f_indices[jnp.clip(mid, 0, fmax)]
-        go_right = active & (fv < col)
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(active & ~go_right, mid, hi)
-        return lo, hi
-
-    lo, _ = jax.lax.fori_loop(0, bs_iters, body, (lo, hi0))
-    found = (lo < hi0) & (f_indices[jnp.clip(lo, 0, fmax)] == col)
-    return found & (row < n_rows)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("n_cols", "flops_pad", "bs_iters")
-)
+@functools.partial(jax.jit, static_argnames=("n_cols", "flops_pad"))
 def masked_spgemm_padded(
     f_indptr: jax.Array,
     f_indices: jax.Array,
@@ -84,12 +46,10 @@ def masked_spgemm_padded(
     *,
     n_cols: int,
     flops_pad: int,
-    bs_iters: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Jitted masked ESC SpGEMM.  Same contract as ``spgemm_padded`` plus mask
-    F.  The mask test is the sort-fused join (``sort_compress_masked``), not
-    the bisection — see that function for the measured 25× difference."""
-    del bs_iters  # retained in the signature for cache-key stability
+    F.  The mask test is the sort-fused join (``sort_compress_masked``) —
+    see that function for the measured 25× difference vs probing."""
     from .spgemm import _row_ids, sort_compress_masked
 
     n_rows = a_indptr.shape[0] - 1
@@ -138,12 +98,12 @@ def masked_spgemm(
     except OverflowError:
         pass
 
-    max_row = int(np.diff(f.indptr).max())
-    bs_iters = max(1, math.ceil(math.log2(max_row + 1)) + 1)
-
     chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
     rf = row_flops(a, b)
-    chunks, rows_pad, nnz_pad, flops_pad = uniform_chunk_plan(a, rf, chunk_flops, m)
+    # the masked kernel packs (row, col, tag-bit) — row cap vs the wider key
+    chunks, rows_pad, nnz_pad, flops_pad = uniform_chunk_plan(
+        a, rf, chunk_flops, 2 * m + 1
+    )
     # F is sliced to the same rows (so row ids line up inside the kernel) and
     # padded to one uniform size across chunks — one compile serves all.
     f_nnz_pad = pad_bucket(
@@ -165,7 +125,6 @@ def masked_spgemm(
             b_indices,
             n_cols=m,
             flops_pad=flops_pad,
-            bs_iters=bs_iters,
         )
 
     return _stitch(chunks, n, (n, m), run_chunk)

@@ -106,3 +106,23 @@ def test_engines_cross_parity_fuzz():
         ell = ell_spgemm(a, b)
         assert esc.equals(ref), (trial, n, k, m, d)
         assert ell.equals(ref), (trial, n, k, m, d)
+
+
+def test_masked_engines_cross_parity_fuzz():
+    """Masked multiply must agree across ELL join, ESC join, and scipy."""
+    import numpy as np
+
+    from binary_spgemm_tpu import BCSR, masked_spgemm
+    from binary_spgemm_tpu.ops.ell import EllSpGEMMExecutor
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle
+
+    rng = np.random.default_rng(123)
+    for trial in range(6):
+        n = int(rng.integers(30, 300))
+        d = float(rng.uniform(0.5, 5.0))
+        a = BCSR.random(n, n, d, seed=trial)
+        f = BCSR.random(n, n, d / 2 + 0.5, seed=trial + 7)
+        ref = masked_spgemm_oracle(f, a, a)
+        assert masked_spgemm(f, a, a).equals(ref), trial
+        ex = EllSpGEMMExecutor(a, a, row_chunks=3)
+        assert ex.assemble(ex.run_masked(f)).equals(ref), trial
