@@ -613,14 +613,28 @@ def dist_spgemm(
     return _assemble_sharded(c_ptr, c_idx, nnz_sh, total, ops.bounds, (n, m))
 
 
+def _fetch_global(x) -> np.ndarray:
+    """Materialise a possibly cross-process-sharded array on this host.
+
+    Single-process: plain device→host copy.  Multi-process (``jax.distributed``
+    — the mpirun analogue): ``process_allgather`` fetches the remote shards,
+    so every process assembles the full result (≡ the reference's
+    gather-to-root, final/SpGEMM_mpi_omp.c:203-204, made symmetric)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _assemble_subchunked(
     c_ptr, c_idx, nnz_sc, total, sub_bounds, shape
 ) -> BCSR:
     """Host assembly of sub-chunked SPMD outputs (row pointers already global
     across chunks and shards)."""
-    c_ptr = np.asarray(c_ptr)
-    c_idx = np.asarray(c_idx)
-    nnz_sc = np.asarray(nnz_sc)
+    c_ptr = _fetch_global(c_ptr)
+    c_idx = _fetch_global(c_idx)
+    nnz_sc = _fetch_global(nnz_sc)
     indptr_parts = [np.zeros(1, np.int64)]
     index_parts = []
     for s in range(sub_bounds.shape[0]):
@@ -640,9 +654,9 @@ def _assemble_subchunked(
 
 def _assemble_sharded(c_ptr, c_idx, nnz_sh, total, bounds, shape) -> BCSR:
     """Host assembly of sharded SPMD outputs (already globally prefix-fixed)."""
-    c_ptr = np.asarray(c_ptr)
-    c_idx = np.asarray(c_idx)
-    nnz_sh = np.asarray(nnz_sh)[:, 0]
+    c_ptr = _fetch_global(c_ptr)
+    c_idx = _fetch_global(c_idx)
+    nnz_sh = _fetch_global(nnz_sh)[:, 0]
     indptr_parts = [np.zeros(1, np.int64)]
     index_parts = []
     for s, (r0, r1) in enumerate(zip(bounds, bounds[1:])):

@@ -18,10 +18,11 @@ Usage on each host of a pod slice::
 
 Notes:
 
-* ``dist_spgemm``'s assembly keeps the result sharded; ``fetch_to_host0``
-  materialises it on process 0 only (≡ gather-to-root) — use only when needed,
-  it is exactly the serialisation the reference measured as its multi-node
-  bottleneck (report §3 figs 9-10).
+* ``dist_spgemm``'s host assembly detects multi-process execution and
+  all-gathers the sharded outputs (every process gets the full result — the
+  gather-to-root analogue made symmetric).  Avoid it in inner loops: that
+  serialisation is exactly the reference's measured multi-node bottleneck
+  (report §3 figs 9-10); keep results device-sharded between SPMD steps.
 * barriers for benchmarking come from ``sync_global_devices`` (≡ MPI_Barrier,
   final:319).
 """
