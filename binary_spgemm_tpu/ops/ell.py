@@ -295,10 +295,12 @@ class EllSpGEMMExecutor:
             # Row cap keeps the packed single-key sort when n_cols allows —
             # but only while the cap doesn't explode the chunk count (every
             # chunk is unrolled into the program; compile size is linear in
-            # chunks).  Past ~96 chunks the 2-key sort is the better trade.
+            # chunks).  Measured: 128 packed chunks beat 32 unpacked at
+            # n=256K (0.203 s vs 0.361 s), but n=1M would need 2048 chunks
+            # (absurd compile) — cut over past ~160.
             budget = max(total_flops // 32, 1 << 19)
             max_rows = cap if cap >= 512 else max(n, 1)
-            if -(-n // max_rows) > 96:
+            if -(-n // max_rows) > 160:
                 max_rows = max(n, 1)  # unpacked: no row cap
             bounds = _chunk_bounds(rf, budget, max_rows)
         elif row_chunks == 1:
