@@ -119,3 +119,17 @@ def test_ell_streaming_assembly(monkeypatch):
     ex = EllSpGEMMExecutor(a, a, row_chunks=5)
     c = ex.run_assemble_streaming()
     assert c.equals(spgemm_oracle(a, a))
+
+
+def test_ell_staged_mask_reuse():
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle as mo
+
+    a = BCSR.random(300, 300, 4.0, seed=51)
+    f = BCSR.random(300, 300, 2.0, seed=52)
+    ex = EllSpGEMMExecutor(a, a)
+    staged = ex.stage_mask(f)
+    c1 = ex.assemble(ex.run_masked(staged))
+    c2 = ex.assemble(ex.run_masked(staged))  # reuse, no host prep
+    c3 = ex.assemble(ex.run_masked(f))       # per-call staging path
+    ref = mo(f, a, a)
+    assert c1.equals(ref) and c2.equals(ref) and c3.equals(ref)
