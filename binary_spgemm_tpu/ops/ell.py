@@ -284,51 +284,75 @@ class EllSpGEMMExecutor:
         self.shape = (a.n_rows, b.n_cols)
         self.n_rows, self.n_cols = a.n_rows, b.n_cols
         rf = row_flops(a, b)
-        total_flops = int(rf.sum())
+        ell = EllB.build(b)
+        # Balance chunks on PADDED expansion slots, not raw flops: per-class
+        # pads are max-over-chunks, so skewed class mixes (power-law graphs)
+        # inflate sort_pad when chunks are merely flop-balanced.  Per-row
+        # padded weight = Σ over entries of the B-row's bucketed class width.
+        padded_w = np.zeros(len(ell.widths) + 1, np.int64)
+        for ci, wc in enumerate(ell.widths):
+            padded_w[ci] = wc
+        rfp = np.zeros(a.n_rows, np.int64)
+        if a.nnz:
+            entry_w = padded_w[ell.class_of_row[a.indices]]
+            cum = np.zeros(a.nnz + 1, np.int64)
+            np.cumsum(entry_w, out=cum[1:])
+            rfp = cum[a.indptr[1:]] - cum[a.indptr[:-1]]
+        total_flops = int(rfp.sum())
         shift = int(self.n_cols).bit_length()
         cap = 1 << max(0, 30 - shift)  # chunk rows so the packed key fits
         n = self.n_rows
+        rows_pc, pos_pc = _build_class_entries(a, ell)
+        self.widths = tuple(ell.widths)
+
+        def plan(bounds):
+            """Evaluate a chunk plan: per-class cuts/pads and total padded
+            slots (per-class pads are max-over-chunks, so skewed class mixes
+            can inflate badly — the caller compares plans on this)."""
+            k = len(bounds) - 1
+            cuts_pc, pads = [], []
+            for rcls in rows_pc:
+                cuts = np.searchsorted(rcls, np.asarray(bounds))
+                cuts_pc.append(cuts)
+                pads.append(
+                    pad_bucket(max(int(np.diff(cuts).max()), 1), minimum=8)
+                )
+            slots = sum(p * w for p, w in zip(pads, self.widths))
+            return cuts_pc, tuple(pads), slots, slots * k
+
         if row_chunks == "auto":
-            # ~32 flop-balanced chunks: measured 0.0753 s (9 chunks) →
+            # ~32 slot-balanced chunks: measured 0.0753 s (9 chunks) →
             # 0.0715 (19) → 0.0700 (37) on the headline config — smaller
             # sorts + deeper cross-chunk overlap, flattening past ~32.
-            # Row cap keeps the packed single-key sort when n_cols allows —
-            # but only while the cap doesn't explode the chunk count (every
-            # chunk is unrolled into the program; compile size is linear in
-            # chunks).  Measured: 128 packed chunks beat 32 unpacked at
-            # n=256K (0.203 s vs 0.361 s), but n=1M would need 2048 chunks
-            # (absurd compile) — cut over past ~160.
+            # The row cap keeps the packed single-key sort when n_cols
+            # allows, but cap-driven plans can both explode the chunk count
+            # (compile size is linear in chunks; n=1M would need 2048) and,
+            # on skewed inputs, blow up the max-over-chunks class pads —
+            # so the capped plan is EVALUATED and kept only if its padded
+            # total stays near the uncapped plan's (n=256K: 128 packed
+            # chunks measured 0.206 s vs 0.361 s unpacked; R-MAT s18: the
+            # capped plan padded 5.4× and OOMed).
             budget = max(total_flops // 32, 1 << 19)
-            max_rows = cap if cap >= 512 else max(n, 1)
-            if -(-n // max_rows) > 160:
-                max_rows = max(n, 1)  # unpacked: no row cap
-            bounds = _chunk_bounds(rf, budget, max_rows)
+            bounds = _chunk_bounds(rfp, budget, max(n, 1))
+            if cap >= 512 and -(-n // cap) <= 160:
+                capped = _chunk_bounds(rfp, budget, cap)
+                if len(capped) > len(bounds):
+                    _, _, _, tot_c = plan(capped)
+                    _, _, _, tot_u = plan(bounds)
+                    if tot_c <= 2 * tot_u:
+                        bounds = capped
         elif row_chunks == 1:
             bounds = [0, n]
         else:
             budget = max(total_flops // int(row_chunks), 1)
-            bounds = _chunk_bounds(rf, budget, -(-n // int(row_chunks)))
+            bounds = _chunk_bounds(rfp, budget, -(-n // int(row_chunks)))
         self.bounds = np.asarray(bounds, np.int64)
         self.chunks = list(zip(bounds, bounds[1:]))
         self.rows_pad = pad_bucket(
             max(r1 - r0 for r0, r1 in self.chunks) if n else 1, minimum=1
         )
-
-        ell = EllB.build(b)
-        rows_pc, pos_pc = _build_class_entries(a, ell)
-        self.widths = tuple(ell.widths)
         k = len(self.chunks)
-        counts = np.zeros((k, len(self.widths)), np.int64)
-        cuts_pc = []
-        for ci, rcls in enumerate(rows_pc):
-            cuts = np.searchsorted(rcls, self.bounds)
-            cuts_pc.append(cuts)
-            counts[:, ci] = np.diff(cuts)
-        self.pads = tuple(
-            pad_bucket(max(int(counts[:, ci].max()), 1), minimum=8)
-            for ci in range(len(self.widths))
-        )
-        slots = sum(p * w for p, w in zip(self.pads, self.widths))
+        cuts_pc, self.pads, slots, _ = plan(bounds)
         if slots > np.iinfo(np.int32).max:
             raise OverflowError(
                 f"ELL chunk expansion {slots} slots exceeds int32; "
