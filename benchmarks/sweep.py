@@ -179,7 +179,7 @@ def main() -> None:
                 "output_nnz": c.nnz,
                 "flops": flops,
                 "engine": "ell" if is_ell else "esc",
-                "chunks": len(ex.chunks),
+                "chunks": ex.n_chunks if is_ell else len(ex.chunks),
                 "fastest_s": min(ts),
                 "mean_s": sum(ts) / len(ts),
                 "compile_or_cached_s": compile_s,

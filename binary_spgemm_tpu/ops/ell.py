@@ -278,7 +278,14 @@ class EllSpGEMMExecutor:
     packability while that doesn't explode the chunk count.
     """
 
-    def __init__(self, a: BCSR, b: BCSR, *, row_chunks: int | str = "auto"):
+    def __init__(
+        self,
+        a: BCSR,
+        b: BCSR,
+        *,
+        row_chunks: int | str = "auto",
+        masked: bool = False,
+    ):
         if a.n_cols != b.n_rows:
             raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
         self.shape = (a.n_rows, b.n_cols)
@@ -299,8 +306,12 @@ class EllSpGEMMExecutor:
             np.cumsum(entry_w, out=cum[1:])
             rfp = cum[a.indptr[1:]] - cum[a.indptr[:-1]]
         total_flops = int(rfp.sum())
-        shift = int(self.n_cols).bit_length()
-        cap = 1 << max(0, 30 - shift)  # chunk rows so the packed key fits
+        # Chunk rows so the packed sort key fits one positive int32.  A
+        # mask-serving executor packs (row, col, tag) — one extra low bit
+        # (sort_compress_masked) — so ``masked=True`` halves the cap to keep
+        # run_masked's sorts single-key packed as well.
+        shift = int(self.n_cols).bit_length() + (1 if masked else 0)
+        cap = 1 << max(0, 30 - shift)
         n = self.n_rows
         rows_pc, pos_pc = _build_class_entries(a, ell)
         self.widths = tuple(ell.widths)
@@ -320,7 +331,8 @@ class EllSpGEMMExecutor:
             slots = sum(p * w for p, w in zip(pads, self.widths))
             return cuts_pc, tuple(pads), slots, slots * k
 
-        if row_chunks == "auto":
+        force = row_chunks if isinstance(row_chunks, str) else None
+        if force in ("auto", "contig", "deal"):
             # ~32 slot-balanced chunks: measured 0.0753 s (9 chunks) →
             # 0.0715 (19) → 0.0700 (37) on the headline config — smaller
             # sorts + deeper cross-chunk overlap, flattening past ~32.
@@ -346,13 +358,92 @@ class EllSpGEMMExecutor:
         else:
             budget = max(total_flops // int(row_chunks), 1)
             bounds = _chunk_bounds(rfp, budget, -(-n // int(row_chunks)))
-        self.bounds = np.asarray(bounds, np.int64)
-        self.chunks = list(zip(bounds, bounds[1:]))
-        self.rows_pad = pad_bucket(
-            max(r1 - r0 for r0, r1 in self.chunks) if n else 1, minimum=1
+        chunks_c = list(zip(bounds, bounds[1:]))
+        rows_pad_c = pad_bucket(
+            max(r1 - r0 for r0, r1 in chunks_c) if n else 1, minimum=1
         )
-        k = len(self.chunks)
-        cuts_pc, self.pads, slots, _ = plan(bounds)
+        cuts_pc, pads_c, slots_c, _ = plan(bounds)
+
+        # Dealt (non-contiguous) plan: rows snake-dealt into k equal bins by
+        # descending padded weight.  Contiguous flop-balanced splits are the
+        # reference's static schedule (final/SpGEMM_mpi_omp.c:95-108) and its
+        # known weakness on power-law inputs (the schedule(dynamic) experiment,
+        # old/SpGEMM_omp.c:264); dealing balances every width class's
+        # per-chunk counts at once, shrinking the max-over-chunks class pads
+        # (R-MAT s18: 1.38G → 1.21G padded slots) AND equalising bin sizes so
+        # chunk-local row ids fit the packed sort key (rows_pad 45056 → 4096).
+        from .spgemm import packable
+
+        key_cols = 2 * self.n_cols + 1 if masked else self.n_cols
+        dealt = None
+        if force in ("auto", "deal") and n > 0 and self.widths and total_flops:
+            m_pack = -(-n // cap) if cap >= 512 else 257
+            k_d = max(32, m_pack) if m_pack <= 256 else 48
+            order = np.argsort(-rfp, kind="stable")
+            pos = np.arange(n)
+            lane = (pos % k_d).astype(np.int32)
+            assign = np.empty(n, np.int32)
+            assign[order] = np.where((pos // k_d) % 2 == 0, lane, k_d - 1 - lane)
+            pads_d = tuple(
+                pad_bucket(
+                    int(np.bincount(assign[rcls], minlength=k_d).max())
+                    if len(rcls)
+                    else 1,
+                    minimum=8,
+                )
+                for rcls in rows_pc
+            )
+            slots_d = sum(p * w for p, w in zip(pads_d, self.widths))
+            rows_pad_d = pad_bucket(
+                int(np.bincount(assign, minlength=k_d).max()) or 1, minimum=1
+            )
+            if slots_d <= np.iinfo(np.int32).max:
+                dealt = (assign, k_d, pads_d, slots_d, rows_pad_d)
+
+        def sort_cost(slots, k, rows_pad):
+            # measured v5e sort rates: packed 1-key 2.71 ns/slot vs 2-key
+            # 3.69 (benchmarks/micro.jsonl) → 1.36x weight when unpacked
+            rate = 1.0 if packable(rows_pad, key_cols) else 1.36
+            return pad_bucket(max(slots, 8)) * k * rate
+
+        use_dealt = force == "deal" and dealt is not None
+        if force == "auto" and dealt is not None:
+            assign, k_d, pads_d, slots_d, rows_pad_d = dealt
+            use_dealt = sort_cost(slots_d, k_d, rows_pad_d) < 0.9 * sort_cost(
+                slots_c, len(chunks_c), rows_pad_c
+            )
+
+        if use_dealt:
+            assign, k, self.pads, slots, self.rows_pad = dealt
+            self.chunks = None
+            self.bounds = None
+            order2 = np.argsort(assign, kind="stable")  # chunk-grouped,
+            binsz = np.bincount(assign, minlength=k)  # ascending row within
+            starts = np.concatenate([[0], np.cumsum(binsz)])
+            self.row_sets = [
+                order2[starts[i] : starts[i + 1]] for i in range(k)
+            ]
+            local_id = np.empty(n, np.int32)
+            local_id[order2] = (
+                np.arange(n) - np.repeat(starts[:-1], binsz)
+            ).astype(np.int32)
+            max_chunk_flops = (
+                int(np.bincount(assign, weights=rf, minlength=k).max())
+                if a.nnz
+                else 0
+            )
+        else:
+            self.bounds = np.asarray(bounds, np.int64)
+            self.chunks = chunks_c
+            self.row_sets = None
+            self.rows_pad = rows_pad_c
+            self.pads = pads_c
+            slots = slots_c
+            k = len(chunks_c)
+            max_chunk_flops = max(
+                (int(rf[r0:r1].sum()) for r0, r1 in chunks_c), default=0
+            )
+        self.n_chunks = k
         if slots > np.iinfo(np.int32).max:
             raise OverflowError(
                 f"ELL chunk expansion {slots} slots exceeds int32; "
@@ -363,9 +454,6 @@ class EllSpGEMMExecutor:
         # Valid output entries per chunk never exceed its true flop count, so
         # the stacked per-chunk index outputs are truncated to this bound
         # (resident memory ∝ out_pad·k, not sort_pad·k).
-        max_chunk_flops = max(
-            (int(rf[r0:r1].sum()) for r0, r1 in self.chunks), default=0
-        )
         self.out_pad = min(pad_bucket(max_chunk_flops), self.sort_pad)
         self.resident_slots = self.out_pad * k
         # Super-chunking: chunks are dispatched in uniform groups of
@@ -376,21 +464,46 @@ class EllSpGEMMExecutor:
         self.n_groups = -(-k // self.group_size)
 
         self.tables = tuple(jnp.asarray(t) for t in ell.tables)
-        er, ep = [], []
-        for kk, (r0, r1) in enumerate(self.chunks):
-            er_k, ep_k = [], []
-            for ci, (rcls, pcls, pad) in enumerate(
-                zip(rows_pc, pos_pc, self.pads)
-            ):
-                lo, hi = cuts_pc[ci][kk], cuts_pc[ci][kk + 1]
-                r = np.full(pad, self.rows_pad, np.int32)
-                r[: hi - lo] = rcls[lo:hi] - r0  # chunk-local row ids
-                p = np.zeros(pad, np.int32)
-                p[: hi - lo] = pcls[lo:hi]
-                er_k.append(jnp.asarray(r))
-                ep_k.append(jnp.asarray(p))
-            er.append(tuple(er_k))
-            ep.append(tuple(ep_k))
+        if self.row_sets is not None:
+            # per-class partition of A's entries by dealt chunk; within a
+            # chunk entries keep ascending global-row order, so chunk-local
+            # ids (local_id) match the mask staging and assembly order
+            parts = []
+            for rcls, pcls in zip(rows_pc, pos_pc):
+                ch = assign[rcls]
+                ordc = np.argsort(ch, kind="stable")
+                cnt = np.bincount(ch, minlength=k)
+                cst = np.concatenate([[0], np.cumsum(cnt)])
+                parts.append((rcls[ordc], pcls[ordc], cst))
+            er, ep = [], []
+            for kk in range(k):
+                er_k, ep_k = [], []
+                for (rs, ps, cst), pad in zip(parts, self.pads):
+                    lo, hi = cst[kk], cst[kk + 1]
+                    r = np.full(pad, self.rows_pad, np.int32)
+                    r[: hi - lo] = local_id[rs[lo:hi]]
+                    p = np.zeros(pad, np.int32)
+                    p[: hi - lo] = ps[lo:hi]
+                    er_k.append(jnp.asarray(r))
+                    ep_k.append(jnp.asarray(p))
+                er.append(tuple(er_k))
+                ep.append(tuple(ep_k))
+        else:
+            er, ep = [], []
+            for kk, (r0, r1) in enumerate(self.chunks):
+                er_k, ep_k = [], []
+                for ci, (rcls, pcls, pad) in enumerate(
+                    zip(rows_pc, pos_pc, self.pads)
+                ):
+                    lo, hi = cuts_pc[ci][kk], cuts_pc[ci][kk + 1]
+                    r = np.full(pad, self.rows_pad, np.int32)
+                    r[: hi - lo] = rcls[lo:hi] - r0  # chunk-local row ids
+                    p = np.zeros(pad, np.int32)
+                    p[: hi - lo] = pcls[lo:hi]
+                    er_k.append(jnp.asarray(r))
+                    ep_k.append(jnp.asarray(p))
+                er.append(tuple(er_k))
+                ep.append(tuple(ep_k))
         self.er, self.ep = tuple(er), tuple(ep)
 
     def _dummy_chunk(self):
@@ -401,7 +514,7 @@ class EllSpGEMMExecutor:
         return er, ep
 
     def _groups(self):
-        g, k = self.group_size, len(self.chunks)
+        g, k = self.group_size, self.n_chunks
         for g0 in range(0, k, g):
             er_g = list(self.er[g0 : g0 + g])
             ep_g = list(self.ep[g0 : g0 + g])
@@ -444,16 +557,31 @@ class EllSpGEMMExecutor:
         if f.shape != self.shape:
             raise ValueError(f"mask shape {f.shape} != product {self.shape}")
         f = f.sum_duplicates()
-        f_nnz_pad = pad_bucket(
-            max(int(f.indptr[r1] - f.indptr[r0]) for r0, r1 in self.chunks)
-        )
         ptrs, idxs = [], []
-        for r0, r1 in self.chunks:
-            fp, fi, _ = pad_chunk_csr(
-                f, r0, r1, self.rows_pad, f_nnz_pad, fill=self.n_cols
+        if self.row_sets is not None:
+            lens_all = np.diff(f.indptr).astype(np.int64)
+            f_nnz_pad = pad_bucket(
+                max(
+                    (int(lens_all[rows].sum()) for rows in self.row_sets),
+                    default=1,
+                )
             )
-            ptrs.append(fp)
-            idxs.append(fi)
+            for rows in self.row_sets:
+                fp, fi, _ = _pad_rowset_csr(
+                    f, rows, self.rows_pad, f_nnz_pad, fill=self.n_cols
+                )
+                ptrs.append(fp)
+                idxs.append(fi)
+        else:
+            f_nnz_pad = pad_bucket(
+                max(int(f.indptr[r1] - f.indptr[r0]) for r0, r1 in self.chunks)
+            )
+            for r0, r1 in self.chunks:
+                fp, fi, _ = pad_chunk_csr(
+                    f, r0, r1, self.rows_pad, f_nnz_pad, fill=self.n_cols
+                )
+                ptrs.append(fp)
+                idxs.append(fi)
         g = self.group_size
         while len(ptrs) % g:
             ptrs.append(np.zeros(self.rows_pad + 1, np.int32))  # empty mask
@@ -491,12 +619,19 @@ class EllSpGEMMExecutor:
 
     def assemble(self, outputs) -> BCSR:
         c_ptr, c_idx, nnz_c = (np.asarray(o) for o in outputs)
-        it = iter(range(len(self.chunks)))
+        parts = [
+            (c_ptr[i], c_idx[i], nnz_c[i]) for i in range(self.n_chunks)
+        ]
+        return self._assemble_parts(parts)
+
+    def _assemble_parts(self, parts) -> BCSR:
+        if self.row_sets is not None:
+            return _stitch_sets(
+                self.row_sets, self.shape[0], self.shape, parts
+            )
+        it = iter(parts)
         return _stitch(
-            self.chunks,
-            self.shape[0],
-            self.shape,
-            lambda r0, r1: (lambda s: (c_ptr[s], c_idx[s], nnz_c[s]))(next(it)),
+            self.chunks, self.shape[0], self.shape, lambda r0, r1: next(it)
         )
 
     def run_assemble_streaming(self) -> BCSR:
@@ -522,13 +657,60 @@ class EllSpGEMMExecutor:
                 host_parts.append(
                     (ptr[j], np.asarray(idx_dev[j, : int(nnz[j])]), int(nnz[j]))
                 )
-        it = iter(range(len(self.chunks)))
-        return _stitch(
-            self.chunks,
-            self.shape[0],
-            self.shape,
-            lambda r0, r1: host_parts[next(it)],
+        return self._assemble_parts(host_parts[: self.n_chunks])
+
+
+def _pad_rowset_csr(
+    mat: BCSR, rows: np.ndarray, rows_pad: int, nnz_pad: int, fill: int = 0
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """``pad_chunk_csr`` for a non-contiguous (dealt) row set: local CSR of
+    ``mat``'s rows in the given order, uniformly padded."""
+    lens = (mat.indptr[rows + 1] - mat.indptr[rows]).astype(np.int64)
+    total = int(lens.sum())
+    ptr = np.full(rows_pad + 1, total, np.int32)
+    ptr[0] = 0
+    ptr[1 : len(rows) + 1] = np.cumsum(lens)
+    idx = np.full(nnz_pad, fill, np.int32)
+    if total:
+        nz = lens > 0
+        src = _segment_sources(mat.indptr, rows[nz], lens[nz])
+        idx[:total] = mat.indices[src]
+    return ptr, idx, total
+
+
+def _stitch_sets(row_sets, n_rows: int, shape, parts) -> BCSR:
+    """Host assembly for the dealt plan: scatter each chunk's row segments
+    back to their global rows (the non-contiguous analogue of ``_stitch``'s
+    memcpy+prefix-fix, final/SpGEMM_mpi_omp.c:117-141).  ``parts`` is one
+    ``(c_ptr, c_idx, nnz_c)`` triple per chunk; chunk-local row ids were
+    assigned in ascending global-row order, so each chunk's compacted index
+    stream is already segment-ordered."""
+    lengths = np.zeros(n_rows, np.int64)
+    for rows, (c_ptr, _, _) in zip(row_sets, parts):
+        if len(rows):
+            cp = np.asarray(c_ptr[: len(rows) + 1], dtype=np.int64)
+            lengths[rows] = np.diff(cp)
+    indptr = np.concatenate([[0], np.cumsum(lengths)])
+    total = int(indptr[-1])
+    if total > np.iinfo(np.int32).max:
+        raise OverflowError(
+            f"output nnz {total} exceeds int32 row-pointer range; "
+            "int64 indptr support is not implemented yet"
         )
+    indices = np.empty(total, np.int32)
+    for rows, (c_ptr, c_idx, nnz_c) in zip(row_sets, parts):
+        nnz_c = int(nnz_c)
+        if not nnz_c:
+            continue
+        lens = lengths[rows]
+        nz = lens > 0
+        lens = lens[nz]
+        dst = np.repeat(indptr[rows[nz]], lens) + (
+            np.arange(nnz_c, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        indices[dst] = np.asarray(c_idx[:nnz_c])
+    return BCSR(indptr.astype(np.int32), indices, shape)
 
 
 def _chunk_bounds(rf: np.ndarray, budget: int, max_rows: int) -> list[int]:

@@ -121,6 +121,63 @@ def test_ell_streaming_assembly(monkeypatch):
     assert c.equals(spgemm_oracle(a, a))
 
 
+def test_ell_dealt_plan_matches_oracle():
+    # power-law rows: the dealt (snake-dealt row bins) plan's home turf
+    a = BCSR.rmat(10, 5.0, seed=61)
+    ex = EllSpGEMMExecutor(a, a, row_chunks="deal")
+    assert ex.row_sets is not None and ex.chunks is None
+    # the dealt row sets partition [0, n)
+    allrows = np.sort(np.concatenate(ex.row_sets))
+    assert np.array_equal(allrows, np.arange(a.n_rows))
+    ref = spgemm_oracle(a, a)
+    assert ex.assemble(ex.run()).equals(ref)
+    assert ex.run_assemble_streaming().equals(ref)
+    # contig plan on the same input agrees bit-exactly
+    exc = EllSpGEMMExecutor(a, a, row_chunks="contig")
+    assert exc.row_sets is None
+    assert exc.assemble(exc.run()).equals(ref)
+
+
+def test_ell_dealt_masked_and_staged():
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle as mo
+
+    a = BCSR.rmat(9, 4.0, seed=62)
+    f = BCSR.random(a.n_rows, a.n_cols, 3.0, seed=63)
+    ex = EllSpGEMMExecutor(a, a, row_chunks="deal", masked=True)
+    assert ex.row_sets is not None
+    ref = mo(f, a, a)
+    assert ex.assemble(ex.run_masked(f)).equals(ref)
+    staged = ex.stage_mask(f)
+    assert ex.assemble(ex.run_masked(staged)).equals(ref)
+
+
+def test_ell_dealt_super_chunked(monkeypatch):
+    import binary_spgemm_tpu.ops.ell as ell_mod
+
+    a = BCSR.rmat(9, 5.0, seed=64)
+    ex_ref = EllSpGEMMExecutor(a, a, row_chunks="deal")
+    monkeypatch.setattr(
+        ell_mod, "DISPATCH_SLOT_BUDGET", ex_ref.sort_pad * ex_ref.n_chunks // 3
+    )
+    ex = EllSpGEMMExecutor(a, a, row_chunks="deal")
+    assert ex.n_groups >= 2
+    assert ex.assemble(ex.run()).equals(spgemm_oracle(a, a))
+
+
+def test_ell_pad_rowset_csr():
+    from binary_spgemm_tpu.ops.ell import _pad_rowset_csr
+
+    a = BCSR.random(40, 17, 3.0, seed=65)
+    rows = np.array([7, 0, 33, 12], dtype=np.int64)
+    ptr, idx, total = _pad_rowset_csr(a, rows, rows_pad=8, nnz_pad=64, fill=17)
+    lens = np.diff(a.indptr)[rows]
+    assert total == lens.sum()
+    assert ptr[0] == 0 and np.all(ptr[len(rows):] == total)
+    expect = np.concatenate([a.row(r) for r in rows])
+    assert np.array_equal(idx[:total], expect)
+    assert np.all(idx[total:] == 17)
+
+
 def test_ell_staged_mask_reuse():
     from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle as mo
 
