@@ -53,6 +53,7 @@ __all__ = [
     "dist_spgemm_sharded_b",
     "dist_spgemm_ell",
     "dist_spgemm_ring",
+    "dist_spgemm_ring_ell",
     "ring_step_pad",
     "shard_operands",
     "shard_b_operands",
@@ -376,9 +377,152 @@ def dist_spgemm_ring(
     )(a_ptr, a_idx, a_nnz, b_ptr_sh, b_idx_sh)
 
 
+def _ring_ell_entries(
+    a: BCSR,
+    ell,
+    bounds: np.ndarray,
+    cls_cuts: list,
+    m_per: int,
+    rows_pad: int,
+    n_shards: int,
+):
+    """Per-(A-shard, B-shard, class) entry arrays for the ELL ring schedule.
+
+    Entry ``(row, col)`` of A is processed at the ring step where A-shard
+    ``searchsorted(bounds, row)`` holds B-shard ``col // m_per``'s table
+    slice; its position is shard-local within that slice.  Returns per-class
+    ``entry_rows``/``entry_pos`` of shape ``[S, S, ent_pad_c]`` (dim 1 = the
+    source B shard) plus the pads."""
+    rows_g = np.repeat(
+        np.arange(a.n_rows, dtype=np.int64), np.diff(a.indptr)
+    )
+    cols = a.indices.astype(np.int64)
+    ci_e = ell.class_of_row[cols]
+    pos_e = ell.pos_in_class[cols].astype(np.int64)
+    src_e = cols // m_per
+    shard_e = np.searchsorted(bounds, rows_g, side="right") - 1
+    er, ep, ent_pads = [], [], []
+    for ci in range(len(ell.widths)):
+        sel = ci_e == ci
+        r, p, sde, srce = rows_g[sel], pos_e[sel], shard_e[sel], src_e[sel]
+        lp = p - cls_cuts[ci][srce]  # slice-local table position
+        key = sde * n_shards + srce
+        cnt = np.bincount(key, minlength=n_shards * n_shards)
+        pad = pad_bucket(int(cnt.max()) if len(r) else 1, minimum=8)
+        order = np.argsort(key, kind="stable")
+        starts = np.cumsum(cnt) - cnt
+        cell_pos = np.arange(len(r)) - np.repeat(starts, cnt)
+        er_c = np.full((n_shards, n_shards, pad), rows_pad, np.int32)
+        ep_c = np.zeros((n_shards, n_shards, pad), np.int32)
+        ko = key[order]
+        er_c[ko // n_shards, ko % n_shards, cell_pos] = (
+            r[order] - bounds[ko // n_shards]
+        ).astype(np.int32)
+        ep_c[ko // n_shards, ko % n_shards, cell_pos] = lp[order].astype(
+            np.int32
+        )
+        er.append(er_c)
+        ep.append(ep_c)
+        ent_pads.append(pad)
+    return er, ep, tuple(ent_pads)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "rows_pad", "n_cols", "widths", "pads", "sort_pad"),
+    static_argnames=(
+        "mesh", "rows_pad", "n_cols", "widths", "ent_pads", "step_pad"
+    ),
+)
+def dist_spgemm_ring_ell(
+    tables_sh: tuple[jax.Array, ...],  # [S, tbl_pad_c, w] table slices (sharded)
+    entry_rows: tuple[jax.Array, ...],  # [S, S, ent_pad_c] (dim 1 = src B shard)
+    entry_pos: tuple[jax.Array, ...],  # [S, S, ent_pad_c] slice-local positions
+    *,
+    mesh: Mesh,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    ent_pads: tuple[int, ...],
+    step_pad: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Ring-pipelined SPMD step with the **sliced-ELL expansion**: B's class
+    tables stay sharded by B-row range and rotate through the mesh via
+    ``lax.ppermute`` while each shard row-gathers the A-entries whose column
+    falls in the currently-held slice.
+
+    Combines :func:`dist_spgemm_ring`'s memory/overlap profile (per-device B
+    stays ``O(nnz(B)/S)`` for the whole multiply; step t's gathers overlap
+    the ppermute fetching step t+1's slice) with the ELL engine's row-gather
+    expansion (~6x cheaper than the ESC element gather,
+    benchmarks/micro.jsonl) — the ring previously only existed over ESC.
+    One sort/compress over the concatenated per-step candidates finishes the
+    shard's rows; assembly matches :func:`dist_spgemm_sharded`.
+    """
+    from ..ops.ell import _expand_class
+
+    n_shards = mesh.devices.size
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    flops_pad = step_pad * n_shards
+    n_classes = len(widths)
+
+    def shard_fn(tables, entry_rows, entry_pos):
+        me = jax.lax.axis_index(ROWS_AXIS)
+        row_buf = jax.lax.pcast(
+            jnp.full((flops_pad,), rows_pad, INT), (ROWS_AXIS,), to="varying"
+        )
+        col_buf = jax.lax.pcast(
+            jnp.full((flops_pad,), n_cols, INT), (ROWS_AXIS,), to="varying"
+        )
+        held = tuple(t[0] for t in tables)  # this shard's slice at step 0
+
+        def body(t, carry):
+            held, row_buf, col_buf = carry
+            src = (me - t) % n_shards  # B shard currently held
+            parts_r, parts_c = [], []
+            for ci in range(n_classes):
+                er_t = jax.lax.dynamic_slice(
+                    entry_rows[ci][0], (src, 0), (1, ent_pads[ci])
+                )[0]
+                ep_t = jax.lax.dynamic_slice(
+                    entry_pos[ci][0], (src, 0), (1, ent_pads[ci])
+                )[0]
+                r, c = _expand_class(held[ci], er_t, ep_t, rows_pad, n_cols)
+                parts_r.append(r)
+                parts_c.append(c)
+            row = jnp.concatenate(parts_r)
+            col = jnp.concatenate(parts_c)
+            row_buf = jax.lax.dynamic_update_slice(row_buf, row, (t * step_pad,))
+            col_buf = jax.lax.dynamic_update_slice(col_buf, col, (t * step_pad,))
+            # pass the held slices to the right neighbour; receive from left
+            held = tuple(
+                jax.lax.ppermute(h, ROWS_AXIS, perm) for h in held
+            )
+            return held, row_buf, col_buf
+
+        _, row_buf, col_buf = jax.lax.fori_loop(
+            0, n_shards, body, (held, row_buf, col_buf)
+        )
+        c_ptr, c_idx, nnz_c = sort_compress(row_buf, col_buf, rows_pad, n_cols)
+        return _assembly_epilogue(c_ptr, c_idx, nnz_c)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            (P(ROWS_AXIS),) * n_classes,
+            (P(ROWS_AXIS),) * n_classes,
+            (P(ROWS_AXIS),) * n_classes,
+        ),
+        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P()),
+    )(tables_sh, entry_rows, entry_pos)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
+        "gather_tables",
+    ),
 )
 def dist_spgemm_ell(
     tables: tuple[jax.Array, ...],  # [nc, w] replicated ELL class tables
@@ -391,14 +535,23 @@ def dist_spgemm_ell(
     widths: tuple[int, ...],
     pads: tuple[int, ...],
     sort_pad: int,
+    gather_tables: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """SPMD step with the **sliced-ELL expansion** per shard (see ops/ell.py):
-    B's class tables are replicated across the mesh; each shard row-gathers
-    its A-entries' B rows and runs the same sub-chunked sort plan as the
-    single-chip executor — chunk-local row ids pack the sort key into one
-    int32 when ``rows_pad``/``n_cols`` allow, and unrolled chunks overlap.
-    Entry arrays are ``[S, C, pad_c]`` (chunk dim C static).  Row pointers
-    come back globally prefix-fixed across both chunks and shards.
+    each shard row-gathers its A-entries' B rows and runs the same
+    sub-chunked sort plan as the single-chip executor — chunk-local row ids
+    pack the sort key into one int32 when ``rows_pad``/``n_cols`` allow, and
+    unrolled chunks overlap.  Entry arrays are ``[S, C, pad_c]`` (chunk dim C
+    static).  Row pointers come back globally prefix-fixed across both
+    chunks and shards.
+
+    ``gather_tables=False``: class tables are replicated (the reference's
+    every-rank-holds-B semantics).  ``gather_tables=True``: tables arrive
+    sharded by B-row range (``[S, tbl_pad_c, w]``, from
+    :func:`_shard_b_ell_tables`) and are all-gathered over ICI inside the
+    step; entry positions were host-remapped into the gap-padded gathered
+    layout, so expansion is otherwise identical.  Per-device B memory is
+    ``O(nnz(B)/S)`` until the gather.
     """
     from ..ops.ell import _expand_class
 
@@ -406,6 +559,12 @@ def dist_spgemm_ell(
     fill = sort_pad - sum(p * w for p, w in zip(pads, widths))
 
     def shard_fn(tables, entry_rows, entry_pos):
+        if gather_tables:
+            # [1, tbl_pad, w] shard -> [S*tbl_pad, w] gap-padded full table
+            tables = tuple(
+                jax.lax.all_gather(t[0], ROWS_AXIS).reshape(-1, t.shape[-1])
+                for t in tables
+            )
         outs = []
         for c in range(n_chunks):
             parts_r, parts_c = [], []
@@ -444,11 +603,12 @@ def dist_spgemm_ell(
         return ptr[None], idx[None], nnzs[None], total
 
     n_classes = len(widths)
+    tbl_spec = P(ROWS_AXIS) if gather_tables else P()
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(
-            (P(),) * n_classes,
+            (tbl_spec,) * n_classes,
             (P(ROWS_AXIS),) * n_classes,
             (P(ROWS_AXIS),) * n_classes,
         ),
@@ -456,8 +616,50 @@ def dist_spgemm_ell(
     )(tables, entry_rows, entry_pos)
 
 
+def _shard_b_ell_tables(ell, mesh: Mesh):
+    """Slice every ELL class table by B-row range into per-device shards.
+
+    ``EllB.build`` assigns class slots in ascending B-row order, so B-shard
+    ``j``'s rows of class ``c`` are the contiguous slice
+    ``tables[c][cls_cuts[c][j]:cls_cuts[c][j+1]]``.  Returns stacked
+    sentinel-padded shards ``[S, tbl_pad_c, w_c]`` per class plus the cut
+    arrays needed to translate in-class positions to shard-local ones.
+    Per-device table memory is ``O(nnz(B)/S)`` + class padding — the
+    memory-scalable layout the reference lacks (every rank holds all of B,
+    final/SpGEMM_mpi_omp.c:309).
+    """
+    n_shards = mesh.devices.size
+    m = ell.shape[0]
+    m_per = -(-m // n_shards) if m else 1
+    edges = np.minimum(np.arange(n_shards + 1) * m_per, m)
+    tbl_sh, tbl_pads, cls_cuts = [], [], []
+    for ci, tbl in enumerate(ell.tables):
+        class_rows = np.flatnonzero(ell.class_of_row == ci)
+        cuts = np.searchsorted(class_rows, edges).astype(np.int64)
+        cnt = np.diff(cuts)
+        pad = pad_bucket(int(cnt.max()) if cnt.size else 1, minimum=1)
+        st = np.full((n_shards, pad, tbl.shape[1]), ell.shape[1], np.int32)
+        for s in range(n_shards):
+            lo, hi = int(cuts[s]), int(cuts[s + 1])
+            st[s, : hi - lo] = tbl[lo:hi]
+        if n_shards * pad > np.iinfo(np.int32).max:
+            raise OverflowError(
+                f"sharded ELL table {n_shards}x{pad} exceeds int32 addressing"
+            )
+        tbl_sh.append(st)
+        tbl_pads.append(pad)
+        cls_cuts.append(cuts)
+    return tbl_sh, tuple(tbl_pads), cls_cuts, m_per
+
+
 def _shard_ell_operands(
-    a: BCSR, b: BCSR, mesh: Mesh, bounds: np.ndarray, rf: np.ndarray
+    a: BCSR,
+    b: BCSR,
+    mesh: Mesh,
+    bounds: np.ndarray,
+    rf: np.ndarray,
+    *,
+    b_tables: str = "replicated",
 ):
     """Device-sharded per-(shard, chunk, class) ELL entry arrays + replicated
     tables.  Each shard's rows are sub-chunked exactly like the single-chip
@@ -473,6 +675,21 @@ def _shard_ell_operands(
     n_cols = b.n_cols
     shift = int(n_cols).bit_length()
     cap = 1 << max(0, 30 - shift)
+
+    if b_tables == "sharded":
+        # Tables sliced by B-row range (gathered in-step); in-class entry
+        # positions remapped into the gap-padded gathered layout.  Class
+        # slots ascend with B row, so a position's source shard is a
+        # searchsorted against the class cut array.
+        tbl_sh, tbl_pads, cls_cuts, _ = _shard_b_ell_tables(ell, mesh)
+        remapped = []
+        for ci, pcls in enumerate(pos_pc):
+            p = pcls.astype(np.int64)
+            src = np.searchsorted(cls_cuts[ci], p, side="right") - 1
+            remapped.append(
+                (src * tbl_pads[ci] + (p - cls_cuts[ci][src])).astype(np.int32)
+            )
+        pos_pc = remapped
 
     per_shard_bounds = []
     for s in range(n_shards):
@@ -504,7 +721,10 @@ def _shard_ell_operands(
     ) if widths else ()
     shard = NamedSharding(mesh, P(ROWS_AXIS))
     repl = NamedSharding(mesh, P())
-    tables = tuple(jax.device_put(t, repl) for t in ell.tables)
+    if b_tables == "sharded":
+        tables = tuple(jax.device_put(t, shard) for t in tbl_sh)
+    else:
+        tables = tuple(jax.device_put(t, repl) for t in ell.tables)
     er, ep = [], []
     for ci, (rcls, pcls, pad) in enumerate(zip(rows_pc, pos_pc, pads)):
         r = np.full((n_shards, C, pad), rows_pad, np.int32)
@@ -523,6 +743,32 @@ def _shard_ell_operands(
     return tables, tuple(er), tuple(ep), widths, pads, rows_pad, sort_pad, sub_bounds
 
 
+def _shard_ring_ell_operands(a: BCSR, b: BCSR, mesh: Mesh, bounds: np.ndarray):
+    """Device-ready operands for :func:`dist_spgemm_ring_ell`: sharded class
+    table slices + per-(shard, source B shard, class) entry arrays."""
+    from ..ops.ell import EllB
+
+    n_shards = mesh.devices.size
+    ell = EllB.build(b)
+    widths = tuple(ell.widths)
+    rows_pad = pad_bucket(int(np.max(np.diff(bounds))) or 1, minimum=1)
+    tbl_sh, tbl_pads, cls_cuts, m_per = _shard_b_ell_tables(ell, mesh)
+    er, ep, ent_pads = _ring_ell_entries(
+        a, ell, bounds, cls_cuts, m_per, rows_pad, n_shards
+    )
+    step_pad = sum(p * w for p, w in zip(ent_pads, widths))
+    if step_pad * n_shards > np.iinfo(np.int32).max:
+        raise OverflowError(
+            f"ring-ELL candidate buffer {step_pad * n_shards} slots "
+            "exceeds int32"
+        )
+    shard = NamedSharding(mesh, P(ROWS_AXIS))
+    tables = tuple(jax.device_put(t, shard) for t in tbl_sh)
+    er = tuple(jax.device_put(e, shard) for e in er)
+    ep = tuple(jax.device_put(e, shard) for e in ep)
+    return tables, er, ep, widths, ent_pads, rows_pad, step_pad
+
+
 def dist_spgemm(
     a: BCSR,
     b: BCSR,
@@ -534,9 +780,12 @@ def dist_spgemm(
 ) -> BCSR:
     """Multi-chip C = A·B: shard, run the SPMD step, assemble on host.
 
-    ``engine``: ``"auto"`` uses the sliced-ELL per-shard expansion when B is
-    replicated and the padded expansion fits (``ops/ell.py``'s measured ~4x
-    over ESC); ``"esc"``/``"ell"`` force an engine.
+    ``engine``: ``"auto"`` uses the sliced-ELL per-shard expansion whenever
+    the padded expansion fits (``ops/ell.py``'s measured ~4x over ESC) and
+    falls back to ESC; ``"esc"``/``"ell"`` force an engine.  Every
+    ``b_layout`` has an ELL form: replicated tables, gathered table shards
+    (``gather_tables``), or ring-rotated table slices
+    (:func:`dist_spgemm_ring_ell`).
 
     ``b_layout``: ``"replicated"`` keeps the full B on every device (the
     reference's semantics); ``"sharded"`` row-shards B and all-gathers it
@@ -559,35 +808,54 @@ def dist_spgemm(
     if a.nnz == 0 or b.nnz == 0:
         return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
 
-    if engine == "ell" and b_layout != "replicated":
-        raise ValueError(
-            "engine='ell' is only implemented for b_layout='replicated' "
-            "(the sharded/ring layouts use the ESC expansion)"
-        )
-    if b_layout == "replicated" and engine in ("auto", "ell"):
+    if engine in ("auto", "ell"):
         from ..ops.ell import AUTO_ELL_MAX_SLOTS
 
         mesh_ = mesh if mesh is not None else make_row_mesh()
         rf = row_flops(a, b)
         bounds = partition_rows(rf, mesh_.devices.size, balance=balance)
-        try:
-            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
-                _shard_ell_operands(a, b, mesh_, bounds, rf)
-            )
-            fits = sort_pad <= AUTO_ELL_MAX_SLOTS
-        except OverflowError:
-            if engine == "ell":
-                raise  # forced engine: surface the guard, don't mask it
-            fits = False
-        if fits or engine == "ell":
-            c_ptr, c_idx, nnz_sc, total = dist_spgemm_ell(
-                tables, er, ep,
-                mesh=mesh_, rows_pad=rows_pad, n_cols=m,
-                widths=widths, pads=pads, sort_pad=sort_pad,
-            )
-            return _assemble_subchunked(
-                c_ptr, c_idx, nnz_sc, total, sub_bounds, (n, m)
-            )
+        if b_layout == "ring":
+            try:
+                (tables, er, ep, widths, ent_pads, rows_pad, step_pad) = (
+                    _shard_ring_ell_operands(a, b, mesh_, bounds)
+                )
+                fits = (
+                    bool(widths)
+                    and step_pad * mesh_.devices.size <= AUTO_ELL_MAX_SLOTS
+                )
+            except OverflowError:
+                if engine == "ell":
+                    raise  # forced engine: surface the guard, don't mask it
+                fits = False
+            if fits or engine == "ell":
+                c_ptr, c_idx, nnz_sh, total = dist_spgemm_ring_ell(
+                    tables, er, ep,
+                    mesh=mesh_, rows_pad=rows_pad, n_cols=m,
+                    widths=widths, ent_pads=ent_pads, step_pad=step_pad,
+                )
+                return _assemble_sharded(
+                    c_ptr, c_idx, nnz_sh, total, bounds, (n, m)
+                )
+        else:
+            try:
+                (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
+                    _shard_ell_operands(a, b, mesh_, bounds, rf, b_tables=b_layout)
+                )
+                fits = sort_pad <= AUTO_ELL_MAX_SLOTS
+            except OverflowError:
+                if engine == "ell":
+                    raise  # forced engine: surface the guard, don't mask it
+                fits = False
+            if fits or engine == "ell":
+                c_ptr, c_idx, nnz_sc, total = dist_spgemm_ell(
+                    tables, er, ep,
+                    mesh=mesh_, rows_pad=rows_pad, n_cols=m,
+                    widths=widths, pads=pads, sort_pad=sort_pad,
+                    gather_tables=(b_layout == "sharded"),
+                )
+                return _assemble_subchunked(
+                    c_ptr, c_idx, nnz_sc, total, sub_bounds, (n, m)
+                )
 
     ops = shard_operands(a, b, mesh, balance=balance)
     if b_layout == "ring":

@@ -144,6 +144,48 @@ def test_dist_engines_bit_exact(engine):
     assert c.equals(spgemm_oracle(a, a))
 
 
+@pytest.mark.parametrize("layout", ["replicated", "sharded", "ring"])
+@pytest.mark.parametrize("engine", ["esc", "ell"])
+def test_dist_layout_engine_matrix(layout, engine):
+    # every (B layout, engine) pair must be bit-exact — ELL now has a form
+    # for each layout (replicated tables / gathered table shards / ring-
+    # rotated table slices)
+    a = BCSR.random(330, 330, 4.0, seed=19)
+    c = dist_spgemm(a, a, make_row_mesh(), b_layout=layout, engine=engine)
+    assert c.equals(spgemm_oracle(a, a))
+
+
+def test_dist_ring_ell_skewed():
+    # power-law input: per-(shard, source-shard, class) entry cells are
+    # wildly uneven; sentinel-padded cells must stay bit-exact
+    a = BCSR.rmat(9, 4.0, seed=23)
+    mesh = make_row_mesh()
+    c = dist_spgemm(a, a, mesh, b_layout="ring", engine="ell")
+    assert c.equals(spgemm_oracle(a, a))
+
+
+def test_dist_ring_ell_rectangular_nondivisible():
+    # m not divisible by the mesh size: trailing B-shard table slices are
+    # partially (or fully) sentinel rows
+    a = BCSR.random(123, 301, 3.0, seed=24)
+    b = BCSR.random(301, 203, 2.0, seed=25)
+    c = dist_spgemm(a, b, make_row_mesh(), b_layout="ring", engine="ell")
+    assert c.equals(spgemm_oracle(a, b))
+
+
+def test_dist_sharded_ell_empty_class_slices():
+    # a B whose width classes are concentrated in few rows: some shards hold
+    # zero rows of a class (empty table slices in the gathered layout)
+    rng = np.random.default_rng(7)
+    rows = np.concatenate([np.zeros(900, int), rng.integers(0, 300, 400)])
+    cols = rng.integers(0, 300, 1300)
+    b = BCSR.from_coo(rows, cols, (300, 300))
+    a = BCSR.random(250, 300, 3.0, seed=26)
+    for layout in ("sharded", "ring"):
+        c = dist_spgemm(a, b, make_row_mesh(), b_layout=layout, engine="ell")
+        assert c.equals(spgemm_oracle(a, b))
+
+
 def test_dist_ell_skewed_rectangular():
     a = BCSR.rmat(9, 4.0, seed=2)
     c = dist_spgemm(a, a, make_row_mesh(), engine="ell")
