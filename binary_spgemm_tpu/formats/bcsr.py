@@ -20,6 +20,13 @@ __all__ = ["BCSR", "coo_to_csr_stable"]
 
 INDEX_DTYPE = np.int32
 
+# Row-pointer promotion threshold: an indptr whose total exceeds this is kept
+# int64 (two-level outputs: int32 column indices + int64 row pointers).  The
+# reference wraps at INT_MAX (its `int` nnz); we promote instead — the device
+# kernels still work purely in the int32 domain (chunk-local pointers), only
+# the host-assembled row pointers widen.  Module-level so tests can lower it.
+INDPTR_INT32_MAX = int(np.iinfo(np.int32).max)
+
 
 def coo_to_csr_stable(
     rows: np.ndarray, cols: np.ndarray, n_rows: int
@@ -35,14 +42,18 @@ def coo_to_csr_stable(
     cols = np.asarray(cols, dtype=INDEX_DTYPE)
     if len(rows) and (rows.min() < 0 or rows.max() >= n_rows):
         raise ValueError("row index out of range in COO->CSR")
+    ptr_dtype = np.int64 if len(rows) > INDPTR_INT32_MAX else INDEX_DTYPE
     # Native write-cursor counting sort (C, ≡ the reference's ingest tier);
     # falls back to the vectorised numpy scatter when no toolchain exists.
+    # The native path works in int32 row pointers, so giant inputs take the
+    # numpy path.
     from .. import native
 
-    res = native.coo2csr(rows, cols, n_rows)
-    if res is not None:
-        indptr, indices = res
-        return indptr.astype(INDEX_DTYPE), indices.astype(INDEX_DTYPE)
+    if ptr_dtype is INDEX_DTYPE:
+        res = native.coo2csr(rows, cols, n_rows)
+        if res is not None:
+            indptr, indices = res
+            return indptr.astype(INDEX_DTYPE), indices.astype(INDEX_DTYPE)
     counts = np.bincount(rows, minlength=n_rows)
     indptr = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
@@ -50,19 +61,24 @@ def coo_to_csr_stable(
     # loop): argsort with kind="stable" keys by row, preserving file order in ties.
     order = np.argsort(rows, kind="stable")
     indices = cols[order]
-    return indptr.astype(INDEX_DTYPE), indices.astype(INDEX_DTYPE)
+    return indptr.astype(ptr_dtype), indices.astype(INDEX_DTYPE)
 
 
 @dataclasses.dataclass
 class BCSR:
     """Host-side boolean CSR pattern matrix (no values; OR semiring)."""
 
-    indptr: np.ndarray  # int32 [n_rows + 1]
+    indptr: np.ndarray  # int32 [n_rows + 1] (int64 when nnz exceeds int32)
     indices: np.ndarray  # int32 [nnz]
     shape: tuple[int, int]
 
     def __post_init__(self):
-        self.indptr = np.ascontiguousarray(self.indptr, dtype=INDEX_DTYPE)
+        indptr = np.ascontiguousarray(self.indptr)
+        total = int(indptr[-1]) if len(indptr) else 0
+        # canonical dtype: int32 whenever the totals fit, int64 above — so a
+        # giant product round-trips while ordinary matrices stay device-ready
+        ptr_dtype = np.int64 if total > INDPTR_INT32_MAX else INDEX_DTYPE
+        self.indptr = indptr.astype(ptr_dtype, copy=False)
         self.indices = np.ascontiguousarray(self.indices, dtype=INDEX_DTYPE)
         n = self.shape[0]
         if self.indptr.shape != (n + 1,):
@@ -115,7 +131,7 @@ class BCSR:
     def from_scipy(cls, mat) -> "BCSR":
         mat = mat.tocsr()
         return cls(
-            mat.indptr.astype(INDEX_DTYPE),
+            np.asarray(mat.indptr),  # __post_init__ picks int32/int64
             mat.indices.astype(INDEX_DTYPE),
             tuple(mat.shape),
         )

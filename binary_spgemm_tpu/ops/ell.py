@@ -288,6 +288,9 @@ class EllSpGEMMExecutor:
     ):
         if a.n_cols != b.n_rows:
             raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+        from .spgemm import require_int32_operands
+
+        require_int32_operands(a, b)
         self.shape = (a.n_rows, b.n_cols)
         self.n_rows, self.n_cols = a.n_rows, b.n_cols
         rf = row_flops(a, b)
@@ -692,11 +695,7 @@ def _stitch_sets(row_sets, n_rows: int, shape, parts) -> BCSR:
             lengths[rows] = np.diff(cp)
     indptr = np.concatenate([[0], np.cumsum(lengths)])
     total = int(indptr[-1])
-    if total > np.iinfo(np.int32).max:
-        raise OverflowError(
-            f"output nnz {total} exceeds int32 row-pointer range; "
-            "int64 indptr support is not implemented yet"
-        )
+    # int64 scatter targets; BCSR demotes the pointers to int32 when they fit
     indices = np.empty(total, np.int32)
     for rows, (c_ptr, c_idx, nnz_c) in zip(row_sets, parts):
         nnz_c = int(nnz_c)
@@ -710,7 +709,7 @@ def _stitch_sets(row_sets, n_rows: int, shape, parts) -> BCSR:
             - np.repeat(np.cumsum(lens) - lens, lens)
         )
         indices[dst] = np.asarray(c_idx[:nnz_c])
-    return BCSR(indptr.astype(np.int32), indices, shape)
+    return BCSR(indptr, indices, shape)
 
 
 def _chunk_bounds(rf: np.ndarray, budget: int, max_rows: int) -> list[int]:

@@ -178,6 +178,9 @@ def spgemm_or(
     """
     if a.n_cols != b.n_rows or tuple(d.shape) != (a.n_rows, b.n_cols):
         raise ValueError(f"shape mismatch: D{d.shape} vs {a.shape} @ {b.shape}")
+    from .spgemm import require_int32_operands
+
+    require_int32_operands(d, a, b)
     n, m = a.n_rows, b.n_cols
     if a.nnz == 0 or b.nnz == 0:
         from .union import spm_or

@@ -77,6 +77,9 @@ def masked_spgemm(
     """
     if a.n_cols != b.n_rows or f.shape != (a.n_rows, b.n_cols):
         raise ValueError(f"shape mismatch: F{f.shape} vs {a.shape} @ {b.shape}")
+    from .spgemm import require_int32_operands
+
+    require_int32_operands(f, a, b)
     n, m = a.n_rows, b.n_cols
     if a.nnz == 0 or b.nnz == 0 or f.nnz == 0:
         return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))

@@ -488,6 +488,23 @@ def spgemm_flops(a: BCSR, b: BCSR) -> int:
     return int(row_flops(a, b).sum())
 
 
+def require_int32_operands(*mats: BCSR) -> None:
+    """Guard multiply *operands* to the int32 device index domain.
+
+    Outputs above int32 nnz are supported (int64 host indptr, two-level
+    assembly), but operand entry positions feed int32 device gathers —
+    feeding a giant matrix back in must raise, not wrap (CLAUDE.md
+    invariant; the reference's `int` indices wrap silently past INT_MAX).
+    """
+    for mat in mats:
+        if mat.nnz > np.iinfo(np.int32).max:
+            raise OverflowError(
+                f"operand nnz {mat.nnz} exceeds the int32 device index "
+                "domain; matrices this large are supported as outputs but "
+                "not as multiply operands"
+            )
+
+
 def blocked_route(a: BCSR, b: BCSR) -> BCSR | None:
     """Opt-in MXU route for block-clustered products (ops/bsr.py).
 
@@ -623,16 +640,14 @@ def _stitch(chunks, rows_total, shape, run_chunk) -> BCSR:
         local = np.asarray(c_ptr[1 : r1 - r0 + 1], dtype=np.int64)
         indptr_parts.append(local + base)
         base += nnz_c
-    if base > np.iinfo(np.int32).max:
-        raise OverflowError(
-            f"output nnz {base} exceeds int32 row-pointer range; "
-            "int64 indptr support is not implemented yet"
-        )
+    # Two-level output pointers: chunk-local int32 device pointers + int64
+    # host bases; BCSR keeps int64 when the total exceeds the int32 domain
+    # (the reference's `int` nnz would wrap here).
     indptr = np.concatenate(indptr_parts)
     indices = (
         np.concatenate(index_parts) if index_parts else np.zeros(0, np.int32)
     )
-    return BCSR(indptr.astype(np.int32), indices, shape)
+    return BCSR(indptr, indices, shape)
 
 
 class SpGEMMExecutor:
@@ -646,6 +661,7 @@ class SpGEMMExecutor:
     def __init__(self, a: BCSR, b: BCSR, *, chunk_flops: int | None = None):
         if a.n_cols != b.n_rows:
             raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+        require_int32_operands(a, b)
         self.shape = (a.n_rows, b.n_cols)
         chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
         rf = row_flops(a, b)
@@ -716,6 +732,7 @@ def spgemm(
     """
     if a.n_cols != b.n_rows:
         raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+    require_int32_operands(a, b)
     n, m = a.n_rows, b.n_cols
     if a.nnz == 0 or b.nnz == 0:
         return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))

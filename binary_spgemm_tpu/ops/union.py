@@ -57,6 +57,9 @@ def spm_or(a: BCSR, b: BCSR) -> BCSR:
     """C = A OR B structure (≡ SpM_OR, old/utils.c:488-504), canonical output."""
     if tuple(a.shape) != tuple(b.shape):
         raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
+    from .spgemm import require_int32_operands
+
+    require_int32_operands(a, b)
     n, m = a.shape
 
     def padded(mat):

@@ -804,6 +804,9 @@ def dist_spgemm(
         raise ValueError(f"unknown b_layout {b_layout!r}")
     if engine not in ("auto", "esc", "ell"):
         raise ValueError(f"unknown engine {engine!r}")
+    from ..ops.spgemm import require_int32_operands
+
+    require_int32_operands(a, b)
     n, m = a.n_rows, b.n_cols
     if a.nnz == 0 or b.nnz == 0:
         return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
@@ -905,19 +908,27 @@ def _assemble_subchunked(
     nnz_sc = _fetch_global(nnz_sc)
     indptr_parts = [np.zeros(1, np.int64)]
     index_parts = []
+    base = 0
     for s in range(sub_bounds.shape[0]):
         for c in range(sub_bounds.shape[1] - 1):
             r0, r1 = sub_bounds[s, c], sub_bounds[s, c + 1]
             if r1 == r0:
                 continue
             index_parts.append(c_idx[s, c, : nnz_sc[s, c]])
-            indptr_parts.append(c_ptr[s, c, 1 : r1 - r0 + 1].astype(np.int64))
+            # shard/chunk-local diffs + int64 host base — the device int32
+            # prefix fix wraps past 2^31 total nnz (see _assemble_sharded)
+            ptr = c_ptr[s, c].view(np.uint32)
+            local = (ptr[1 : r1 - r0 + 1] - ptr[0]).astype(np.int64)
+            indptr_parts.append(local + base)
+            base += int(nnz_sc[s, c])
     indptr = np.concatenate(indptr_parts)
     indices = (
         np.concatenate(index_parts) if index_parts else np.zeros(0, np.int32)
     )
-    assert indptr[-1] == int(total), (indptr[-1], int(total))
-    return BCSR(indptr.astype(np.int32), indices, shape)
+    assert indptr[-1] == base and (base - int(total)) % (1 << 32) == 0, (
+        indptr[-1], base, int(total),
+    )
+    return BCSR(indptr, indices, shape)
 
 
 def _assemble_sharded(c_ptr, c_idx, nnz_sh, total, bounds, shape) -> BCSR:
@@ -927,12 +938,22 @@ def _assemble_sharded(c_ptr, c_idx, nnz_sh, total, bounds, shape) -> BCSR:
     nnz_sh = _fetch_global(nnz_sh)[:, 0]
     indptr_parts = [np.zeros(1, np.int64)]
     index_parts = []
+    base = 0
     for s, (r0, r1) in enumerate(zip(bounds, bounds[1:])):
         index_parts.append(c_idx[s, : nnz_sh[s]])
-        indptr_parts.append(c_ptr[s, 1 : r1 - r0 + 1].astype(np.int64))
+        # Rebuild global pointers from shard-LOCAL diffs + an int64 host
+        # base: the device prefix fix is int32 and wraps past 2^31 total
+        # output nnz; within-shard diffs recover exactly (mod-2^32 in
+        # uint32, true values < 2^31).
+        ptr = c_ptr[s].view(np.uint32)
+        local = (ptr[1 : r1 - r0 + 1] - ptr[0]).astype(np.int64)
+        indptr_parts.append(local + base)
+        base += int(nnz_sh[s])
     indptr = np.concatenate(indptr_parts)
     indices = (
         np.concatenate(index_parts) if index_parts else np.zeros(0, np.int32)
     )
-    assert indptr[-1] == int(total), (indptr[-1], int(total))
-    return BCSR(indptr.astype(np.int32), indices, shape)
+    assert indptr[-1] == base and (base - int(total)) % (1 << 32) == 0, (
+        indptr[-1], base, int(total),
+    )
+    return BCSR(indptr, indices, shape)
