@@ -121,7 +121,7 @@ def main() -> None:
                 from binary_spgemm_tpu.ops.union import spm_or_padded
 
                 fmask = _B.random(n, n, d / 2, seed=8)
-                mex = EllSpGEMMExecutor(a, a)
+                mex = EllSpGEMMExecutor(a, a, masked=True)
                 mout = mex.run_masked(fmask)
                 np.asarray(mout[2][:1])
                 mts = []

@@ -92,8 +92,11 @@ def masked_spgemm(
     # so results stay bit-exact either way.
     from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
 
+    # masked=True halves the chunk row cap so the (row, col, tag) sort key
+    # stays single-int32 packed: measured 0.211 s vs 0.471 s at n=256K d=16
+    # (benchmarks/masked_cap.py); at n<=64K the plans coincide.
     try:
-        ex = EllSpGEMMExecutor(a, b)
+        ex = EllSpGEMMExecutor(a, b, masked=True)
         if ex.total_slots <= AUTO_ELL_MAX_SLOTS:
             # (masked outputs are not out_pad-truncated; use the stricter
             # sort-domain budget)
