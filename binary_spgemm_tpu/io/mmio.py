@@ -17,6 +17,8 @@ reproduced here:
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..formats.bcsr import BCSR
@@ -60,31 +62,56 @@ def read_pattern(
     docstring).  ``expand_symmetric`` mirrors lower-triangle entries for files
     declared ``symmetric`` — the reference does *not* do this (its MATLAB oracle
     compensates with ``tril(A)'``, Matlab/test_mtx.m:3), so it defaults off.
+
+    Large files are mmapped so OS page-in overlaps the (multi-core, native)
+    parse instead of an upfront whole-file read — the ingest pipeline the
+    reference lacks (readCOO fscanf's serially on every rank,
+    final/utils.c:66-71).
     """
+    import mmap
+
     with open(path, "rb") as f:
-        raw = f.read()
-
-    nl = raw.find(b"\n")
-    if nl < 0:
-        raise ValueError("missing Matrix-Market banner line")
-    banner = read_banner(raw[:nl].decode("ascii", errors="replace"))
-    if banner.format != "coordinate":
-        raise ValueError(f"only coordinate format is supported, got {banner.format}")
-
-    # Size line: first non-comment, non-blank line after the banner.
-    pos = nl + 1
-    while True:
-        nl = raw.find(b"\n", pos)
-        line = raw[pos:] if nl < 0 else raw[pos:nl]
-        pos = len(raw) if nl < 0 else nl + 1
-        s = line.strip()
-        if s and not s.startswith(b"%"):
+        size = os.fstat(f.fileno()).st_size
+        # Header (banner + comments + size line) from an incrementally-grown
+        # prefix read; the body never needs to be materialised up front.
+        head = f.read(1 << 16)
+        while True:
+            nl = head.find(b"\n")
+            if nl < 0:
+                if len(head) >= size:
+                    raise ValueError("missing Matrix-Market banner line")
+                head += f.read(len(head))
+                continue
             break
-        if nl < 0:
-            raise ValueError("missing size line")
-    n_rows, n_cols, nnz = (int(tok) for tok in s.split()[:3])
+        banner = read_banner(head[:nl].decode("ascii", errors="replace"))
+        if banner.format != "coordinate":
+            raise ValueError(
+                f"only coordinate format is supported, got {banner.format}"
+            )
 
-    body = raw[pos:]
+        # Size line: first non-comment, non-blank line after the banner.
+        pos = nl + 1
+        while True:
+            nl = head.find(b"\n", pos)
+            if nl < 0 and len(head) < size:
+                head += f.read(len(head))
+                continue
+            line = head[pos:] if nl < 0 else head[pos:nl]
+            pos = len(head) if nl < 0 else nl + 1
+            s = line.strip()
+            if s and not s.startswith(b"%"):
+                break
+            if nl < 0:
+                raise ValueError("missing size line")
+        n_rows, n_cols, nnz = (int(tok) for tok in s.split()[:3])
+
+        if size >= (16 << 20):
+            # zero-copy body view over an mmap: the OS pages the file in as
+            # the multi-threaded native parser streams through it
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            body = memoryview(mm)[pos:]
+        else:
+            body = head[pos:] + f.read()
     # Only the first two fields of each entry are used (the reference's
     # fscanf("%u %u"), final/utils.c:66-71); value columns are skipped.
     fields_per_line = {"pattern": 2, "complex": 4}.get(banner.field, 3)
@@ -94,7 +121,9 @@ def read_pattern(
         cols = parsed[1].astype(np.int64) - 1
     else:  # pure-numpy fallback
         data = (
-            np.array(body.split(), dtype=np.float64) if nnz else np.zeros(0)
+            np.array(bytes(body).split(), dtype=np.float64)
+            if nnz
+            else np.zeros(0)
         )
         if nnz and data.size % fields_per_line != 0:
             raise ValueError(

@@ -24,17 +24,19 @@ _tried = False
 
 
 def _build() -> bool:
-    for cc in ("cc", "gcc", "clang"):
-        try:
-            subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-            return True
-        except (OSError, subprocess.SubprocessError):
-            continue
+    # OpenMP first (parallel parse/convert tiers); plain build as fallback
+    for extra in (["-fopenmp"], []):
+        for cc in ("cc", "gcc", "clang"):
+            try:
+                subprocess.run(
+                    [cc, "-O3", *extra, "-shared", "-fPIC", "-o", _SO, _SRC],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+                return True
+            except (OSError, subprocess.SubprocessError):
+                continue
     return False
 
 
@@ -56,7 +58,7 @@ def lib():
             return None
         l.mm_parse_pairs.restype = ctypes.c_long
         l.mm_parse_pairs.argtypes = [
-            ctypes.c_char_p,
+            ctypes.c_void_p,  # bytes or a raw buffer address (mmap path)
             ctypes.c_long,
             ctypes.c_long,
             ctypes.c_int,
@@ -70,6 +72,30 @@ def lib():
             ctypes.c_long,
             ctypes.c_char_p,
         ]
+        if hasattr(l, "mm_parse_pairs_par"):
+            l.mm_parse_pairs_par.restype = ctypes.c_long
+            l.mm_parse_pairs_par.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int,
+            ]
+        if hasattr(l, "coo2csr_stable_par"):
+            l.coo2csr_stable_par.restype = ctypes.c_long
+            l.coo2csr_stable_par.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int,
+            ]
         if hasattr(l, "coo2csr_stable"):
             l.coo2csr_stable.restype = ctypes.c_long
             l.coo2csr_stable.argtypes = [
@@ -84,23 +110,44 @@ def lib():
         return _lib
 
 
-def parse_pairs(body: bytes, nnz: int, fields: int):
+def parse_pairs(body, nnz: int, fields: int):
     """Parse ``nnz`` 'row col [val]' entries; returns 1-based uint32 arrays or
     None when the native library is unavailable.  Raises ValueError on
-    malformed or truncated input (the caller formats the message)."""
+    malformed or truncated input (the caller formats the message).
+
+    ``body`` is bytes or any readable buffer (memoryview over an mmap — the
+    zero-copy path: page-in then overlaps the parse instead of an upfront
+    whole-file read)."""
     l = lib()
     if l is None:
         return None
+    if not isinstance(body, bytes):
+        buf = np.frombuffer(body, dtype=np.uint8)
+        addr, blen = buf.ctypes.data, len(buf)
+    else:
+        addr, blen = body, len(body)
     rows = np.empty(nnz, dtype=np.uint32)
     cols = np.empty(nnz, dtype=np.uint32)
-    got = l.mm_parse_pairs(
-        body,
-        len(body),
-        nnz,
-        fields,
-        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-    )
+    got = -2
+    if hasattr(l, "mm_parse_pairs_par") and blen >= (1 << 20):
+        got = l.mm_parse_pairs_par(
+            addr,
+            blen,
+            nnz,
+            fields,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            os.cpu_count() or 1,
+        )
+    if got == -2:  # layout defeated the parallel split: serial decides
+        got = l.mm_parse_pairs(
+            addr,
+            blen,
+            nnz,
+            fields,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        )
     if got < 0:
         raise ValueError("malformed Matrix-Market entry body")
     if got != nnz:
@@ -137,14 +184,36 @@ def coo2csr(rows: np.ndarray, cols: np.ndarray, n_rows: int):
     nnz = len(rows)
     indptr = np.empty(n_rows + 1, dtype=np.uint32)
     indices = np.empty(nnz, dtype=np.uint32)
-    rc = l.coo2csr_stable(
-        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        nnz,
-        n_rows,
-        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-    )
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    ncpu = os.cpu_count() or 1
+    if (
+        hasattr(l, "coo2csr_stable_par")
+        and nnz >= (1 << 20)
+        and ncpu > 1
+        and n_rows >= ncpu
+    ):
+        tmp_rows = np.empty(nnz, dtype=np.uint32)
+        tmp_cols = np.empty(nnz, dtype=np.uint32)
+        rc = l.coo2csr_stable_par(
+            rows.ctypes.data_as(u32p),
+            cols.ctypes.data_as(u32p),
+            nnz,
+            n_rows,
+            indptr.ctypes.data_as(u32p),
+            indices.ctypes.data_as(u32p),
+            tmp_rows.ctypes.data_as(u32p),
+            tmp_cols.ctypes.data_as(u32p),
+            ncpu,
+        )
+    else:
+        rc = l.coo2csr_stable(
+            rows.ctypes.data_as(u32p),
+            cols.ctypes.data_as(u32p),
+            nnz,
+            n_rows,
+            indptr.ctypes.data_as(u32p),
+            indices.ctypes.data_as(u32p),
+        )
     if rc != 0:
         raise ValueError("row index out of range in COO->CSR")
     return indptr, indices

@@ -6,11 +6,16 @@
  * Only the first two fields of each line are used (the reference's
  * fscanf("%u %u") semantics); any further fields are skipped.
  *
- * Build: cc -O3 -shared -fPIC -o libmmparse.so mmparse.c
+ * Build: cc -O3 -fopenmp -shared -fPIC -o libmmparse.so mmparse.c
  * Called from Python via ctypes (binary_spgemm_tpu/native/__init__.py).
  */
 #include <stdint.h>
 #include <stddef.h>
+#include <stdlib.h>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 /* Parse up to `nnz` coordinate entries from buf[0..len).  `fields` is the
  * number of whitespace-separated fields per entry (>= 2); fields beyond the
@@ -52,6 +57,85 @@ long mm_parse_pairs(const char *buf, long len, long nnz, int fields,
         count++;
     }
     return count;
+}
+
+/* Parallel variant of mm_parse_pairs (the reference parses serially with
+ * fscanf on every rank, final/utils.c:66-71; multi-GB SuiteSparse bodies
+ * deserve all host cores).  The body is split at newline boundaries; a
+ * cheap token-count pass fixes each chunk's exact entry offset, then the
+ * chunks parse independently into the shared output arrays.  Entries that
+ * straddle a newline (non-standard layouts) make a chunk's token count
+ * indivisible by `fields`; any such inconsistency returns -2 and the
+ * caller falls back to the bit-identical serial parser. */
+#define MM_PAR_MAX_THREADS 64
+
+static int mm_is_ws(char c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r';
+}
+
+long mm_parse_pairs_par(const char *buf, long len, long nnz, int fields,
+                        uint32_t *rows, uint32_t *cols, int nthreads) {
+#ifndef _OPENMP
+    (void)nthreads;
+    return mm_parse_pairs(buf, len, nnz, fields, rows, cols);
+#else
+    int nt = nthreads;
+    if (nt > MM_PAR_MAX_THREADS)
+        nt = MM_PAR_MAX_THREADS;
+    if (nt < 2 || len < (1L << 20))
+        return mm_parse_pairs(buf, len, nnz, fields, rows, cols);
+    long starts[MM_PAR_MAX_THREADS + 1];
+    starts[0] = 0;
+    for (int t = 1; t < nt; t++) {
+        long p = len * t / nt;
+        if (p < starts[t - 1])
+            p = starts[t - 1];
+        while (p < len && buf[p] != '\n')
+            p++;
+        starts[t] = (p < len) ? p + 1 : len;
+    }
+    starts[nt] = len;
+    long cnt[MM_PAR_MAX_THREADS];
+    int bad = 0;
+#pragma omp parallel for num_threads(nt) reduction(| : bad)
+    for (int t = 0; t < nt; t++) {
+        const char *p = buf + starts[t], *end = buf + starts[t + 1];
+        long tokens = 0;
+        while (p < end) {
+            while (p < end && mm_is_ws(*p))
+                p++;
+            if (p >= end)
+                break;
+            tokens++;
+            while (p < end && !mm_is_ws(*p))
+                p++;
+        }
+        if (tokens % fields)
+            bad = 1;
+        cnt[t] = tokens / fields;
+    }
+    if (bad)
+        return -2;
+    long off[MM_PAR_MAX_THREADS + 1];
+    off[0] = 0;
+    for (int t = 0; t < nt; t++)
+        off[t + 1] = off[t] + cnt[t];
+    if (off[nt] < nnz)
+        return -2; /* fewer entries than declared: serial decides */
+    int fail = 0;
+#pragma omp parallel for num_threads(nt) reduction(| : fail)
+    for (int t = 0; t < nt; t++) {
+        long lo = off[t] < nnz ? off[t] : nnz;
+        long hi = off[t + 1] < nnz ? off[t + 1] : nnz;
+        if (hi <= lo)
+            continue;
+        long got = mm_parse_pairs(buf + starts[t], starts[t + 1] - starts[t],
+                                  hi - lo, fields, rows + lo, cols + lo);
+        if (got != hi - lo)
+            fail = 1;
+    }
+    return fail ? -2 : nnz;
+#endif
 }
 
 /* Format `n` coordinate pairs as 1-based "row col\n" ASCII into out (caller
@@ -101,4 +185,116 @@ long coo2csr_stable(const uint32_t *rows, const uint32_t *cols, long nnz,
         indptr[i] = indptr[i - 1];
     indptr[0] = 0;
     return 0;
+}
+
+/* Parallel stable COO->CSR: two-level blocked counting sort.  Phase 1
+ * histograms (thread, row-block) cells; phase 2 scatters entries grouped by
+ * row block into caller-provided scratch, with thread-major order inside a
+ * block preserving global input order (stability); phase 3 finishes each
+ * block independently with a local write-cursor scatter and writes its
+ * indptr slice.  Bit-identical with coo2csr_stable; returns -2 when the
+ * shape isn't worth parallelising (caller uses the serial path). */
+long coo2csr_stable_par(const uint32_t *rows, const uint32_t *cols, long nnz,
+                        long n_rows, uint32_t *indptr, uint32_t *indices,
+                        uint32_t *tmp_rows, uint32_t *tmp_cols,
+                        int nthreads) {
+#ifndef _OPENMP
+    (void)tmp_rows;
+    (void)tmp_cols;
+    (void)nthreads;
+    return coo2csr_stable(rows, cols, nnz, n_rows, indptr, indices);
+#else
+    int nt = nthreads;
+    if (nt > MM_PAR_MAX_THREADS)
+        nt = MM_PAR_MAX_THREADS;
+    if (nt < 2 || nnz < (1L << 20) || n_rows < nt)
+        return coo2csr_stable(rows, cols, nnz, n_rows, indptr, indices);
+    long nb = (long)nt * 8; /* row blocks: more than threads for balance */
+    if (nb > n_rows)
+        nb = nt;
+    long rows_per_block = (n_rows + nb - 1) / nb;
+    long *cell = calloc((size_t)nt * nb, sizeof(long));
+    if (!cell)
+        return coo2csr_stable(rows, cols, nnz, n_rows, indptr, indices);
+    int bad = 0;
+#pragma omp parallel for num_threads(nt) reduction(| : bad)
+    for (int t = 0; t < nt; t++) {
+        long lo = nnz * t / nt, hi = nnz * (t + 1) / nt;
+        long *c = cell + (size_t)t * nb;
+        for (long e = lo; e < hi; e++) {
+            if ((long)rows[e] >= n_rows) {
+                bad = 1;
+                break;
+            }
+            c[rows[e] / rows_per_block]++;
+        }
+    }
+    if (bad) {
+        free(cell);
+        return -1;
+    }
+    /* block-major, then thread-major exclusive scan -> scatter bases */
+    long acc = 0;
+    long *block_base = malloc((size_t)(nb + 1) * sizeof(long));
+    if (!block_base) {
+        free(cell);
+        return coo2csr_stable(rows, cols, nnz, n_rows, indptr, indices);
+    }
+    for (long b = 0; b < nb; b++) {
+        block_base[b] = acc;
+        for (int t = 0; t < nt; t++) {
+            long c = cell[(size_t)t * nb + b];
+            cell[(size_t)t * nb + b] = acc;
+            acc += c;
+        }
+    }
+    block_base[nb] = acc;
+#pragma omp parallel for num_threads(nt)
+    for (int t = 0; t < nt; t++) {
+        long lo = nnz * t / nt, hi = nnz * (t + 1) / nt;
+        long *cur = cell + (size_t)t * nb;
+        for (long e = lo; e < hi; e++) {
+            long d = cur[rows[e] / rows_per_block]++;
+            tmp_rows[d] = rows[e];
+            tmp_cols[d] = cols[e];
+        }
+    }
+    uint32_t *cursors =
+        malloc((size_t)nt * rows_per_block * sizeof(uint32_t));
+    if (!cursors) {
+        free(block_base);
+        free(cell);
+        return coo2csr_stable(rows, cols, nnz, n_rows, indptr, indices);
+    }
+#pragma omp parallel num_threads(nt)
+    {
+        uint32_t *cursor = cursors + (size_t)omp_get_thread_num() * rows_per_block;
+#pragma omp for
+        for (long b = 0; b < nb; b++) {
+            long r0 = b * rows_per_block;
+            long r1 = r0 + rows_per_block;
+            if (r1 > n_rows)
+                r1 = n_rows;
+            long e0 = block_base[b], e1 = block_base[b + 1];
+            for (long i = 0; i < r1 - r0; i++)
+                cursor[i] = 0;
+            for (long e = e0; e < e1; e++)
+                cursor[tmp_rows[e] - r0]++;
+            long base = e0;
+            for (long i = 0; i < r1 - r0; i++) {
+                uint32_t c = cursor[i];
+                indptr[r0 + i] = (uint32_t)base;
+                cursor[i] = (uint32_t)base;
+                base += c;
+            }
+            for (long e = e0; e < e1; e++)
+                indices[cursor[tmp_rows[e] - r0]++] = tmp_cols[e];
+        }
+    }
+    indptr[n_rows] = (uint32_t)nnz;
+    free(cursors);
+    free(block_base);
+    free(cell);
+    return 0;
+#endif
 }

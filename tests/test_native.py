@@ -87,3 +87,71 @@ def test_native_coo2csr_out_of_range():
         pytest.skip("no native toolchain")
     with pytest.raises(ValueError):
         native.coo2csr(np.array([5]), np.array([0]), 3)
+
+
+def test_parallel_parse_and_convert_bit_identical():
+    # Large inputs take the OpenMP parse + blocked-parallel COO->CSR tiers;
+    # both must be bit-identical with the serial paths (stability included).
+    import ctypes
+
+    from binary_spgemm_tpu import native
+
+    l = native.lib()
+    if l is None:
+        pytest.skip("no native toolchain")
+    if not hasattr(l, "mm_parse_pairs_par"):
+        pytest.skip("built without OpenMP")
+    rng = np.random.default_rng(3)
+    n = 1 << 21  # above both parallel thresholds
+    rows = rng.integers(0, 4000, n, dtype=np.uint32)
+    cols = rng.integers(0, 4000, n, dtype=np.uint32)
+    body = native.format_pairs(rows, cols)
+    pr, pc = native.parse_pairs(body, n, 2)
+    assert np.array_equal(pr - 1, rows) and np.array_equal(pc - 1, cols)
+    # parallel coo2csr vs serial-only reference
+    ip, ix = native.coo2csr(rows.astype(np.int64), cols, 4000)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    ip_s = np.empty(4001, np.uint32)
+    ix_s = np.empty(n, np.uint32)
+    ru = np.ascontiguousarray(rows, np.uint32)
+    cu = np.ascontiguousarray(cols, np.uint32)
+    rc = l.coo2csr_stable(
+        ru.ctypes.data_as(u32p), cu.ctypes.data_as(u32p), n, 4000,
+        ip_s.ctypes.data_as(u32p), ix_s.ctypes.data_as(u32p),
+    )
+    assert rc == 0
+    assert np.array_equal(ip, ip_s) and np.array_equal(ix, ix_s)
+
+
+def test_parallel_parse_value_columns_and_ragged_lines():
+    # token counting must place chunk offsets correctly with value fields
+    from binary_spgemm_tpu import native
+
+    l = native.lib()
+    if l is None or not hasattr(l, "mm_parse_pairs_par"):
+        pytest.skip("no OpenMP native build")
+    n = 200_000
+    rng = np.random.default_rng(4)
+    rows = rng.integers(1, 1000, n)
+    cols = rng.integers(1, 1000, n)
+    vals = rng.random(n)
+    body = "".join(
+        f"{r} {c} {v:.6e}\n" for r, c, v in zip(rows, cols, vals)
+    ).encode()
+    assert len(body) > (1 << 20)
+    pr, pc = native.parse_pairs(body, n, 3)
+    assert np.array_equal(pr, rows) and np.array_equal(pc, cols)
+
+
+def test_read_pattern_mmap_path(tmp_path):
+    # files >= 16 MB take the mmap + parallel-parse ingest; must match the
+    # in-memory path exactly
+    from binary_spgemm_tpu import read_pattern, write_pattern
+    from binary_spgemm_tpu.formats.bcsr import BCSR as _B
+
+    m = _B.random(60_000, 60_000, 30.0, seed=5)
+    p = tmp_path / "big.mtx"
+    write_pattern(p, m)
+    assert p.stat().st_size >= (16 << 20)
+    a = read_pattern(p, transpose=False)
+    assert a.equals(m)
