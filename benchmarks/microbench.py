@@ -85,6 +85,13 @@ def main() -> None:
         "sort2key": (lambda: _sort(jax, (k1, k2), 2)),
         "sort1key1payload": (lambda: _sort(jax, (k1, k2), 1)),
         "sort1key2payload": (lambda: _sort(jax, (k1, k2, k3), 1)),
+        # Batched minor-axis sorts at the same total element count: the cost
+        # model for a per-row segmented-sort engine layout (each output row's
+        # candidates sorted independently) and for batched chunk sorts.
+        "sort_rows_w128": (lambda: _sort2d(jax, k1, 128)),
+        "sort_rows_w512": (lambda: _sort2d(jax, k1, 512)),
+        "sort_rows_w4096": (lambda: _sort2d(jax, k1, 4096)),
+        "sort_rows_w512k": (lambda: _sort2d(jax, k1, 1 << 19)),
         "ffill": (lambda: _ffill(_forward_fill_last, k1, mask)),
         "cumsum": (lambda: _cumsum(jnp, k1)),
         "scatter_unique": (lambda: _scatter(jnp, pos, vals, E)),
@@ -142,6 +149,14 @@ def _sort(jax, arrs, nkeys):
         lambda *a: jax.lax.sort(a, num_keys=nkeys, is_stable=False)
     )
     return lambda: f(*arrs)
+
+
+def _sort2d(jax, flat, width):
+    x = flat.reshape(-1, width)
+    f = jax.jit(
+        lambda v: jax.lax.sort((v,), dimension=1, is_stable=False)[0]
+    )
+    return lambda: f(x)
 
 
 def _ffill(ffl, vals, mask):
