@@ -63,8 +63,8 @@ def main() -> None:
 
     def sync():
         # force a real device round-trip (block_until_ready alone can return
-        # early through the axon tunnel)
-        np.asarray(out[2])
+        # early through the axon tunnel); out[-1] is the per-chunk nnz array
+        np.asarray(out[-1])
 
     times = []
     for _ in range(TIMES):

@@ -88,7 +88,7 @@ def main() -> None:
             )
 
             def sync(o):
-                np.asarray(o[2])
+                np.asarray(o[-1])  # per-chunk nnz (2-tuple sep / 3-tuple ESC)
 
             t0 = time.perf_counter()
             out = ex.run()

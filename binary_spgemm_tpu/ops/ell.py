@@ -49,10 +49,15 @@ __all__ = ["EllB", "ell_spgemm", "EllSpGEMMExecutor", "width_bucket"]
 
 
 def width_bucket(w: int) -> int:
-    """Quarter-octave width class (multiples of 2^(k-2) within each octave)."""
+    """Eighth-octave width class (multiples of 2^(k-3) within each octave).
+
+    Was quarter-octave; eighth-octave shrinks the headline's class-width
+    padding 1.17× → 1.06× (R-MAT s18 1.16× → 1.10×) for ~1.7× the class
+    count — and expansion+sort cost scales with padded slots (measured 50%
+    + 35% of the multiply, benchmarks/decompose.py)."""
     w = max(int(w), 1)
     p = 1 << (w - 1).bit_length()
-    step = max(p // 4, 1)
+    step = max(p // 8, 1)
     return ((w + step - 1) // step) * step
 
 
@@ -77,14 +82,14 @@ class EllB:
         m = b.n_rows
         w = np.diff(b.indptr).astype(np.int64)
         nz = w > 0
-        # vectorised quarter-octave bucket (≡ width_bucket)
+        # vectorised eighth-octave bucket (≡ width_bucket)
         wb = np.zeros(m, np.int64)
         if nz.any():
             wn = w[nz]
             p = np.left_shift(
                 1, np.frexp(wn.astype(np.float64) * 2 - 1)[1] - 1
             )  # smallest power of two >= wn
-            step = np.maximum(p // 4, 1)
+            step = np.maximum(p // 8, 1)
             wb[nz] = ((wn + step - 1) // step) * step
         classes = np.unique(wb[nz]) if nz.any() else np.zeros(0, np.int64)
         class_of_row = np.full(m, -1, np.int32)
@@ -199,6 +204,53 @@ def _ell_spgemm_jit(
     return tuple(jnp.stack([o[i] for o in outs]) for i in range(3))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rows_pad", "n_cols", "widths", "pads", "sort_pad", "out_pad"
+    ),
+)
+def _ell_spgemm_sep_jit(
+    tables: tuple[jax.Array, ...],
+    entry_rows: tuple[tuple[jax.Array, ...], ...],  # [chunk][class][pad_c]
+    entry_pos: tuple[tuple[jax.Array, ...], ...],
+    *,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+    out_pad: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`_ell_spgemm_jit` with **embedded row separators**
+    (``sort_compress_seps``): no device row-pointer pass at all — one
+    synthetic ``(r, n_cols)`` candidate per chunk row rides the sort and the
+    host reads pointers off the separator positions (``split_seps``).
+    Measured: the searchsorted/histogram stage was ~10 ms of the 70 ms
+    headline (benchmarks/decompose.py); separators cost rows_pad extra sort
+    slots per chunk (~0.3%)."""
+    from .spgemm import sort_compress_seps
+
+    sep_rows = jnp.arange(rows_pad, dtype=INT)
+    sep_cols = jnp.full((rows_pad,), n_cols, INT)
+    outs = []
+    for row, col in _chunk_pair_streams(
+        tables, entry_rows, entry_pos,
+        rows_pad=rows_pad, n_cols=n_cols,
+        widths=widths, pads=pads, sort_pad=sort_pad - rows_pad,
+    ):
+        outs.append(
+            sort_compress_seps(
+                jnp.concatenate([row, sep_rows]),
+                jnp.concatenate([col, sep_cols]),
+                rows_pad, n_cols,
+            )
+        )
+    if out_pad is not None and out_pad < sort_pad:
+        outs = [(i[:out_pad], n) for i, n in outs]
+    return tuple(jnp.stack([o[i] for o in outs]) for i in range(2))
+
+
 def _chunk_pair_streams(
     tables, entry_rows, entry_pos, *, rows_pad, n_cols, widths, pads, sort_pad
 ):
@@ -213,7 +265,7 @@ def _chunk_pair_streams(
             r, c = _expand_class(t, er, ep, rows_pad, n_cols)
             parts_r.append(r)
             parts_c.append(c)
-        if fill:
+        if fill or not parts_r:  # fill == 0 with no classes: keep concat fed
             parts_r.append(jnp.full((fill,), rows_pad, INT))
             parts_c.append(jnp.full((fill,), n_cols, INT))
         streams.append((jnp.concatenate(parts_r), jnp.concatenate(parts_c)))
@@ -452,12 +504,19 @@ class EllSpGEMMExecutor:
                 f"ELL chunk expansion {slots} slots exceeds int32; "
                 "use the chunked ESC engine for this product"
             )
-        self.sort_pad = pad_bucket(max(slots, 8))
+        # + rows_pad separator slots per chunk (sort_compress_seps); final
+        # bucket at 32nd-octave — pads are already input-specific shapes, so
+        # the coarse 16th-octave step only wasted sort slots (measured 8.6%
+        # of the headline's sort_pad).
+        self.sort_pad = pad_bucket(max(slots + self.rows_pad, 8), div=32)
         self.total_slots = self.sort_pad * k
-        # Valid output entries per chunk never exceed its true flop count, so
-        # the stacked per-chunk index outputs are truncated to this bound
-        # (resident memory ∝ out_pad·k, not sort_pad·k).
-        self.out_pad = min(pad_bucket(max_chunk_flops), self.sort_pad)
+        # Valid output entries per chunk never exceed its true flop count
+        # (+ separators), so the stacked per-chunk index outputs are
+        # truncated to this bound (resident memory ∝ out_pad·k, not
+        # sort_pad·k).
+        self.out_pad = min(
+            pad_bucket(max_chunk_flops + self.rows_pad), self.sort_pad
+        )
         self.resident_slots = self.out_pad * k
         # Super-chunking: chunks are dispatched in uniform groups of
         # ``group_size`` so one compile serves every dispatch and per-dispatch
@@ -528,14 +587,16 @@ class EllSpGEMMExecutor:
             yield tuple(er_g), tuple(ep_g)
 
     def run(self):
-        """Stacked per-chunk (c_indptr, c_indices, nnz_c) device arrays.
+        """Stacked per-chunk (c_indices, nnz_c) device arrays — row pointers
+        ride INSIDE the index stream as ``n_cols`` separators
+        (``sort_compress_seps``; assemble() splits them off host-side).
 
         One dispatch per chunk group (all groups share one compiled program);
         group outputs are concatenated on device.  Trailing dummy-chunk rows
         (sentinel-only) may follow the real chunks — assemble() ignores them.
         """
         outs = [
-            _ell_spgemm_jit(
+            _ell_spgemm_sep_jit(
                 self.tables, er_g, ep_g,
                 rows_pad=self.rows_pad, n_cols=self.n_cols,
                 widths=self.widths, pads=self.pads, sort_pad=self.sort_pad,
@@ -546,7 +607,7 @@ class EllSpGEMMExecutor:
         if len(outs) == 1:
             return outs[0]
         return tuple(
-            jnp.concatenate([o[i] for o in outs]) for i in range(3)
+            jnp.concatenate([o[i] for o in outs]) for i in range(2)
         )
 
     def stage_mask(self, f: "BCSR"):
@@ -621,6 +682,17 @@ class EllSpGEMMExecutor:
         )
 
     def assemble(self, outputs) -> BCSR:
+        if len(outputs) == 2:  # separator-embedded (run): split host-side
+            from .spgemm import split_seps
+
+            c_idx, nnz_c = (np.asarray(o) for o in outputs)
+            parts = [
+                split_seps(
+                    c_idx[i], int(nnz_c[i]), self.rows_pad, self.n_cols
+                )
+                for i in range(self.n_chunks)
+            ]
+            return self._assemble_parts(parts)
         c_ptr, c_idx, nnz_c = (np.asarray(o) for o in outputs)
         parts = [
             (c_ptr[i], c_idx[i], nnz_c[i]) for i in range(self.n_chunks)
@@ -645,20 +717,24 @@ class EllSpGEMMExecutor:
         the reference's grow-as-you-go realloc for huge outputs
         (final/SpGEMM_mpi_omp.c:28-31), restructured as bounded-footprint
         dispatches."""
+        from .spgemm import split_seps
+
         host_parts = []
         for er_g, ep_g in self._groups():
-            out = _ell_spgemm_jit(
+            idx_dev, nnz_dev = _ell_spgemm_sep_jit(
                 self.tables, er_g, ep_g,
                 rows_pad=self.rows_pad, n_cols=self.n_cols,
                 widths=self.widths, pads=self.pads, sort_pad=self.sort_pad,
                 out_pad=self.out_pad,
             )
-            ptr, nnz = np.asarray(out[0]), np.asarray(out[2])
-            idx_dev = out[1]
+            nnz = np.asarray(nnz_dev)
             # pull only the valid prefix of each chunk's indices
-            for j in range(ptr.shape[0]):
+            for j in range(nnz.shape[0]):
                 host_parts.append(
-                    (ptr[j], np.asarray(idx_dev[j, : int(nnz[j])]), int(nnz[j]))
+                    split_seps(
+                        np.asarray(idx_dev[j, : int(nnz[j])]),
+                        int(nnz[j]), self.rows_pad, self.n_cols,
+                    )
                 )
         return self._assemble_parts(host_parts[: self.n_chunks])
 

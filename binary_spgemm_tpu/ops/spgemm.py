@@ -59,19 +59,21 @@ INT = jnp.int32
 DEFAULT_CHUNK_FLOPS = 1 << 25
 
 
-def pad_bucket(n: int, minimum: int = 8) -> int:
-    """Round up to the next sixteenth-octave bucket (multiples of 2^(k-4)
-    within each power-of-two octave).
+def pad_bucket(n: int, minimum: int = 8, div: int = 16) -> int:
+    """Round up to the next 1/``div``-octave bucket (multiples of
+    2^k/``div`` within each power-of-two octave).
 
-    Compile-cache-friendly padding with ≤~12.5% waste.  Pure power-of-two
+    Compile-cache-friendly padding with ≤~100/div % waste.  Pure power-of-two
     buckets cost up to 2× in sort/scan work right above a boundary — and the
     natural benchmark shapes (n, d powers of two ⇒ flops ≈ n·d²) sit *exactly*
-    there (measured 0.60 s vs 0.29 s for flops 0.02% over 2^24).  ≤16 cached
-    kernel shapes per octave is cheap next to that.
+    there (measured 0.60 s vs 0.29 s for flops 0.02% over 2^24).  ≤div cached
+    kernel shapes per octave is cheap next to that.  ``div=32`` is used for
+    final aggregate shapes (already input-specific) where the default step
+    measurably wastes sort slots.
     """
     n = max(int(n), minimum)
     p = 1 << (n - 1).bit_length()  # smallest power of two ≥ n
-    step = max(p // 16, 1)
+    step = max(p // div, 1)
     return ((n + step - 1) // step) * step
 
 
@@ -202,6 +204,64 @@ def sort_compress(
             c_rows, jnp.arange(n_rows + 1, dtype=INT), side="left"
         ).astype(INT)
     return c_indptr, c_indices, nnz_c
+
+
+def sort_compress_seps(
+    row: jax.Array, col: jax.Array, n_rows: int, n_cols: int
+) -> tuple[jax.Array, jax.Array]:
+    """Sort/dedup/compact with **embedded row separators** instead of a
+    device-side row-pointer pass.
+
+    One synthetic candidate ``(r, n_cols)`` per output row joins the stream;
+    it sorts after row r's real columns (all ``< n_cols``) and before row
+    r+1, is unique (never deduped), and survives compaction — so the
+    compacted index stream is ``row0 cols…, n_cols, row1 cols…, n_cols, …``
+    and the host derives row pointers from the separator positions for free.
+    Replaces the searchsorted/histogram row-pointer stage (measured ~10 ms
+    of the 70 ms headline, benchmarks/decompose.py, stage "full"-"sort2").
+
+    ``row``/``col`` must already include the ``n_rows`` separator pairs
+    (callers append them so the padded stream shape covers them).  Returns
+    ``(indices, nnz)`` where nnz counts real entries PLUS the ``n_rows``
+    separators.
+    """
+    if packable(n_rows, n_cols):
+        shift = int(n_cols).bit_length()
+        key = (row << shift) | col
+        key_s = jax.lax.sort((key,), is_stable=False)[0]
+        prev = jnp.concatenate([jnp.full((1,), -1, INT), key_s[:-1]])
+        keep = (key_s != prev) & (key_s < (n_rows << shift))
+        nnz_c = jnp.sum(keep, dtype=INT)
+        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+        c_keys = jax.lax.sort((demoted,), is_stable=False)[0]
+        return c_keys & ((1 << shift) - 1), nnz_c
+
+    row_s, col_s = jax.lax.sort((row, col), num_keys=2, is_stable=False)
+    prev_row = jnp.concatenate([jnp.full((1,), -1, INT), row_s[:-1]])
+    prev_col = jnp.concatenate([jnp.full((1,), -1, INT), col_s[:-1]])
+    new = (row_s != prev_row) | (col_s != prev_col)
+    keep = new & (row_s < n_rows)
+    nnz_c = jnp.sum(keep, dtype=INT)
+    demoted_r = jnp.where(keep, row_s, n_rows)
+    demoted_c = jnp.where(keep, col_s, n_cols)
+    _, c_indices = jax.lax.sort(
+        (demoted_r, demoted_c), num_keys=2, is_stable=False
+    )
+    return c_indices, nnz_c
+
+
+def split_seps(
+    indices: np.ndarray, nnz: int, n_rows: int, n_cols: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Host inverse of :func:`sort_compress_seps`: split a separator-embedded
+    compacted index stream into ``(indptr [n_rows+1], indices, real_nnz)``."""
+    valid = indices[:nnz]
+    bpos = np.flatnonzero(valid == n_cols)
+    assert len(bpos) == n_rows, (len(bpos), n_rows)
+    ptr = np.empty(n_rows + 1, np.int64)
+    ptr[0] = 0
+    ptr[1:] = bpos - np.arange(n_rows, dtype=np.int64)
+    return ptr, np.delete(valid, bpos), int(nnz) - n_rows
 
 
 def sort_compress_masked(

@@ -9,11 +9,11 @@ from binary_spgemm_tpu.utils.oracle import spgemm_oracle
 
 def test_width_bucket():
     assert [width_bucket(w) for w in [1, 2, 3, 5, 8, 9, 13, 16, 17, 33]] == [
-        1, 2, 3, 6, 8, 12, 16, 16, 24, 48,
+        1, 2, 3, 5, 8, 10, 14, 16, 20, 40,
     ]
     for w in range(1, 300):
         wb = width_bucket(w)
-        assert w <= wb < 1.5 * w + 4  # quarter-octave worst case
+        assert w <= wb < 1.25 * w + 4  # eighth-octave worst case
 
 
 def test_ellb_layout_roundtrip():
