@@ -37,12 +37,12 @@ def main():
         key_cols = 2 * ex.n_cols + 1
         staged = ex.stage_mask(f)
         out = ex.run_masked(staged)
-        np.asarray(out[2][:1])  # force through the tunnel
+        np.asarray(out[-1][:1])  # force through the tunnel
         ts = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
             out = ex.run_masked(staged)
-            np.asarray(out[2][:1])
+            np.asarray(out[-1][:1])
             ts.append(time.perf_counter() - t0)
         c = ex.assemble(out)
         if ref is None:

@@ -123,12 +123,12 @@ def main() -> None:
                 fmask = _B.random(n, n, d / 2, seed=8)
                 mex = EllSpGEMMExecutor(a, a, masked=True)
                 mout = mex.run_masked(fmask)
-                np.asarray(mout[2][:1])
+                np.asarray(mout[-1][:1])
                 mts = []
                 for _ in range(args.times):
                     t0 = time.perf_counter()
                     mout = mex.run_masked(fmask)
-                    np.asarray(mout[2][:1])
+                    np.asarray(mout[-1][:1])
                     mts.append(time.perf_counter() - t0)
                 da = DeviceBCSR.from_host(a)
                 db = DeviceBCSR.from_host(fmask)

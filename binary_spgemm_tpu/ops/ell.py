@@ -290,29 +290,34 @@ def _ell_masked_jit(
     sort_pad: int,
 ):
     """Masked variant: C = F .* (A·B) — the mask join is fused into the sort
-    (``sort_compress_masked``: mask pairs enter the candidate stream tagged to
-    sort first within a pair; a candidate survives iff its predecessor is its
-    pair's mask entry).  Replaces the per-slot bisection, whose log2(width)
-    random gathers cost ~25× the whole unmasked multiply (measured 1.78 s vs
-    0.072 s on n=64K d=16).  Bit-exact with the reference's ``SpGEMM_masked``
-    (final/SpGEMM_mpi_omp.c:232-288)."""
-    from .spgemm import _row_ids, sort_compress_masked
+    (``sort_compress_masked_seps``: mask pairs enter the candidate stream
+    tagged to sort first within a pair; a candidate survives iff its
+    predecessor is its pair's mask entry).  Replaces the per-slot bisection,
+    whose log2(width) random gathers cost ~25× the whole unmasked multiply
+    (measured 1.78 s vs 0.072 s on n=64K d=16).  Row pointers ride as
+    embedded separators (see ``_ell_spgemm_sep_jit``).  Bit-exact with the
+    reference's ``SpGEMM_masked`` (final/SpGEMM_mpi_omp.c:232-288)."""
+    from .spgemm import _row_ids, sort_compress_masked_seps
 
+    sep_rows = jnp.arange(rows_pad, dtype=INT)
+    sep_cols = jnp.full((rows_pad,), n_cols, INT)
     outs = []
     for k, (row, col) in enumerate(
         _chunk_pair_streams(
             tables, entry_rows, entry_pos,
             rows_pad=rows_pad, n_cols=n_cols,
-            widths=widths, pads=pads, sort_pad=sort_pad,
+            widths=widths, pads=pads, sort_pad=sort_pad - rows_pad,
         )
     ):
         f_rows = _row_ids(f_ptr[k], f_idx[k].shape[0])
         outs.append(
-            sort_compress_masked(
-                row, col, f_rows, f_idx[k], f_ptr[k][-1], rows_pad, n_cols
+            sort_compress_masked_seps(
+                jnp.concatenate([row, sep_rows]),
+                jnp.concatenate([col, sep_cols]),
+                f_rows, f_idx[k], f_ptr[k][-1], rows_pad, n_cols,
             )
         )
-    return tuple(jnp.stack([o[i] for o in outs]) for i in range(3))
+    return tuple(jnp.stack([o[i] for o in outs]) for i in range(2))
 
 
 class EllSpGEMMExecutor:
@@ -678,7 +683,7 @@ class EllSpGEMMExecutor:
         if len(outs) == 1:
             return outs[0]
         return tuple(
-            jnp.concatenate([o[i] for o in outs]) for i in range(3)
+            jnp.concatenate([o[i] for o in outs]) for i in range(2)
         )
 
     def assemble(self, outputs) -> BCSR:

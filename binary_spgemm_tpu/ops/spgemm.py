@@ -264,6 +264,77 @@ def split_seps(
     return ptr, np.delete(valid, bpos), int(nnz) - n_rows
 
 
+def sort_compress_masked_seps(
+    row: jax.Array,
+    col: jax.Array,
+    f_row: jax.Array,
+    f_col: jax.Array,
+    f_nnz: jax.Array,
+    n_rows: int,
+    n_cols: int,
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`sort_compress_masked` with embedded row separators (see
+    :func:`sort_compress_seps`): callers append one ``(r, n_cols)`` candidate
+    per output row to the candidate stream; separators survive the mask join
+    unconditionally (no mask predecessor needed) and mark row boundaries in
+    the compacted index stream.  Returns ``(indices, nnz)`` — no device
+    row-pointer pass."""
+    fi = jnp.arange(f_row.shape[0], dtype=INT)
+    f_valid = fi < f_nnz
+    f_row = jnp.where(f_valid, f_row, n_rows)
+    f_col = jnp.where(f_valid, f_col, n_cols)
+
+    if packable(n_rows, 2 * n_cols + 1):
+        shift = int(n_cols).bit_length() + 1
+        col_mask = (1 << (shift - 1)) - 1
+        keys = jnp.concatenate(
+            [
+                ((row << shift) | (col << 1)) | 1,
+                (f_row << shift) | (f_col << 1),
+            ]
+        )
+        key_s = jax.lax.sort((keys,), is_stable=False)[0]
+        prev = jnp.concatenate([jnp.full((1,), -2, INT), key_s[:-1]])
+        is_cand = (key_s & 1) == 1
+        in_range = key_s < ((n_rows << shift) | 1)
+        is_sep = is_cand & in_range & (
+            ((key_s >> 1) & col_mask) == n_cols
+        )
+        keep = (is_cand & (prev == (key_s & ~1)) & in_range) | is_sep
+        nnz_c = jnp.sum(keep, dtype=INT)
+        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+        c_keys = jax.lax.sort((demoted,), is_stable=False)[0]
+        return (c_keys >> 1) & col_mask, nnz_c
+
+    rows = jnp.concatenate([row, f_row])
+    cols = jnp.concatenate([col, f_col])
+    tags = jnp.concatenate(
+        [jnp.ones(row.shape[0], INT), jnp.zeros(f_row.shape[0], INT)]
+    )
+    row_s, col_s, tag_s = jax.lax.sort(
+        (rows, cols, tags), num_keys=3, is_stable=False
+    )
+    prev_row = jnp.concatenate([jnp.full((1,), -1, INT), row_s[:-1]])
+    prev_col = jnp.concatenate([jnp.full((1,), -1, INT), col_s[:-1]])
+    prev_tag = jnp.concatenate([jnp.ones((1,), INT), tag_s[:-1]])
+    in_range = row_s < n_rows
+    is_sep = (tag_s == 1) & (col_s == n_cols) & in_range
+    keep = (
+        (tag_s == 1)
+        & (row_s == prev_row)
+        & (col_s == prev_col)
+        & (prev_tag == 0)
+        & in_range
+    ) | is_sep
+    nnz_c = jnp.sum(keep, dtype=INT)
+    demoted_r = jnp.where(keep, row_s, n_rows)
+    demoted_c = jnp.where(keep, col_s, n_cols)
+    _, c_indices = jax.lax.sort(
+        (demoted_r, demoted_c), num_keys=2, is_stable=False
+    )
+    return c_indices, nnz_c
+
+
 def sort_compress_masked(
     row: jax.Array,
     col: jax.Array,
@@ -529,6 +600,36 @@ spgemm_padded = jax.jit(esc_spgemm, static_argnames=("n_cols", "flops_pad"))
 spgemm_padded.__doc__ = "Jitted entry point for :func:`esc_spgemm`."
 
 
+def esc_spgemm_seps(
+    a_indptr: jax.Array,
+    a_indices: jax.Array,
+    a_nnz: jax.Array,
+    b_indptr: jax.Array,
+    b_indices: jax.Array,
+    *,
+    n_cols: int,
+    flops_pad: int,
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`esc_spgemm` with embedded row separators
+    (:func:`sort_compress_seps`): no device row-pointer pass; the host splits
+    pointers off the compacted stream (:func:`split_seps`).  Returns
+    ``(c_indices padded [flops_pad + n_rows], nnz incl. separators)``."""
+    n_rows = a_indptr.shape[0] - 1
+    row, col = expand_pairs(
+        a_indptr, a_indices, a_nnz, b_indptr, b_indices,
+        n_cols=n_cols, flops_pad=flops_pad,
+    )
+    row = jnp.concatenate([row, jnp.arange(n_rows, dtype=INT)])
+    col = jnp.concatenate([col, jnp.full((n_rows,), n_cols, INT)])
+    return sort_compress_seps(row, col, n_rows, n_cols)
+
+
+spgemm_padded_seps = jax.jit(
+    esc_spgemm_seps, static_argnames=("n_cols", "flops_pad")
+)
+spgemm_padded_seps.__doc__ = "Jitted entry point for :func:`esc_spgemm_seps`."
+
+
 # ---------------------------------------------------------------------------------
 # Host-level API
 # ---------------------------------------------------------------------------------
@@ -746,10 +847,11 @@ class SpGEMMExecutor:
 
         # All chunks execute in ONE dispatch via a sequential on-device loop
         # (lax.map): per-chunk host dispatches cost ~10 ms each through the
-        # device tunnel, and the loop body is compiled once.
+        # device tunnel, and the loop body is compiled once.  Row pointers
+        # ride as embedded separators (esc_spgemm_seps; assemble splits).
         def _mapped(a_ptr, a_idx, a_nnz, b_ptr, b_idx):
             return jax.lax.map(
-                lambda t: esc_spgemm(
+                lambda t: esc_spgemm_seps(
                     t[0], t[1], t[2], b_ptr, b_idx,
                     n_cols=self.n_cols, flops_pad=self.flops_pad,
                 ),
@@ -757,22 +859,28 @@ class SpGEMMExecutor:
             )
 
         self._fn = jax.jit(_mapped)
+        self._rows_pad = rows_pad
 
     def run(self):
-        """One full multiply: stacked (c_indptr, c_indices, nnz_c) device arrays."""
+        """One full multiply: stacked (c_indices, nnz_c) device arrays (row
+        pointers embedded as separators; assemble() splits them off)."""
         return self._fn(
             self.a_ptr, self.a_idx, self.a_nnz, self.b_indptr, self.b_indices
         )
 
     def assemble(self, outputs) -> BCSR:
-        c_ptr, c_idx, nnz_c = (np.asarray(o) for o in outputs)
+        c_idx, nnz_c = (np.asarray(o) for o in outputs)
         chunks = self.chunks
         it = iter(range(len(chunks)))
         return _stitch(
             chunks,
             self.shape[0],
             self.shape,
-            lambda r0, r1: (lambda s: (c_ptr[s], c_idx[s], nnz_c[s]))(next(it)),
+            lambda r0, r1: (
+                lambda s: split_seps(
+                    c_idx[s], int(nnz_c[s]), self._rows_pad, self.n_cols
+                )
+            )(next(it)),
         )
 
 
@@ -819,7 +927,7 @@ def spgemm(
 
     def run_chunk(r0, r1):
         ptr, idx, nnz_local = pad_chunk_csr(a, r0, r1, rows_pad, nnz_pad)
-        return spgemm_padded(
+        c_idx, nnz_c = spgemm_padded_seps(
             jnp.asarray(ptr),
             jnp.asarray(idx),
             jnp.asarray(nnz_local, INT),
@@ -828,5 +936,6 @@ def spgemm(
             n_cols=m,
             flops_pad=flops_pad,
         )
+        return split_seps(np.asarray(c_idx), int(nnz_c), rows_pad, m)
 
     return _stitch(chunks, n, (n, m), run_chunk)
