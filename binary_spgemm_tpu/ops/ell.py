@@ -444,19 +444,30 @@ class EllSpGEMMExecutor:
             lane = (pos % k_d).astype(np.int32)
             assign = np.empty(n, np.int32)
             assign[order] = np.where((pos // k_d) % 2 == 0, lane, k_d - 1 - lane)
-            pads_d = tuple(
-                pad_bucket(
-                    int(np.bincount(assign[rcls], minlength=k_d).max())
-                    if len(rcls)
-                    else 1,
-                    minimum=8,
+
+            def eval_assign(asg):
+                pads = tuple(
+                    pad_bucket(
+                        int(np.bincount(asg[rcls], minlength=k_d).max())
+                        if len(rcls)
+                        else 1,
+                        minimum=8,
+                    )
+                    for rcls in rows_pc
                 )
-                for rcls in rows_pc
-            )
-            slots_d = sum(p * w for p, w in zip(pads_d, self.widths))
-            rows_pad_d = pad_bucket(
-                int(np.bincount(assign, minlength=k_d).max()) or 1, minimum=1
-            )
+                slots = sum(p * w for p, w in zip(pads, self.widths))
+                rp = pad_bucket(
+                    int(np.bincount(asg, minlength=k_d).max()) or 1, minimum=1
+                )
+                return pads, slots, rp
+
+            pads_d, slots_d, rows_pad_d = eval_assign(assign)
+            # NOTE: a class-profile-aware greedy deal (vector bin-packing of
+            # heavy rows + dominant-class round-robin tail) was built and
+            # measured: it cuts padded slots 1136M → 1088M on R-MAT s18 but
+            # runs 2.49 s vs the snake's 2.29 s — the changed entry order
+            # costs the expansion gathers more than the slots save.  Keep
+            # the snake (ROADMAP item 1 records the exploration).
             if slots_d <= np.iinfo(np.int32).max:
                 dealt = (assign, k_d, pads_d, slots_d, rows_pad_d)
 
@@ -510,9 +521,10 @@ class EllSpGEMMExecutor:
                 "use the chunked ESC engine for this product"
             )
         # + rows_pad separator slots per chunk (sort_compress_seps); final
-        # bucket at 32nd-octave — pads are already input-specific shapes, so
-        # the coarse 16th-octave step only wasted sort slots (measured 8.6%
-        # of the headline's sort_pad).
+        # bucket at 32nd-octave.  NOT exact/lane-aligned: XLA's sort runs
+        # measurably faster at octave-fraction lengths (R-MAT s18: 2.19 s at
+        # the 32nd-octave 8912896 vs 2.29 s at the exact 8871936), so the
+        # ≤3% slot waste buys more than it costs.
         self.sort_pad = pad_bucket(max(slots + self.rows_pad, 8), div=32)
         self.total_slots = self.sort_pad * k
         # Valid output entries per chunk never exceed its true flop count
