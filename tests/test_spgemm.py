@@ -95,3 +95,60 @@ def test_validity_fixture_parity():
     # the committed fixture in tests/fixtures (generated, not copied).
     a = BCSR.random(5000, 5000, 0.5, seed=2021)
     check(a, a)
+
+
+def test_sort_compress_seps_matches_sort_compress():
+    # the separator-embedded compress must reproduce sort_compress exactly
+    # after the host split, duplicates and sentinel padding included
+    import jax.numpy as jnp
+
+    from binary_spgemm_tpu.ops.spgemm import (
+        sort_compress,
+        sort_compress_seps,
+        split_seps,
+    )
+
+    rng = np.random.default_rng(11)
+    n_rows, n_cols = 37, 53
+    row = rng.integers(0, n_rows, 400).astype(np.int32)
+    col = rng.integers(0, n_cols, 400).astype(np.int32)
+    # sentinel padding tail
+    row[350:] = n_rows
+    col[350:] = n_cols
+    ptr_ref, idx_ref, nnz_ref = sort_compress(
+        jnp.asarray(row), jnp.asarray(col), n_rows, n_cols
+    )
+    srow = np.concatenate([row, np.arange(n_rows, dtype=np.int32)])
+    scol = np.concatenate([col, np.full(n_rows, n_cols, np.int32)])
+    idx, nnz = sort_compress_seps(
+        jnp.asarray(srow), jnp.asarray(scol), n_rows, n_cols
+    )
+    ptr, indices, real = split_seps(
+        np.asarray(idx), int(nnz), n_rows, n_cols
+    )
+    assert real == int(nnz_ref)
+    assert np.array_equal(ptr, np.asarray(ptr_ref))
+    assert np.array_equal(indices, np.asarray(idx_ref)[:real])
+
+
+def test_spgemm_unpackable_key_domain():
+    # n_cols large enough that (row, col) cannot pack into one int32: the
+    # engines must take the 2-key sort paths (with separators) and stay
+    # bit-exact
+    from binary_spgemm_tpu.ops.spgemm import packable
+
+    rng = np.random.default_rng(12)
+    m = 1 << 26  # output column domain: (rows << 27) overflows int32
+    rows = rng.integers(0, 100, 500)
+    cols = rng.integers(0, 500, 500)
+    a = BCSR.from_coo(rows, cols, (100, 500))
+    b_rows = rng.integers(0, 500, 1500)
+    b_cols = rng.integers(0, m, 1500)
+    b = BCSR.from_coo(b_rows, b_cols, (500, m))
+    assert not packable(100, m)
+    c = spgemm(a, b)
+    assert c.equals(spgemm_oracle(a, b))
+    from binary_spgemm_tpu.ops.ell import ell_spgemm
+
+    c2 = ell_spgemm(a, b)
+    assert c2.equals(spgemm_oracle(a, b))
