@@ -8,17 +8,18 @@ pattern — gathering whole **rows** of a 2-D table.
 
 This engine restructures the expansion around that primitive.  B is laid out
 host-side as *sliced ELLPACK* (the classic GPU sparse format, re-purposed for
-TPU gather efficiency): rows are grouped into width classes (quarter-octave
+TPU gather efficiency): rows are grouped into width classes (eighth-octave
 buckets), each class storing its rows densely as ``[n_rows_c, w_c]`` int32
 with sentinel padding.  Expansion is then, per class:
 
     cand_cols = table_c[pos[e]]          # one row-gather per A-entry
     cand_rows = broadcast(row_of[e])     # no scan needed at all
 
-Candidate (row, col) pairs flow into the same ``sort_compress`` as the ESC
-engine, so output parity (ascending deduplicated columns, exclusive pointers
-— final/SpGEMM_mpi_omp.c:47's sorted rows) is inherited.  The price is the
-class padding (~1.17× slots on Poisson matrices, ~1.21× on R-MAT graphs);
+Candidate (row, col) pairs flow into the same sort/compress machinery as the
+ESC engine (with embedded row separators, ``sort_compress_seps``), so output
+parity (ascending deduplicated columns, exclusive pointers —
+final/SpGEMM_mpi_omp.c:47's sorted rows) is inherited.  The price is the
+class padding (~1.06× slots on Poisson matrices, ~1.10× on R-MAT graphs);
 the win is replacing the 10.4 ns/elem element gather with a ~row-granular
 gather plus pure vector ops.
 
