@@ -49,11 +49,13 @@ from .mesh import ROWS_AXIS, make_row_mesh, partition_rows
 __all__ = [
     "ShardedOperands",
     "dist_spgemm",
+    "dist_masked_spgemm",
     "dist_spgemm_sharded",
     "dist_spgemm_sharded_b",
     "dist_spgemm_ell",
     "dist_spgemm_ring",
     "dist_spgemm_ring_ell",
+    "dist_masked_spgemm_sharded",
     "ring_step_pad",
     "shard_operands",
     "shard_b_operands",
@@ -179,6 +181,109 @@ def dist_spgemm_sharded(
         in_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(), P()),
         out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P()),
     )(a_ptr, a_idx, a_nnz, b_ptr, b_idx)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "n_cols", "flops_pad")
+)
+def dist_masked_spgemm_sharded(
+    a_ptr: jax.Array,
+    a_idx: jax.Array,
+    a_nnz: jax.Array,
+    f_ptr: jax.Array,  # [S, rows_pad+1] shard-local mask row pointers
+    f_idx: jax.Array,  # [S, f_pad] mask indices (canonical, fill n_cols)
+    b_ptr: jax.Array,
+    b_idx: jax.Array,
+    *,
+    mesh: Mesh,
+    n_cols: int,
+    flops_pad: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """SPMD masked multiply C = F .* (A·B): per-shard ESC expansion with the
+    sort-fused mask join (``sort_compress_masked``) + the shared cross-shard
+    assembly.  The reference only *declared* its masked kernel parallelisable
+    ("can easily be parallelized exactly as above",
+    final/SpGEMM_mpi_omp.c:229) — this is that layer, SPMD-native: F is
+    row-sharded with A (same bounds), B replicated, output sharded with
+    globally prefix-fixed row pointers.
+    """
+    from ..ops.spgemm import _row_ids, sort_compress_masked
+
+    rows_pad = a_ptr.shape[-1] - 1
+
+    def shard_fn(a_ptr, a_idx, a_nnz, f_ptr, f_idx, b_ptr, b_idx):
+        row, col = expand_pairs(
+            a_ptr[0], a_idx[0], a_nnz[0, 0], b_ptr, b_idx,
+            n_cols=n_cols, flops_pad=flops_pad,
+        )
+        f_rows = _row_ids(f_ptr[0], f_idx.shape[-1])
+        c_ptr, c_idx, nnz_c = sort_compress_masked(
+            row, col, f_rows, f_idx[0], f_ptr[0][-1], rows_pad, n_cols
+        )
+        return _assembly_epilogue(c_ptr, c_idx, nnz_c)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS),
+            P(ROWS_AXIS), P(ROWS_AXIS), P(), P(),
+        ),
+        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P()),
+    )(a_ptr, a_idx, a_nnz, f_ptr, f_idx, b_ptr, b_idx)
+
+
+def _shard_mask(f: BCSR, bounds: np.ndarray, rows_pad: int, mesh: Mesh):
+    """Row-slice a canonical mask by the A-shard bounds into stacked padded
+    shard-local CSR arrays (fill = n_cols sentinels)."""
+    n_shards = len(bounds) - 1
+    f_pad = pad_bucket(
+        max(
+            (int(f.indptr[r1] - f.indptr[r0]) for r0, r1 in
+             zip(bounds, bounds[1:])),
+            default=1,
+        ),
+        minimum=1,
+    )
+    ptrs = np.zeros((n_shards, rows_pad + 1), np.int32)
+    idxs = np.full((n_shards, f_pad), f.n_cols, np.int32)
+    for s, (r0, r1) in enumerate(zip(bounds, bounds[1:])):
+        nnz_local = int(f.indptr[r1] - f.indptr[r0])
+        ptrs[s, : r1 - r0 + 1] = f.indptr[r0 : r1 + 1] - f.indptr[r0]
+        ptrs[s, r1 - r0 + 1 :] = nnz_local
+        idxs[s, :nnz_local] = f.indices[f.indptr[r0] : f.indptr[r1]]
+    shard = NamedSharding(mesh, P(ROWS_AXIS))
+    return jax.device_put(ptrs, shard), jax.device_put(idxs, shard)
+
+
+def dist_masked_spgemm(
+    f: BCSR,
+    a: BCSR,
+    b: BCSR,
+    mesh: Mesh | None = None,
+    *,
+    balance: str = "flops",
+) -> BCSR:
+    """Multi-chip masked structure C = F .* (A·B) (≡ SpGEMM_masked under the
+    row partition the reference declared but never built,
+    final/SpGEMM_mpi_omp.c:229-232).  F is canonicalised host-side and
+    row-sharded with A; assembly matches :func:`dist_spgemm`."""
+    if a.n_cols != b.n_rows or tuple(f.shape) != (a.n_rows, b.n_cols):
+        raise ValueError(f"shape mismatch: F{f.shape} vs {a.shape} @ {b.shape}")
+    from ..ops.spgemm import require_int32_operands
+
+    require_int32_operands(f, a, b)
+    n, m = a.n_rows, b.n_cols
+    if a.nnz == 0 or b.nnz == 0 or f.nnz == 0:
+        return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
+    f = f.sum_duplicates()
+    ops = shard_operands(a, b, mesh, balance=balance)
+    f_ptr, f_idx = _shard_mask(f, ops.bounds, ops.rows_pad, ops.mesh)
+    c_ptr, c_idx, nnz_sh, total = dist_masked_spgemm_sharded(
+        ops.a_ptr, ops.a_idx, ops.a_nnz, f_ptr, f_idx, ops.b_ptr, ops.b_idx,
+        mesh=ops.mesh, n_cols=m, flops_pad=ops.flops_pad,
+    )
+    return _assemble_sharded(c_ptr, c_idx, nnz_sh, total, ops.bounds, (n, m))
 
 
 def shard_b_operands(

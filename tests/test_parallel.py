@@ -218,3 +218,41 @@ def test_dist_ell_subchunked_many_chunks():
         assert sub_bounds[s, 0] == bounds[s]
         assert sub_bounds[s, -1] == bounds[s + 1]
         assert np.all(np.diff(sub_bounds[s]) >= 0)
+
+
+def test_dist_masked_spgemm_bit_exact():
+    # the SPMD masked layer the reference only declared
+    # (final/SpGEMM_mpi_omp.c:229): sharded F with the sort-fused join
+    from binary_spgemm_tpu.parallel.dist_spgemm import dist_masked_spgemm
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle
+
+    a = BCSR.random(300, 300, 4.0, seed=31)
+    f = BCSR.random(300, 300, 20.0, seed=32)
+    c = dist_masked_spgemm(f, a, a, make_row_mesh())
+    assert c.equals(masked_spgemm_oracle(f, a, a))
+
+
+def test_dist_masked_spgemm_skewed_rectangular():
+    from binary_spgemm_tpu.parallel.dist_spgemm import dist_masked_spgemm
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle
+
+    a = BCSR.rmat(8, 4.0, seed=33)
+    b = BCSR.random(256, 120, 3.0, seed=34)
+    f = BCSR.random(256, 120, 15.0, seed=35)
+    c = dist_masked_spgemm(f, a, b, make_row_mesh())
+    assert c.equals(masked_spgemm_oracle(f, a, b))
+
+
+def test_dist_masked_spgemm_empty_and_dup_mask():
+    from binary_spgemm_tpu.parallel.dist_spgemm import dist_masked_spgemm
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle
+
+    a = BCSR.random(100, 100, 3.0, seed=36)
+    empty = BCSR(np.zeros(101, np.int32), np.zeros(0, np.int32), (100, 100))
+    assert dist_masked_spgemm(empty, a, a, make_row_mesh()).nnz == 0
+    # duplicate mask entries must canonicalise, not double-admit
+    rows = np.array([0, 0, 1, 5, 5, 5])
+    cols = np.array([3, 3, 7, 2, 2, 9])
+    f = BCSR.from_coo(rows, cols, (100, 100))
+    c = dist_masked_spgemm(f, a, a, make_row_mesh())
+    assert c.equals(masked_spgemm_oracle(f, a, a))
