@@ -50,6 +50,8 @@ __all__ = [
     "ShardedOperands",
     "dist_spgemm",
     "dist_masked_spgemm",
+    "dist_spm_or",
+    "dist_spgemm_or",
     "dist_spgemm_sharded",
     "dist_spgemm_sharded_b",
     "dist_spgemm_ell",
@@ -233,9 +235,11 @@ def dist_masked_spgemm_sharded(
     )(a_ptr, a_idx, a_nnz, f_ptr, f_idx, b_ptr, b_idx)
 
 
-def _shard_mask(f: BCSR, bounds: np.ndarray, rows_pad: int, mesh: Mesh):
-    """Row-slice a canonical mask by the A-shard bounds into stacked padded
-    shard-local CSR arrays (fill = n_cols sentinels)."""
+def _shard_rows_csr(f: BCSR, bounds: np.ndarray, rows_pad: int, mesh: Mesh):
+    """Row-slice a matrix by the shard bounds into stacked padded shard-local
+    CSR arrays (fill = n_cols sentinels).  Used for every same-row-space
+    side operand of the SPMD ops (mask F, union/fused D, union B).  Returns
+    ``(ptrs [S, rows_pad+1], idxs [S, pad], nnzs [S, 1])`` device arrays."""
     n_shards = len(bounds) - 1
     f_pad = pad_bucket(
         max(
@@ -247,13 +251,19 @@ def _shard_mask(f: BCSR, bounds: np.ndarray, rows_pad: int, mesh: Mesh):
     )
     ptrs = np.zeros((n_shards, rows_pad + 1), np.int32)
     idxs = np.full((n_shards, f_pad), f.n_cols, np.int32)
+    nnzs = np.zeros((n_shards, 1), np.int32)
     for s, (r0, r1) in enumerate(zip(bounds, bounds[1:])):
         nnz_local = int(f.indptr[r1] - f.indptr[r0])
         ptrs[s, : r1 - r0 + 1] = f.indptr[r0 : r1 + 1] - f.indptr[r0]
         ptrs[s, r1 - r0 + 1 :] = nnz_local
         idxs[s, :nnz_local] = f.indices[f.indptr[r0] : f.indptr[r1]]
+        nnzs[s, 0] = nnz_local
     shard = NamedSharding(mesh, P(ROWS_AXIS))
-    return jax.device_put(ptrs, shard), jax.device_put(idxs, shard)
+    return (
+        jax.device_put(ptrs, shard),
+        jax.device_put(idxs, shard),
+        jax.device_put(nnzs, shard),
+    )
 
 
 def dist_masked_spgemm(
@@ -278,10 +288,146 @@ def dist_masked_spgemm(
         return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
     f = f.sum_duplicates()
     ops = shard_operands(a, b, mesh, balance=balance)
-    f_ptr, f_idx = _shard_mask(f, ops.bounds, ops.rows_pad, ops.mesh)
+    f_ptr, f_idx, _ = _shard_rows_csr(f, ops.bounds, ops.rows_pad, ops.mesh)
     c_ptr, c_idx, nnz_sh, total = dist_masked_spgemm_sharded(
         ops.a_ptr, ops.a_idx, ops.a_nnz, f_ptr, f_idx, ops.b_ptr, ops.b_idx,
         mesh=ops.mesh, n_cols=m, flops_pad=ops.flops_pad,
+    )
+    return _assemble_sharded(c_ptr, c_idx, nnz_sh, total, ops.bounds, (n, m))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "n_cols"))
+def dist_spm_or_sharded(
+    a_ptr, a_idx, a_nnz, b_ptr, b_idx, b_nnz, *, mesh: Mesh, n_cols: int
+):
+    """SPMD row union C = A OR B: both operands row-sharded by the same
+    bounds, per-shard sort-union (``spm_or_padded``), shared assembly."""
+    from ..ops.union import spm_or_padded
+
+    def shard_fn(ap, ai, an, bp, bi, bn):
+        c_ptr, c_idx, nnz_c = spm_or_padded(
+            ap[0], ai[0], an[0, 0], bp[0], bi[0], bn[0, 0], n_cols=n_cols
+        )
+        return _assembly_epilogue(c_ptr, c_idx, nnz_c)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(ROWS_AXIS),) * 6,
+        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P()),
+    )(a_ptr, a_idx, a_nnz, b_ptr, b_idx, b_nnz)
+
+
+def dist_spm_or(a: BCSR, b: BCSR, mesh: Mesh | None = None) -> BCSR:
+    """Multi-chip C = A OR B (≡ SpM_OR, old/utils.c:488-504, under the row
+    partition): rows split by combined nnz, both operands sharded — no
+    replication at all, the cheapest possible SPMD op."""
+    if tuple(a.shape) != tuple(b.shape):
+        raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
+    from ..ops.spgemm import require_int32_operands
+
+    require_int32_operands(a, b)
+    n, m = a.shape
+    mesh_ = mesh if mesh is not None else make_row_mesh()
+    weights = (
+        np.diff(a.indptr).astype(np.int64) + np.diff(b.indptr) + 1
+    )
+    bounds = partition_rows(weights, mesh_.devices.size, balance="flops")
+    rows_pad = pad_bucket(int(np.max(np.diff(bounds))) or 1, minimum=1)
+    a_ptr, a_idx, a_nnz = _shard_rows_csr(a, bounds, rows_pad, mesh_)
+    b_ptr, b_idx, b_nnz = _shard_rows_csr(b, bounds, rows_pad, mesh_)
+    c_ptr, c_idx, nnz_sh, total = dist_spm_or_sharded(
+        a_ptr, a_idx, a_nnz, b_ptr, b_idx, b_nnz, mesh=mesh_, n_cols=m
+    )
+    return _assemble_sharded(c_ptr, c_idx, nnz_sh, total, bounds, (n, m))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "n_cols", "flops_pad", "masked")
+)
+def dist_spgemm_or_sharded(
+    d_ptr, d_idx, d_nnz,
+    a_ptr, a_idx, a_nnz,
+    b_ptr, b_idx,
+    f_ptr, f_idx,
+    *,
+    mesh: Mesh,
+    n_cols: int,
+    flops_pad: int,
+    masked: bool,
+):
+    """SPMD fused C = D OR (F.*?(A·B)): D (and F) row-shard with A, B
+    replicated, the tagged sort-join runs per shard (``spgemm_or_padded``),
+    shared assembly.  ≡ the accumulate step of the reference's archived
+    blocked designs (SpGEMM_dor*, old/BSpGEMM.c:75-254) at cluster scale."""
+    from ..ops.fused import spgemm_or_padded
+
+    def shard_fn(dp, di, dn, ap, ai, an, bp, bi, fp, fi):
+        c_ptr, c_idx, nnz_c = spgemm_or_padded(
+            dp[0], di[0], dn[0, 0], ap[0], ai[0], an[0, 0], bp, bi,
+            fp[0] if masked else None,
+            fi[0] if masked else None,
+            n_cols=n_cols, flops_pad=flops_pad,
+        )
+        return _assembly_epilogue(c_ptr, c_idx, nnz_c)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            (P(ROWS_AXIS),) * 3
+            + (P(ROWS_AXIS),) * 3
+            + (P(), P())
+            + (P(ROWS_AXIS),) * 2
+        ),
+        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P()),
+    )(d_ptr, d_idx, d_nnz, a_ptr, a_idx, a_nnz, b_ptr, b_idx, f_ptr, f_idx)
+
+
+def dist_spgemm_or(
+    d: BCSR,
+    a: BCSR,
+    b: BCSR,
+    mesh: Mesh | None = None,
+    *,
+    mask: BCSR | None = None,
+    balance: str = "flops",
+) -> BCSR:
+    """Multi-chip fused C = D OR (A·B), optionally D OR (mask .* (A·B)).
+
+    The distributed form of :func:`binary_spgemm_tpu.ops.fused.spgemm_or`
+    (≡ SpGEMM_dor / SpGEMM_dor_masked, old/BSpGEMM.c:75-254, which the
+    reference only ever ran single-threaded)."""
+    if a.n_cols != b.n_rows or tuple(d.shape) != (a.n_rows, b.n_cols):
+        raise ValueError(f"shape mismatch: D{d.shape} vs {a.shape} @ {b.shape}")
+    from ..ops.spgemm import require_int32_operands
+
+    require_int32_operands(d, a, b)
+    n, m = a.n_rows, b.n_cols
+    if a.nnz == 0 or b.nnz == 0:
+        from ..ops.union import spm_or
+
+        empty = BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
+        return spm_or(d, empty)
+    if mask is not None:
+        if tuple(mask.shape) != (n, m):
+            raise ValueError(f"mask shape {mask.shape} != {(n, m)}")
+        require_int32_operands(mask)
+        mask = mask.sum_duplicates()
+    d = d.sum_duplicates()
+    ops = shard_operands(a, b, mesh, balance=balance)
+    d_ptr, d_idx, d_nnz = _shard_rows_csr(d, ops.bounds, ops.rows_pad, ops.mesh)
+    f_src = mask if mask is not None else BCSR(
+        np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m)
+    )
+    f_ptr, f_idx, _ = _shard_rows_csr(f_src, ops.bounds, ops.rows_pad, ops.mesh)
+    c_ptr, c_idx, nnz_sh, total = dist_spgemm_or_sharded(
+        d_ptr, d_idx, d_nnz,
+        ops.a_ptr, ops.a_idx, ops.a_nnz,
+        ops.b_ptr, ops.b_idx,
+        f_ptr, f_idx,
+        mesh=ops.mesh, n_cols=m, flops_pad=ops.flops_pad,
+        masked=mask is not None,
     )
     return _assemble_sharded(c_ptr, c_idx, nnz_sh, total, ops.bounds, (n, m))
 

@@ -256,3 +256,43 @@ def test_dist_masked_spgemm_empty_and_dup_mask():
     f = BCSR.from_coo(rows, cols, (100, 100))
     c = dist_masked_spgemm(f, a, a, make_row_mesh())
     assert c.equals(masked_spgemm_oracle(f, a, a))
+
+
+def test_dist_spm_or_bit_exact():
+    from binary_spgemm_tpu.parallel.dist_spgemm import dist_spm_or
+    from binary_spgemm_tpu.utils.oracle import union_oracle
+
+    a = BCSR.random(500, 230, 3.0, seed=51)
+    b = BCSR.random(500, 230, 2.0, seed=52)
+    c = dist_spm_or(a, b, make_row_mesh())
+    assert c.equals(union_oracle(a, b))
+    # skew: one operand concentrated in few rows
+    rng = np.random.default_rng(5)
+    rows = np.zeros(2000, int)
+    cols = rng.integers(0, 230, 2000)
+    sk = BCSR.from_coo(rows, cols, (500, 230))
+    c2 = dist_spm_or(sk, b, make_row_mesh())
+    assert c2.equals(union_oracle(sk, b))
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_dist_spgemm_or_bit_exact(masked):
+    from binary_spgemm_tpu.ops.fused import spgemm_or
+    from binary_spgemm_tpu.parallel.dist_spgemm import dist_spgemm_or
+
+    a = BCSR.random(300, 300, 3.0, seed=53)
+    d = BCSR.random(300, 300, 2.0, seed=54)
+    f = BCSR.random(300, 300, 25.0, seed=55) if masked else None
+    c = dist_spgemm_or(d, a, a, make_row_mesh(), mask=f)
+    ref = spgemm_or(d, a, a, mask=f)
+    assert c.equals(ref)
+
+
+def test_dist_spgemm_or_empty_product():
+    from binary_spgemm_tpu.ops.union import spm_or
+    from binary_spgemm_tpu.parallel.dist_spgemm import dist_spgemm_or
+
+    d = BCSR.random(50, 50, 2.0, seed=56)
+    z = BCSR(np.zeros(51, np.int32), np.zeros(0, np.int32), (50, 50))
+    c = dist_spgemm_or(d, z, z, make_row_mesh())
+    assert c.equals(spm_or(d, z))
