@@ -39,7 +39,15 @@ c = dist_spgemm(a, a, mesh)
 mh.barrier("post")
 from binary_spgemm_tpu.utils.oracle import spgemm_oracle
 assert c.equals(spgemm_oracle(a, a)), "multiprocess result mismatch"
-print(f"proc {pid} OK nnz={c.nnz}", flush=True)
+# masked SPMD path across the same two processes
+from binary_spgemm_tpu.parallel.dist_spgemm import dist_masked_spgemm
+from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle
+f = BCSR.random(200, 200, 15.0, seed=6)
+mh.barrier("pre-masked")
+cm = dist_masked_spgemm(f, a, a, mesh)
+mh.barrier("post-masked")
+assert cm.equals(masked_spgemm_oracle(f, a, a)), "multiprocess masked mismatch"
+print(f"proc {pid} OK nnz={c.nnz} masked_nnz={cm.nnz}", flush=True)
 """
 
 
