@@ -55,6 +55,7 @@ def read_pattern(
     *,
     transpose: bool = True,
     expand_symmetric: bool = False,
+    row_range: tuple[int, int] | None = None,
 ) -> BCSR:
     """Read a Matrix Market coordinate file as a boolean pattern matrix.
 
@@ -63,12 +64,26 @@ def read_pattern(
     declared ``symmetric`` — the reference does *not* do this (its MATLAB oracle
     compensates with ``tril(A)'``, Matlab/test_mtx.m:3), so it defaults off.
 
+    ``row_range=(lo, hi)`` keeps only rows [lo, hi) of the RESULT matrix and
+    returns a ``(hi-lo, cols)``-shaped slice (row ids shifted by -lo) — the
+    memory-bounded sharded-ingest path: each process parses the whole file
+    but stores only O(local nnz) (filter fused into the native parse), where
+    the reference materialises every entry on every rank
+    (final/SpGEMM_mpi_omp.c:309).  Pair with
+    ``parallel.multihost.process_row_range`` for the per-process bounds.
+
     Large files are mmapped so OS page-in overlaps the (multi-core, native)
     parse instead of an upfront whole-file read — the ingest pipeline the
     reference lacks (readCOO fscanf's serially on every rank,
     final/utils.c:66-71).
     """
     import mmap
+
+    if row_range is not None and expand_symmetric:
+        raise ValueError(
+            "row_range with expand_symmetric is not supported (mirrored "
+            "entries cross the row filter); expand first, then slice"
+        )
 
     with open(path, "rb") as f:
         size = os.fstat(f.fileno()).st_size
@@ -115,7 +130,18 @@ def read_pattern(
     # Only the first two fields of each entry are used (the reference's
     # fscanf("%u %u"), final/utils.c:66-71); value columns are skipped.
     fields_per_line = {"pattern": 2, "complex": 4}.get(banner.field, 3)
-    parsed = native_parse_pairs(body, nnz, fields_per_line) if nnz else None
+    if row_range is not None and nnz:
+        # the result row is the file's SECOND field under transpose
+        # semantics, the first otherwise; filter fused into the parse
+        lo, hi = (int(x) for x in row_range)
+        which = 1 if transpose else 0
+        from ..native import parse_pairs_filtered
+
+        parsed = parse_pairs_filtered(
+            body, nnz, fields_per_line, which, lo + 1, hi + 1
+        )
+    else:
+        parsed = native_parse_pairs(body, nnz, fields_per_line) if nnz else None
     if parsed is not None:  # fast C parser (native tier)
         rows = parsed[0].astype(np.int64) - 1  # 1-based → 0-based
         cols = parsed[1].astype(np.int64) - 1
@@ -141,6 +167,20 @@ def read_pattern(
         off = r0 != c0
         rows = np.concatenate([r0, c0[off]])
         cols = np.concatenate([c0, r0[off]])
+
+    if row_range is not None:
+        lo, hi = (int(x) for x in row_range)
+        key = cols if transpose else rows  # the field that becomes C's row
+        keep = (key >= lo) & (key < hi)
+        if not keep.all():  # numpy-fallback path parsed everything
+            rows, cols = rows[keep], cols[keep]
+        if transpose:
+            cols = cols - lo
+            shape = (n_rows, hi - lo)  # swapped by from_coo(transpose=True)
+        else:
+            rows = rows - lo
+            shape = (hi - lo, n_cols)
+        return BCSR.from_coo(rows, cols, shape, transpose=transpose)
 
     return BCSR.from_coo(rows, cols, (n_rows, n_cols), transpose=transpose)
 

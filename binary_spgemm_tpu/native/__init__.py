@@ -72,6 +72,20 @@ def lib():
             ctypes.c_long,
             ctypes.c_char_p,
         ]
+        if hasattr(l, "mm_parse_pairs_filtered"):
+            l.mm_parse_pairs_filtered.restype = ctypes.c_long
+            l.mm_parse_pairs_filtered.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_long,
+                ctypes.c_long,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_uint32,
+                ctypes.c_uint32,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_long,
+            ]
         if hasattr(l, "mm_parse_pairs_par"):
             l.mm_parse_pairs_par.restype = ctypes.c_long
             l.mm_parse_pairs_par.argtypes = [
@@ -152,6 +166,38 @@ def parse_pairs(body, nnz: int, fields: int):
         raise ValueError("malformed Matrix-Market entry body")
     if got != nnz:
         raise ValueError(f"expected {nnz} entries, found {got}")
+    return rows, cols
+
+
+def parse_pairs_filtered(body, nnz: int, fields: int, which: int,
+                         vlo: int, vhi: int):
+    """Memory-bounded filtered parse: keep entries whose 1-based field
+    ``which`` lies in [vlo, vhi).  Two native passes (count, then fill into
+    exactly-sized arrays) so a process never materialises out-of-range
+    entries.  Returns 1-based uint32 arrays, or None without the native
+    library (caller falls back to parse-then-filter)."""
+    l = lib()
+    if l is None or not hasattr(l, "mm_parse_pairs_filtered"):
+        return None
+    if not isinstance(body, bytes):
+        buf = np.frombuffer(body, dtype=np.uint8)
+        addr, blen = buf.ctypes.data, len(buf)
+    else:
+        addr, blen = body, len(body)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    count = l.mm_parse_pairs_filtered(
+        addr, blen, nnz, fields, which, vlo, vhi, None, None, 0
+    )
+    if count < 0:
+        raise ValueError("malformed Matrix-Market entry body")
+    rows = np.empty(count, dtype=np.uint32)
+    cols = np.empty(count, dtype=np.uint32)
+    got = l.mm_parse_pairs_filtered(
+        addr, blen, nnz, fields, which, vlo, vhi,
+        rows.ctypes.data_as(u32p), cols.ctypes.data_as(u32p), count,
+    )
+    if got != count:
+        raise ValueError("malformed Matrix-Market entry body")
     return rows, cols
 
 

@@ -138,6 +138,57 @@ long mm_parse_pairs_par(const char *buf, long len, long nnz, int fields,
 #endif
 }
 
+/* Filtered parse for sharded ingest: keep only entries whose 1-based field
+ * `which` (0 = first, 1 = second) lies in [vlo, vhi).  With rows == NULL it
+ * only counts (the sizing pass); otherwise it writes at most `cap` entries
+ * and returns -3 on overflow.  Two calls give an exactly-sized, memory-
+ * bounded per-process slice of a huge file — each rank stores O(local nnz)
+ * instead of materialising every entry the way the reference's replicated
+ * readCOO does (final/SpGEMM_mpi_omp.c:309). */
+long mm_parse_pairs_filtered(const char *buf, long len, long nnz, int fields,
+                             int which, uint32_t vlo, uint32_t vhi,
+                             uint32_t *rows, uint32_t *cols, long cap) {
+    const char *p = buf, *end = buf + len;
+    long seen = 0, kept = 0;
+    while (seen < nnz) {
+        uint32_t vals[2];
+        for (int f = 0; f < fields; f++) {
+            while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' ||
+                               *p == '\r'))
+                p++;
+            if (p >= end)
+                return (f == 0) ? kept : -1;
+            if (f < 2) {
+                if (*p < '0' || *p > '9')
+                    return -1;
+                uint64_t v = 0;
+                while (p < end && *p >= '0' && *p <= '9') {
+                    v = v * 10u + (uint64_t)(*p - '0');
+                    if (v > 0xffffffffu)
+                        return -1;
+                    p++;
+                }
+                vals[f] = (uint32_t)v;
+            } else {
+                while (p < end && *p != ' ' && *p != '\t' && *p != '\n' &&
+                       *p != '\r')
+                    p++;
+            }
+        }
+        seen++;
+        if (vals[which] >= vlo && vals[which] < vhi) {
+            if (rows) {
+                if (kept >= cap)
+                    return -3;
+                rows[kept] = vals[0];
+                cols[kept] = vals[1];
+            }
+            kept++;
+        }
+    }
+    return kept;
+}
+
 /* Format `n` coordinate pairs as 1-based "row col\n" ASCII into out (caller
  * sizes it: 22 bytes/pair is always enough).  Returns bytes written. */
 long mm_format_pairs(const uint32_t *rows, const uint32_t *cols, long n,
