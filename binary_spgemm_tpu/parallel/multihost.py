@@ -39,6 +39,7 @@ __all__ = [
     "global_row_mesh",
     "barrier",
     "process_row_range",
+    "dist_spgemm_from_local",
 ]
 
 
@@ -67,6 +68,110 @@ def barrier(name: str = "binary-spgemm") -> None:
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(name)
+
+
+def dist_spgemm_from_local(a_local, bounds, b, mesh=None):
+    """Multi-host C = A·B where THIS process holds only its row slice of A.
+
+    The fully memory-scalable ingest→multiply pipeline (the reference
+    materialises all of A on every rank, final/SpGEMM_mpi_omp.c:309):
+
+        bounds = partition_rows(np.ones(n), jax.device_count())   # or by flops
+        lo, hi = multihost.process_row_range(bounds, mesh)
+        a_local = read_pattern(path, row_range=(lo, hi))   # O(local nnz)
+        c = multihost.dist_spgemm_from_local(a_local, bounds, b, mesh)
+
+    ``a_local`` is the ``(hi-lo, m)``-shaped slice; ``bounds`` is the global
+    per-device row partition (identical on every process); B is replicated
+    (the reference's semantics).  Shard padding is agreed globally with one
+    tiny ``process_allgather``; the SPMD step and assembly are exactly
+    :func:`.dist_spgemm.dist_spgemm_sharded`'s.  Result: the full C on every
+    process (the symmetric gather-to-root analogue).
+    """
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.spgemm import pad_bucket, pad_chunk_csr
+    from .dist_spgemm import _assemble_sharded, dist_spgemm_sharded
+
+    mesh = mesh if mesh is not None else global_row_mesh()
+    bounds = np.asarray(bounds, np.int64)
+    n_shards = mesh.devices.size
+    if len(bounds) != n_shards + 1:
+        raise ValueError(
+            f"bounds has {len(bounds) - 1} shards, mesh has {n_shards}"
+        )
+    lo, hi = process_row_range(bounds, mesh)
+    if a_local.shape[0] != hi - lo:
+        raise ValueError(
+            f"a_local has {a_local.shape[0]} rows, this process owns "
+            f"[{lo}, {hi})"
+        )
+    n = int(bounds[-1])
+    m = b.n_cols
+    rows_pad = pad_bucket(int(np.max(np.diff(bounds))) or 1, minimum=1)
+
+    # Global shard-padding agreement: every process contributes its local
+    # shards' nnz / flop maxima (one tiny allgather ≡ MPI_Allreduce(MAX)).
+    blen = np.diff(b.indptr).astype(np.int64)
+    local_nnz_max = local_flops_max = 0
+    local_shards = {}
+    for s in range(n_shards):
+        r0, r1 = int(bounds[s]), int(bounds[s + 1])
+        if r0 < lo or r1 > hi:
+            continue
+        nnz_s = int(a_local.indptr[r1 - lo] - a_local.indptr[r0 - lo])
+        fl = int(
+            blen[
+                a_local.indices[
+                    a_local.indptr[r0 - lo] : a_local.indptr[r1 - lo]
+                ]
+            ].sum()
+        )
+        local_nnz_max = max(local_nnz_max, nnz_s)
+        local_flops_max = max(local_flops_max, fl)
+        local_shards[s] = (r0, r1)
+    agreed = multihost_utils.process_allgather(
+        np.asarray([local_nnz_max, local_flops_max], np.int64)
+    )
+    nnz_pad = pad_bucket(int(agreed[..., 0].max()) or 1, minimum=1)
+    flops_pad = pad_bucket(int(agreed[..., 1].max()) or 8)
+
+    shard = NamedSharding(mesh, P(ROWS_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def _mk(shape, sharding, cb):
+        return jax.make_array_from_callback(shape, sharding, cb)
+
+    def _local_block(s):
+        r0, r1 = local_shards[s]
+        ptr, idx, nnz_local = pad_chunk_csr(
+            a_local, r0 - lo, r1 - lo, rows_pad, nnz_pad
+        )
+        return ptr, idx, np.asarray([nnz_local], np.int32)
+
+    a_ptr = _mk(
+        (n_shards, rows_pad + 1), shard,
+        lambda i: _local_block(int(i[0].start))[0][None],
+    )
+    a_idx = _mk(
+        (n_shards, nnz_pad), shard,
+        lambda i: _local_block(int(i[0].start))[1][None],
+    )
+    a_nnz = _mk(
+        (n_shards, 1), shard,
+        lambda i: _local_block(int(i[0].start))[2][None],
+    )
+    b_ptr_np = np.ascontiguousarray(b.indptr, np.int32)
+    b_idx_np = np.ascontiguousarray(b.indices, np.int32)
+    b_ptr = _mk((b.n_rows + 1,), repl, lambda i: b_ptr_np[i])
+    b_idx = _mk((b.nnz,), repl, lambda i: b_idx_np[i])
+
+    c_ptr, c_idx, nnz_sh, total = dist_spgemm_sharded(
+        a_ptr, a_idx, a_nnz, b_ptr, b_idx,
+        mesh=mesh, n_cols=m, flops_pad=int(flops_pad),
+    )
+    return _assemble_sharded(c_ptr, c_idx, nnz_sh, total, bounds, (n, m))
 
 
 def process_row_range(bounds: np.ndarray, mesh) -> tuple[int, int]:

@@ -21,7 +21,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
 jax.config.update("jax_platforms", "cpu")
-pid = int(sys.argv[1]); coord = sys.argv[2]
+pid = int(sys.argv[1]); coord = sys.argv[2]; mtx_path = sys.argv[3]
 from binary_spgemm_tpu.parallel import multihost
 multihost.initialize(
     coordinator_address=coord, num_processes=2, process_id=pid,
@@ -47,11 +47,31 @@ mh.barrier("pre-masked")
 cm = dist_masked_spgemm(f, a, a, mesh)
 mh.barrier("post-masked")
 assert cm.equals(masked_spgemm_oracle(f, a, a)), "multiprocess masked mismatch"
-print(f"proc {pid} OK nnz={c.nnz} masked_nnz={cm.nnz}", flush=True)
+# fully sharded ingest->multiply pipeline: THIS process reads only its own
+# row slice of the shared file (read_pattern(row_range) + local staging)
+import numpy as np
+from binary_spgemm_tpu import read_pattern
+from binary_spgemm_tpu.parallel.mesh import partition_rows
+bounds = partition_rows(np.ones(a.n_rows), jax.device_count(), balance="rows")
+lo, hi = mh.process_row_range(bounds, mesh)
+a_local = read_pattern(mtx_path, transpose=False, row_range=(lo, hi))
+assert a_local.shape == (hi - lo, a.n_cols)
+mh.barrier("pre-local")
+cl = mh.dist_spgemm_from_local(a_local, bounds, a, mesh)
+mh.barrier("post-local")
+assert cl.equals(c), "sharded-ingest pipeline mismatch"
+print(f"proc {pid} OK nnz={c.nnz} masked_nnz={cm.nnz} local_ok=1", flush=True)
 """
 
 
-def test_two_process_distributed():
+def test_two_process_distributed(tmp_path):
+    # shared .mtx fixture for the sharded-ingest pipeline (≡ the reference's
+    # every-rank-reads-the-file setup, but each rank keeps only its slice)
+    from binary_spgemm_tpu import BCSR, write_pattern
+
+    mtx = tmp_path / "shared.mtx"
+    write_pattern(mtx, BCSR.random(200, 200, 3.0, seed=5))
+
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -64,7 +84,7 @@ def test_two_process_distributed():
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, str(pid), coord],
+            [sys.executable, "-c", WORKER, str(pid), coord, str(mtx)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
