@@ -58,6 +58,7 @@ __all__ = [
     "dist_spgemm_ring",
     "dist_spgemm_ring_ell",
     "dist_masked_spgemm_sharded",
+    "dist_masked_spgemm_ell",
     "ring_step_pad",
     "shard_operands",
     "shard_b_operands",
@@ -273,13 +274,19 @@ def dist_masked_spgemm(
     mesh: Mesh | None = None,
     *,
     balance: str = "flops",
+    engine: str = "auto",
 ) -> BCSR:
     """Multi-chip masked structure C = F .* (A·B) (≡ SpGEMM_masked under the
     row partition the reference declared but never built,
     final/SpGEMM_mpi_omp.c:229-232).  F is canonicalised host-side and
-    row-sharded with A; assembly matches :func:`dist_spgemm`."""
+    row-sharded with A; assembly matches :func:`dist_spgemm`.
+
+    ``engine``: like :func:`dist_spgemm` — ``"auto"`` takes the sliced-ELL
+    per-shard expansion when it fits, ``"esc"``/``"ell"`` force."""
     if a.n_cols != b.n_rows or tuple(f.shape) != (a.n_rows, b.n_cols):
         raise ValueError(f"shape mismatch: F{f.shape} vs {a.shape} @ {b.shape}")
+    if engine not in ("auto", "esc", "ell"):
+        raise ValueError(f"unknown engine {engine!r}")
     from ..ops.spgemm import require_int32_operands
 
     require_int32_operands(f, a, b)
@@ -287,6 +294,33 @@ def dist_masked_spgemm(
     if a.nnz == 0 or b.nnz == 0 or f.nnz == 0:
         return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
     f = f.sum_duplicates()
+
+    if engine in ("auto", "ell"):
+        from ..ops.ell import AUTO_ELL_MAX_SLOTS
+
+        mesh_ = mesh if mesh is not None else make_row_mesh()
+        rf = row_flops(a, b)
+        bounds = partition_rows(rf, mesh_.devices.size, balance=balance)
+        try:
+            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
+                _shard_ell_operands(a, b, mesh_, bounds, rf, masked=True)
+            )
+            fits = sort_pad <= AUTO_ELL_MAX_SLOTS
+        except OverflowError:
+            if engine == "ell":
+                raise
+            fits = False
+        if fits or engine == "ell":
+            f_ptr, f_idx = _shard_ell_mask(f, sub_bounds, rows_pad, mesh_)
+            c_ptr, c_idx, nnz_sc, total = dist_masked_spgemm_ell(
+                tables, er, ep, f_ptr, f_idx,
+                mesh=mesh_, rows_pad=rows_pad, n_cols=m,
+                widths=widths, pads=pads, sort_pad=sort_pad,
+            )
+            return _assemble_subchunked(
+                c_ptr, c_idx, nnz_sc, total, sub_bounds, (n, m)
+            )
+
     ops = shard_operands(a, b, mesh, balance=balance)
     f_ptr, f_idx, _ = _shard_rows_csr(f, ops.bounds, ops.rows_pad, ops.mesh)
     c_ptr, c_idx, nnz_sh, total = dist_masked_spgemm_sharded(
@@ -867,6 +901,122 @@ def dist_spgemm_ell(
     )(tables, entry_rows, entry_pos)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "rows_pad", "n_cols", "widths", "pads", "sort_pad"),
+)
+def dist_masked_spgemm_ell(
+    tables: tuple[jax.Array, ...],  # [nc, w] replicated ELL class tables
+    entry_rows: tuple[jax.Array, ...],  # [S, C, pad_c] (sharded)
+    entry_pos: tuple[jax.Array, ...],
+    f_ptr: jax.Array,  # [S, C, rows_pad+1] chunk-local mask row pointers
+    f_idx: jax.Array,  # [S, C, f_pad] mask indices (canonical, fill n_cols)
+    *,
+    mesh: Mesh,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Masked SPMD step with the sliced-ELL expansion: the per-shard
+    sub-chunked plan of :func:`dist_spgemm_ell` with the sort-fused mask
+    join (``sort_compress_masked``) replacing the plain compress — the ELL
+    form of :func:`dist_masked_spgemm_sharded` (~4× cheaper expansion,
+    ops/ell.py's measured single-chip gap)."""
+    from ..ops.ell import _expand_class
+    from ..ops.spgemm import _row_ids, sort_compress_masked
+
+    n_chunks = entry_rows[0].shape[1] if widths else 1
+    fill = sort_pad - sum(p * w for p, w in zip(pads, widths))
+
+    def shard_fn(tables, entry_rows, entry_pos, f_ptr, f_idx):
+        outs = []
+        for c in range(n_chunks):
+            parts_r, parts_c = [], []
+            for t, er, ep in zip(tables, entry_rows, entry_pos):
+                r, cc = _expand_class(t, er[0, c], ep[0, c], rows_pad, n_cols)
+                parts_r.append(r)
+                parts_c.append(cc)
+            if fill:
+                sent_r = jnp.full((fill,), rows_pad, INT)
+                sent_c = jnp.full((fill,), n_cols, INT)
+                parts_r.append(
+                    jax.lax.pcast(sent_r, (ROWS_AXIS,), to="varying")
+                )
+                parts_c.append(
+                    jax.lax.pcast(sent_c, (ROWS_AXIS,), to="varying")
+                )
+            row = jnp.concatenate(parts_r)
+            col = jnp.concatenate(parts_c)
+            f_rows = _row_ids(f_ptr[0, c], f_idx.shape[-1])
+            outs.append(
+                sort_compress_masked(
+                    row, col, f_rows, f_idx[0, c], f_ptr[0, c][-1],
+                    rows_pad, n_cols,
+                )
+            )
+        ptr = jnp.stack([o[0] for o in outs])
+        idx = jnp.stack([o[1] for o in outs])
+        nnzs = jnp.stack([o[2] for o in outs])
+        # two-level pointer fix: chunk prefix within shard + shard offset
+        local_off = jnp.cumsum(nnzs) - nnzs
+        shard_total = jnp.sum(nnzs, dtype=INT)
+        total = jax.lax.psum(shard_total, ROWS_AXIS)
+        counts = jax.lax.all_gather(shard_total, ROWS_AXIS)
+        me = jax.lax.axis_index(ROWS_AXIS)
+        shard_off = jnp.sum(
+            jnp.where(jnp.arange(counts.shape[0], dtype=INT) < me, counts, 0),
+            dtype=INT,
+        )
+        ptr = ptr + (local_off + shard_off)[:, None]
+        return ptr[None], idx[None], nnzs[None], total
+
+    n_classes = len(widths)
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            (P(),) * n_classes,
+            (P(ROWS_AXIS),) * n_classes,
+            (P(ROWS_AXIS),) * n_classes,
+            P(ROWS_AXIS),
+            P(ROWS_AXIS),
+        ),
+        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P()),
+    )(tables, entry_rows, entry_pos, f_ptr, f_idx)
+
+
+def _shard_ell_mask(
+    f: BCSR, sub_bounds: np.ndarray, rows_pad: int, mesh: Mesh
+):
+    """Per-(shard, sub-chunk) padded chunk-local mask CSR arrays."""
+    n_shards, C1 = sub_bounds.shape
+    C = C1 - 1
+    f_pad = pad_bucket(
+        max(
+            (
+                int(f.indptr[sub_bounds[s, c + 1]] - f.indptr[sub_bounds[s, c]])
+                for s in range(n_shards)
+                for c in range(C)
+            ),
+            default=1,
+        ),
+        minimum=1,
+    )
+    ptrs = np.zeros((n_shards, C, rows_pad + 1), np.int32)
+    idxs = np.full((n_shards, C, f_pad), f.n_cols, np.int32)
+    for s in range(n_shards):
+        for c in range(C):
+            r0, r1 = int(sub_bounds[s, c]), int(sub_bounds[s, c + 1])
+            nnz_local = int(f.indptr[r1] - f.indptr[r0])
+            ptrs[s, c, : r1 - r0 + 1] = f.indptr[r0 : r1 + 1] - f.indptr[r0]
+            ptrs[s, c, r1 - r0 + 1 :] = nnz_local
+            idxs[s, c, :nnz_local] = f.indices[f.indptr[r0] : f.indptr[r1]]
+    shard = NamedSharding(mesh, P(ROWS_AXIS))
+    return jax.device_put(ptrs, shard), jax.device_put(idxs, shard)
+
+
 def _shard_b_ell_tables(ell, mesh: Mesh):
     """Slice every ELL class table by B-row range into per-device shards.
 
@@ -911,6 +1061,7 @@ def _shard_ell_operands(
     rf: np.ndarray,
     *,
     b_tables: str = "replicated",
+    masked: bool = False,
 ):
     """Device-sharded per-(shard, chunk, class) ELL entry arrays + replicated
     tables.  Each shard's rows are sub-chunked exactly like the single-chip
@@ -924,7 +1075,9 @@ def _shard_ell_operands(
     rows_pc, pos_pc = _build_class_entries(a, ell)
     widths = tuple(ell.widths)
     n_cols = b.n_cols
-    shift = int(n_cols).bit_length()
+    # the masked join packs (row, col, tag) — one extra key bit, so the
+    # packed-sort row cap halves (≡ EllSpGEMMExecutor masked=True)
+    shift = int(n_cols).bit_length() + (1 if masked else 0)
     cap = 1 << max(0, 30 - shift)
 
     if b_tables == "sharded":

@@ -220,26 +220,29 @@ def test_dist_ell_subchunked_many_chunks():
         assert np.all(np.diff(sub_bounds[s]) >= 0)
 
 
-def test_dist_masked_spgemm_bit_exact():
+@pytest.mark.parametrize("engine", ["esc", "ell", "auto"])
+def test_dist_masked_spgemm_bit_exact(engine):
     # the SPMD masked layer the reference only declared
-    # (final/SpGEMM_mpi_omp.c:229): sharded F with the sort-fused join
+    # (final/SpGEMM_mpi_omp.c:229): sharded F with the sort-fused join,
+    # in both the ESC and sliced-ELL per-shard expansions
     from binary_spgemm_tpu.parallel.dist_spgemm import dist_masked_spgemm
     from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle
 
     a = BCSR.random(300, 300, 4.0, seed=31)
     f = BCSR.random(300, 300, 20.0, seed=32)
-    c = dist_masked_spgemm(f, a, a, make_row_mesh())
+    c = dist_masked_spgemm(f, a, a, make_row_mesh(), engine=engine)
     assert c.equals(masked_spgemm_oracle(f, a, a))
 
 
-def test_dist_masked_spgemm_skewed_rectangular():
+@pytest.mark.parametrize("engine", ["esc", "ell"])
+def test_dist_masked_spgemm_skewed_rectangular(engine):
     from binary_spgemm_tpu.parallel.dist_spgemm import dist_masked_spgemm
     from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle
 
     a = BCSR.rmat(8, 4.0, seed=33)
     b = BCSR.random(256, 120, 3.0, seed=34)
     f = BCSR.random(256, 120, 15.0, seed=35)
-    c = dist_masked_spgemm(f, a, b, make_row_mesh())
+    c = dist_masked_spgemm(f, a, b, make_row_mesh(), engine=engine)
     assert c.equals(masked_spgemm_oracle(f, a, b))
 
 
