@@ -59,6 +59,7 @@ __all__ = [
     "dist_spgemm_ring_ell",
     "dist_masked_spgemm_sharded",
     "dist_masked_spgemm_ell",
+    "dist_spgemm_or_ell",
     "ring_step_pad",
     "shard_operands",
     "shard_b_operands",
@@ -303,7 +304,7 @@ def dist_masked_spgemm(
         bounds = partition_rows(rf, mesh_.devices.size, balance=balance)
         try:
             (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
-                _shard_ell_operands(a, b, mesh_, bounds, rf, masked=True)
+                _shard_ell_operands(a, b, mesh_, bounds, rf, extra_key_bits=1)
             )
             fits = sort_pad <= AUTO_ELL_MAX_SLOTS
         except OverflowError:
@@ -311,7 +312,7 @@ def dist_masked_spgemm(
                 raise
             fits = False
         if fits or engine == "ell":
-            f_ptr, f_idx = _shard_ell_mask(f, sub_bounds, rows_pad, mesh_)
+            f_ptr, f_idx = _shard_ell_csr(f, sub_bounds, rows_pad, mesh_)
             c_ptr, c_idx, nnz_sc, total = dist_masked_spgemm_ell(
                 tables, er, ep, f_ptr, f_idx,
                 mesh=mesh_, rows_pad=rows_pad, n_cols=m,
@@ -426,14 +427,20 @@ def dist_spgemm_or(
     *,
     mask: BCSR | None = None,
     balance: str = "flops",
+    engine: str = "auto",
 ) -> BCSR:
     """Multi-chip fused C = D OR (A·B), optionally D OR (mask .* (A·B)).
 
     The distributed form of :func:`binary_spgemm_tpu.ops.fused.spgemm_or`
     (≡ SpGEMM_dor / SpGEMM_dor_masked, old/BSpGEMM.c:75-254, which the
-    reference only ever ran single-threaded)."""
+    reference only ever ran single-threaded).
+
+    ``engine``: like :func:`dist_spgemm` — ``"auto"`` takes the sliced-ELL
+    per-shard expansion when it fits, ``"esc"``/``"ell"`` force."""
     if a.n_cols != b.n_rows or tuple(d.shape) != (a.n_rows, b.n_cols):
         raise ValueError(f"shape mismatch: D{d.shape} vs {a.shape} @ {b.shape}")
+    if engine not in ("auto", "esc", "ell"):
+        raise ValueError(f"unknown engine {engine!r}")
     from ..ops.spgemm import require_int32_operands
 
     require_int32_operands(d, a, b)
@@ -449,6 +456,41 @@ def dist_spgemm_or(
         require_int32_operands(mask)
         mask = mask.sum_duplicates()
     d = d.sum_duplicates()
+
+    if engine in ("auto", "ell"):
+        from ..ops.ell import AUTO_ELL_MAX_SLOTS
+
+        mesh_ = mesh if mesh is not None else make_row_mesh()
+        rf = row_flops(a, b)
+        bounds = partition_rows(rf, mesh_.devices.size, balance=balance)
+        try:
+            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
+                _shard_ell_operands(
+                    a, b, mesh_, bounds, rf,
+                    extra_key_bits=2 if mask is not None else 0,
+                )
+            )
+            fits = sort_pad <= AUTO_ELL_MAX_SLOTS
+        except OverflowError:
+            if engine == "ell":
+                raise
+            fits = False
+        if fits or engine == "ell":
+            d_ptr, d_idx = _shard_ell_csr(d, sub_bounds, rows_pad, mesh_)
+            f_src = mask if mask is not None else BCSR(
+                np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m)
+            )
+            f_ptr, f_idx = _shard_ell_csr(f_src, sub_bounds, rows_pad, mesh_)
+            c_ptr, c_idx, nnz_sc, total = dist_spgemm_or_ell(
+                tables, er, ep, d_ptr, d_idx, f_ptr, f_idx,
+                mesh=mesh_, rows_pad=rows_pad, n_cols=m,
+                widths=widths, pads=pads, sort_pad=sort_pad,
+                masked=mask is not None,
+            )
+            return _assemble_subchunked(
+                c_ptr, c_idx, nnz_sc, total, sub_bounds, (n, m)
+            )
+
     ops = shard_operands(a, b, mesh, balance=balance)
     d_ptr, d_idx, d_nnz = _shard_rows_csr(d, ops.bounds, ops.rows_pad, ops.mesh)
     f_src = mask if mask is not None else BCSR(
@@ -838,8 +880,6 @@ def dist_spgemm_ell(
     layout, so expansion is otherwise identical.  Per-device B memory is
     ``O(nnz(B)/S)`` until the gather.
     """
-    from ..ops.ell import _expand_class
-
     n_chunks = entry_rows[0].shape[1] if widths else 1
     fill = sort_pad - sum(p * w for p, w in zip(pads, widths))
 
@@ -852,40 +892,11 @@ def dist_spgemm_ell(
             )
         outs = []
         for c in range(n_chunks):
-            parts_r, parts_c = [], []
-            for t, er, ep in zip(tables, entry_rows, entry_pos):
-                r, cc = _expand_class(t, er[0, c], ep[0, c], rows_pad, n_cols)
-                parts_r.append(r)
-                parts_c.append(cc)
-            if fill:
-                sent_r = jnp.full((fill,), rows_pad, INT)
-                sent_c = jnp.full((fill,), n_cols, INT)
-                parts_r.append(
-                    jax.lax.pcast(sent_r, (ROWS_AXIS,), to="varying")
-                )
-                parts_c.append(
-                    jax.lax.pcast(sent_c, (ROWS_AXIS,), to="varying")
-                )
-            row = jnp.concatenate(parts_r)
-            col = jnp.concatenate(parts_c)
+            row, col = _ell_expand_chunk(
+                tables, entry_rows, entry_pos, c, rows_pad, n_cols, fill
+            )
             outs.append(sort_compress(row, col, rows_pad, n_cols))
-        ptr = jnp.stack([o[0] for o in outs])  # [C, rows_pad+1]
-        idx = jnp.stack([o[1] for o in outs])  # [C, sort_pad]
-        nnzs = jnp.stack([o[2] for o in outs])  # [C]
-        # global offsets: exclusive chunk prefix within the shard, plus the
-        # shard's global offset (≡ the reference's two-level pointer fix:
-        # intra-rank stitch :134-141 + root cross-rank fix :211-223)
-        local_off = jnp.cumsum(nnzs) - nnzs
-        shard_total = jnp.sum(nnzs, dtype=INT)
-        total = jax.lax.psum(shard_total, ROWS_AXIS)
-        counts = jax.lax.all_gather(shard_total, ROWS_AXIS)
-        me = jax.lax.axis_index(ROWS_AXIS)
-        shard_off = jnp.sum(
-            jnp.where(jnp.arange(counts.shape[0], dtype=INT) < me, counts, 0),
-            dtype=INT,
-        )
-        ptr = ptr + (local_off + shard_off)[:, None]
-        return ptr[None], idx[None], nnzs[None], total
+        return _two_level_ptr_fix(outs)
 
     n_classes = len(widths)
     tbl_spec = P(ROWS_AXIS) if gather_tables else P()
@@ -899,6 +910,50 @@ def dist_spgemm_ell(
         ),
         out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P()),
     )(tables, entry_rows, entry_pos)
+
+
+def _ell_expand_chunk(
+    tables, entry_rows, entry_pos, c: int, rows_pad: int, n_cols: int,
+    fill: int,
+):
+    """Expand one sub-chunk's candidate stream from the ELL class tables
+    (inside shard_map): per-class row-gather expansion plus ``fill``
+    sentinel pairs so every chunk shares the static ``sort_pad`` length."""
+    from ..ops.ell import _expand_class
+
+    parts_r, parts_c = [], []
+    for t, er, ep in zip(tables, entry_rows, entry_pos):
+        r, cc = _expand_class(t, er[0, c], ep[0, c], rows_pad, n_cols)
+        parts_r.append(r)
+        parts_c.append(cc)
+    if fill:
+        sent_r = jnp.full((fill,), rows_pad, INT)
+        sent_c = jnp.full((fill,), n_cols, INT)
+        parts_r.append(jax.lax.pcast(sent_r, (ROWS_AXIS,), to="varying"))
+        parts_c.append(jax.lax.pcast(sent_c, (ROWS_AXIS,), to="varying"))
+    return jnp.concatenate(parts_r), jnp.concatenate(parts_c)
+
+
+def _two_level_ptr_fix(outs):
+    """Stack per-chunk (ptr, idx, nnz) and apply the two-level pointer fix
+    (chunk prefix within the shard + shard offset over the mesh; ≡ the
+    reference's intra-rank stitch :134-141 + root cross-rank fix :211-223).
+    Runs inside shard_map; returns the per-shard outputs plus the global
+    total."""
+    ptr = jnp.stack([o[0] for o in outs])
+    idx = jnp.stack([o[1] for o in outs])
+    nnzs = jnp.stack([o[2] for o in outs])
+    local_off = jnp.cumsum(nnzs) - nnzs
+    shard_total = jnp.sum(nnzs, dtype=INT)
+    total = jax.lax.psum(shard_total, ROWS_AXIS)
+    counts = jax.lax.all_gather(shard_total, ROWS_AXIS)
+    me = jax.lax.axis_index(ROWS_AXIS)
+    shard_off = jnp.sum(
+        jnp.where(jnp.arange(counts.shape[0], dtype=INT) < me, counts, 0),
+        dtype=INT,
+    )
+    ptr = ptr + (local_off + shard_off)[:, None]
+    return ptr[None], idx[None], nnzs[None], total
 
 
 @functools.partial(
@@ -924,7 +979,6 @@ def dist_masked_spgemm_ell(
     join (``sort_compress_masked``) replacing the plain compress — the ELL
     form of :func:`dist_masked_spgemm_sharded` (~4× cheaper expansion,
     ops/ell.py's measured single-chip gap)."""
-    from ..ops.ell import _expand_class
     from ..ops.spgemm import _row_ids, sort_compress_masked
 
     n_chunks = entry_rows[0].shape[1] if widths else 1
@@ -933,22 +987,9 @@ def dist_masked_spgemm_ell(
     def shard_fn(tables, entry_rows, entry_pos, f_ptr, f_idx):
         outs = []
         for c in range(n_chunks):
-            parts_r, parts_c = [], []
-            for t, er, ep in zip(tables, entry_rows, entry_pos):
-                r, cc = _expand_class(t, er[0, c], ep[0, c], rows_pad, n_cols)
-                parts_r.append(r)
-                parts_c.append(cc)
-            if fill:
-                sent_r = jnp.full((fill,), rows_pad, INT)
-                sent_c = jnp.full((fill,), n_cols, INT)
-                parts_r.append(
-                    jax.lax.pcast(sent_r, (ROWS_AXIS,), to="varying")
-                )
-                parts_c.append(
-                    jax.lax.pcast(sent_c, (ROWS_AXIS,), to="varying")
-                )
-            row = jnp.concatenate(parts_r)
-            col = jnp.concatenate(parts_c)
+            row, col = _ell_expand_chunk(
+                tables, entry_rows, entry_pos, c, rows_pad, n_cols, fill
+            )
             f_rows = _row_ids(f_ptr[0, c], f_idx.shape[-1])
             outs.append(
                 sort_compress_masked(
@@ -956,21 +997,7 @@ def dist_masked_spgemm_ell(
                     rows_pad, n_cols,
                 )
             )
-        ptr = jnp.stack([o[0] for o in outs])
-        idx = jnp.stack([o[1] for o in outs])
-        nnzs = jnp.stack([o[2] for o in outs])
-        # two-level pointer fix: chunk prefix within shard + shard offset
-        local_off = jnp.cumsum(nnzs) - nnzs
-        shard_total = jnp.sum(nnzs, dtype=INT)
-        total = jax.lax.psum(shard_total, ROWS_AXIS)
-        counts = jax.lax.all_gather(shard_total, ROWS_AXIS)
-        me = jax.lax.axis_index(ROWS_AXIS)
-        shard_off = jnp.sum(
-            jnp.where(jnp.arange(counts.shape[0], dtype=INT) < me, counts, 0),
-            dtype=INT,
-        )
-        ptr = ptr + (local_off + shard_off)[:, None]
-        return ptr[None], idx[None], nnzs[None], total
+        return _two_level_ptr_fix(outs)
 
     n_classes = len(widths)
     return jax.shard_map(
@@ -987,10 +1014,99 @@ def dist_masked_spgemm_ell(
     )(tables, entry_rows, entry_pos, f_ptr, f_idx)
 
 
-def _shard_ell_mask(
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "rows_pad", "n_cols", "widths", "pads", "sort_pad", "masked",
+    ),
+)
+def dist_spgemm_or_ell(
+    tables: tuple[jax.Array, ...],  # [nc, w] replicated ELL class tables
+    entry_rows: tuple[jax.Array, ...],  # [S, C, pad_c] (sharded)
+    entry_pos: tuple[jax.Array, ...],
+    d_ptr: jax.Array,  # [S, C, rows_pad+1] chunk-local D row pointers
+    d_idx: jax.Array,  # [S, C, d_pad] D indices (canonical, fill n_cols)
+    f_ptr: jax.Array,  # mask, same layout as D (ignored unless masked)
+    f_idx: jax.Array,
+    *,
+    mesh: Mesh,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+    masked: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused SPMD step C = D OR (F.*?(A·B)) with the sliced-ELL expansion:
+    the sub-chunked plan of :func:`dist_spgemm_ell` where D's chunk-local
+    pairs join each chunk's candidate stream before the sort (the SPA
+    pre-seed analogue, ≡ SpGEMM_dor old/BSpGEMM.c:75-254); masked uses the
+    three-way tagged join of ``spgemm_or_padded`` (mask < D < candidate) —
+    the ELL form of :func:`dist_spgemm_or_sharded`."""
+    from ..ops.fused import _sort_compress_or_masked
+    from ..ops.spgemm import _row_ids
+
+    n_chunks = entry_rows[0].shape[1] if widths else 1
+    fill = sort_pad - sum(p * w for p, w in zip(pads, widths))
+
+    def shard_fn(tables, entry_rows, entry_pos, d_ptr, d_idx, f_ptr, f_idx):
+        outs = []
+        for c in range(n_chunks):
+            row, col = _ell_expand_chunk(
+                tables, entry_rows, entry_pos, c, rows_pad, n_cols, fill
+            )
+            d_pad = d_idx.shape[-1]
+            d_rows = _row_ids(d_ptr[0, c], d_pad)
+            d_valid = jnp.arange(d_pad, dtype=INT) < d_ptr[0, c][-1]
+            d_rows = jnp.where(d_valid, d_rows, rows_pad)
+            d_cols = jnp.where(d_valid, d_idx[0, c], n_cols)
+            if masked:
+                f_pad = f_idx.shape[-1]
+                f_rows = _row_ids(f_ptr[0, c], f_pad)
+                f_valid = jnp.arange(f_pad, dtype=INT) < f_ptr[0, c][-1]
+                f_rows = jnp.where(f_valid, f_rows, rows_pad)
+                f_cols = jnp.where(f_valid, f_idx[0, c], n_cols)
+                outs.append(
+                    _sort_compress_or_masked(
+                        row, col, d_rows, d_cols, f_rows, f_cols,
+                        rows_pad, n_cols,
+                    )
+                )
+            else:
+                # D's pairs join the candidate stream; dedup is the union
+                outs.append(
+                    sort_compress(
+                        jnp.concatenate([row, d_rows]),
+                        jnp.concatenate([col, d_cols]),
+                        rows_pad, n_cols,
+                    )
+                )
+        return _two_level_ptr_fix(outs)
+
+    n_classes = len(widths)
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            (P(),) * n_classes,
+            (P(ROWS_AXIS),) * n_classes,
+            (P(ROWS_AXIS),) * n_classes,
+            P(ROWS_AXIS),
+            P(ROWS_AXIS),
+            P(ROWS_AXIS),
+            P(ROWS_AXIS),
+        ),
+        out_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P()),
+    )(tables, entry_rows, entry_pos, d_ptr, d_idx, f_ptr, f_idx)
+
+
+def _shard_ell_csr(
     f: BCSR, sub_bounds: np.ndarray, rows_pad: int, mesh: Mesh
 ):
-    """Per-(shard, sub-chunk) padded chunk-local mask CSR arrays."""
+    """Per-(shard, sub-chunk) padded chunk-local CSR arrays for a row-sharded
+    side input (mask F, fused D): pointers ``[S, C, rows_pad+1]`` (trailing
+    rows clamped to the chunk nnz) + indices ``[S, C, pad]`` (fill
+    ``n_cols``)."""
     n_shards, C1 = sub_bounds.shape
     C = C1 - 1
     f_pad = pad_bucket(
@@ -1061,7 +1177,7 @@ def _shard_ell_operands(
     rf: np.ndarray,
     *,
     b_tables: str = "replicated",
-    masked: bool = False,
+    extra_key_bits: int = 0,
 ):
     """Device-sharded per-(shard, chunk, class) ELL entry arrays + replicated
     tables.  Each shard's rows are sub-chunked exactly like the single-chip
@@ -1075,9 +1191,10 @@ def _shard_ell_operands(
     rows_pc, pos_pc = _build_class_entries(a, ell)
     widths = tuple(ell.widths)
     n_cols = b.n_cols
-    # the masked join packs (row, col, tag) — one extra key bit, so the
-    # packed-sort row cap halves (≡ EllSpGEMMExecutor masked=True)
-    shift = int(n_cols).bit_length() + (1 if masked else 0)
+    # tagged joins pack (row, col, tag) — the masked join spends 1 extra
+    # key bit, the fused-masked three-way join 2, so the packed-sort row
+    # cap halves per bit (≡ EllSpGEMMExecutor masked=True)
+    shift = int(n_cols).bit_length() + extra_key_bits
     cap = 1 << max(0, 30 - shift)
 
     if b_tables == "sharded":

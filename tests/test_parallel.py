@@ -278,17 +278,33 @@ def test_dist_spm_or_bit_exact():
     assert c2.equals(union_oracle(sk, b))
 
 
+@pytest.mark.parametrize("engine", ["esc", "ell", "auto"])
 @pytest.mark.parametrize("masked", [False, True])
-def test_dist_spgemm_or_bit_exact(masked):
+def test_dist_spgemm_or_bit_exact(masked, engine):
     from binary_spgemm_tpu.ops.fused import spgemm_or
     from binary_spgemm_tpu.parallel.dist_spgemm import dist_spgemm_or
 
     a = BCSR.random(300, 300, 3.0, seed=53)
     d = BCSR.random(300, 300, 2.0, seed=54)
     f = BCSR.random(300, 300, 25.0, seed=55) if masked else None
-    c = dist_spgemm_or(d, a, a, make_row_mesh(), mask=f)
+    c = dist_spgemm_or(d, a, a, make_row_mesh(), mask=f, engine=engine)
     ref = spgemm_or(d, a, a, mask=f)
     assert c.equals(ref)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_dist_spgemm_or_ell_skewed_rectangular(masked):
+    # skewed A sub-chunks the ELL plan; rectangular D/F exercise the
+    # chunk-local side-input layout
+    from binary_spgemm_tpu.ops.fused import spgemm_or
+    from binary_spgemm_tpu.parallel.dist_spgemm import dist_spgemm_or
+
+    a = BCSR.rmat(8, 4.0, seed=57)
+    b = BCSR.random(256, 120, 3.0, seed=58)
+    d = BCSR.random(256, 120, 2.0, seed=59)
+    f = BCSR.random(256, 120, 15.0, seed=60) if masked else None
+    c = dist_spgemm_or(d, a, b, make_row_mesh(), mask=f, engine="ell")
+    assert c.equals(spgemm_or(d, a, b, mask=f))
 
 
 def test_dist_spgemm_or_empty_product():
