@@ -700,20 +700,38 @@ class EllSpGEMMExecutor:
         )
 
     def assemble(self, outputs) -> BCSR:
-        if len(outputs) == 2:  # separator-embedded (run): split host-side
-            from .spgemm import split_seps
+        from .spgemm import compact_pull, split_seps
 
-            c_idx, nnz_c = (np.asarray(o) for o in outputs)
+        if len(outputs) == 2:  # separator-embedded (run): split host-side
+            idx_dev, nnz_dev = outputs
+            nnz_c = np.asarray(nnz_dev)
+            valid = nnz_c.astype(np.int64)
+            valid[self.n_chunks :] = 0  # trailing dummy group-fill chunks
+            chunk_idx = compact_pull(idx_dev, valid)
+            if chunk_idx is None:
+                c_idx = np.asarray(idx_dev)
+                chunk_idx = [
+                    c_idx[i, : int(nnz_c[i])] for i in range(self.n_chunks)
+                ]
             parts = [
                 split_seps(
-                    c_idx[i], int(nnz_c[i]), self.rows_pad, self.n_cols
+                    chunk_idx[i], int(nnz_c[i]), self.rows_pad, self.n_cols
                 )
                 for i in range(self.n_chunks)
             ]
             return self._assemble_parts(parts)
-        c_ptr, c_idx, nnz_c = (np.asarray(o) for o in outputs)
+        ptr_dev, idx_dev, nnz_dev = outputs
+        c_ptr, nnz_c = np.asarray(ptr_dev), np.asarray(nnz_dev)
+        valid = nnz_c.astype(np.int64)
+        valid[self.n_chunks :] = 0
+        chunk_idx = compact_pull(idx_dev, valid)
+        if chunk_idx is None:
+            c_idx = np.asarray(idx_dev)
+            chunk_idx = [
+                c_idx[i, : int(nnz_c[i])] for i in range(self.n_chunks)
+            ]
         parts = [
-            (c_ptr[i], c_idx[i], nnz_c[i]) for i in range(self.n_chunks)
+            (c_ptr[i], chunk_idx[i], nnz_c[i]) for i in range(self.n_chunks)
         ]
         return self._assemble_parts(parts)
 

@@ -32,6 +32,7 @@ column indices per row; exclusive row pointers.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,9 @@ __all__ = [
     "pad_chunk_csr",
     "sort_compress",
     "packable",
+    "compact_chunks",
+    "compact_pull",
+    "pull_prefix",
 ]
 
 INT = jnp.int32
@@ -788,6 +792,94 @@ def pad_chunk_csr(
     return ptr, idx, nnz_local
 
 
+# Compact-before-pull gate: below this padded size the straight padded pull
+# is cheap even through a slow link and the extra kernel compiles aren't
+# worth it.  One-shot huge results (e.g. R-MAT s18's ~3.7 GB padded stream
+# through this environment's ~10-25 MB/s tunnel) are where it pays.
+COMPACT_PULL_BYTES = 64 << 20
+# Elements per paged device→host pull (32 MB of int32): large enough that
+# the ~27 ms dispatch floor is noise next to the transfer itself.
+PULL_PAGE = 1 << 23
+
+
+@jax.jit
+def compact_chunks(idx: jax.Array, nnz: jax.Array) -> jax.Array:
+    """Pack per-chunk valid prefixes of a stacked ``[C, P]`` index array into
+    one contiguous ``[C*P]`` stream (chunk-major; positions past the combined
+    total are unspecified).
+
+    Assembly pulls this dense prefix instead of the padded stack, shaving the
+    per-chunk padding off the device→host transfer — the win is the padding
+    ratio times the link cost.  One 1-D gather pass (~10 ns/elem,
+    benchmarks/micro.jsonl) rather than a sort: the source position of output
+    slot i is ``chunk(i)*P + i - offset[chunk(i)]`` with ``chunk(i)`` a
+    searchsorted over the chunk-total prefix sums.
+    """
+    C, Pp = idx.shape
+    nnz = nnz.astype(INT)
+    cum = jnp.cumsum(nnz)
+    off = cum - nnz
+    i = jnp.arange(C * Pp, dtype=INT)
+    chunk = jnp.minimum(
+        jnp.searchsorted(cum, i, side="right").astype(INT), C - 1
+    )
+    src = chunk * Pp + (i - off[chunk])
+    src = jnp.clip(src, 0, C * Pp - 1)
+    return idx.reshape(-1)[src]
+
+
+@functools.partial(jax.jit, static_argnames=("page",))
+def _slice_page(flat: jax.Array, off: jax.Array, *, page: int) -> jax.Array:
+    return jax.lax.dynamic_slice(flat, (off,), (page,))
+
+
+def pull_prefix(
+    flat: jax.Array, total: int, page: int | None = None
+) -> np.ndarray:
+    """Pull ``flat[:total]`` to the host in fixed-size pages.
+
+    One ``dynamic_slice`` kernel shape per (array length, page) pair serves
+    every prefix length — no per-``total`` recompiles (compiles through this
+    environment's tunnel cost 30-300 s, so slicing device-side with a
+    ``total``-dependent shape would dwarf the transfer it saves).
+    ``dynamic_slice`` clamps the start to keep the page in bounds; the final
+    page is re-aligned host-side.
+    """
+    page = page or PULL_PAGE
+    n = flat.shape[0]
+    if total <= 0:
+        return np.zeros(0, flat.dtype)
+    if total >= n or page >= n:
+        return np.asarray(flat)[:total].copy()
+    out = np.empty(total, flat.dtype)
+    for off in range(0, total, page):
+        start = min(off, n - page)
+        pg = np.asarray(_slice_page(flat, np.int32(start), page=page))
+        take = min(page, total - off)
+        out[off : off + take] = pg[off - start : off - start + take]
+    return out
+
+
+def compact_pull(idx, nnz_valid: np.ndarray) -> list[np.ndarray] | None:
+    """Compact a stacked padded ``[C, P]`` chunk-index device array and pull
+    only the combined valid prefix; split back into per-chunk host arrays.
+
+    Returns ``None`` when the straight padded pull is the better plan (small
+    result, little padding, or the flat stream exceeds int32 addressing) —
+    callers fall back to ``np.asarray``.
+    """
+    C, Pp = idx.shape
+    if C * Pp * idx.dtype.itemsize <= COMPACT_PULL_BYTES or C * Pp >= 1 << 31:
+        return None
+    total = int(nnz_valid.sum())
+    if total > 0.85 * C * Pp:
+        return None  # padding too thin to pay for the gather
+    flat = compact_chunks(idx, jnp.asarray(nnz_valid, np.int32))
+    host = pull_prefix(flat, total)
+    cuts = np.concatenate([[0], np.cumsum(nnz_valid.astype(np.int64))])
+    return [host[cuts[i] : cuts[i + 1]] for i in range(C)]
+
+
 def _stitch(chunks, rows_total, shape, run_chunk) -> BCSR:
     """Run ``run_chunk(r0, r1) -> (c_ptr, c_idx, nnz_c)`` per chunk and stitch the
     slices with a row-pointer prefix fix (≡ final/SpGEMM_mpi_omp.c:117-141)."""
@@ -869,7 +961,14 @@ class SpGEMMExecutor:
         )
 
     def assemble(self, outputs) -> BCSR:
-        c_idx, nnz_c = (np.asarray(o) for o in outputs)
+        idx_dev, nnz_dev = outputs
+        nnz_c = np.asarray(nnz_dev)
+        chunk_idx = compact_pull(idx_dev, nnz_c.astype(np.int64))
+        if chunk_idx is None:
+            c_idx = np.asarray(idx_dev)
+            chunk_idx = [
+                c_idx[i, : int(nnz_c[i])] for i in range(len(self.chunks))
+            ]
         chunks = self.chunks
         it = iter(range(len(chunks)))
         return _stitch(
@@ -878,7 +977,7 @@ class SpGEMMExecutor:
             self.shape,
             lambda r0, r1: (
                 lambda s: split_seps(
-                    c_idx[s], int(nnz_c[s]), self._rows_pad, self.n_cols
+                    chunk_idx[s], int(nnz_c[s]), self._rows_pad, self.n_cols
                 )
             )(next(it)),
         )

@@ -190,3 +190,39 @@ def test_ell_staged_mask_reuse():
     c3 = ex.assemble(ex.run_masked(f))       # per-call staging path
     ref = mo(f, a, a)
     assert c1.equals(ref) and c2.equals(ref) and c3.equals(ref)
+
+
+def test_compact_pull_assembly(monkeypatch):
+    # force the compact-before-pull assembly (device-side prefix packing +
+    # paged pull) and check bit-exactness on every executor pull path
+    import binary_spgemm_tpu.ops.spgemm as sp
+    from binary_spgemm_tpu.ops.spgemm import SpGEMMExecutor
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle
+
+    monkeypatch.setattr(sp, "COMPACT_PULL_BYTES", 0)
+    monkeypatch.setattr(sp, "PULL_PAGE", 1 << 10)  # force multiple pages
+    a = BCSR.random(500, 500, 6.0, seed=71)
+    ex = EllSpGEMMExecutor(a, a, row_chunks=5)
+    assert ex.assemble(ex.run()).equals(spgemm_oracle(a, a))
+    f = BCSR.random(500, 500, 2.0, seed=72)
+    assert ex.assemble(ex.run_masked(f)).equals(masked_spgemm_oracle(f, a, a))
+    exd = EllSpGEMMExecutor(a, a, row_chunks="deal")
+    assert exd.assemble(exd.run()).equals(spgemm_oracle(a, a))
+    ex2 = SpGEMMExecutor(a, a, chunk_flops=1 << 12)
+    assert ex2.assemble(ex2.run()).equals(spgemm_oracle(a, a))
+
+
+def test_compact_chunks_and_pull_prefix_units():
+    import jax.numpy as jnp
+
+    from binary_spgemm_tpu.ops.spgemm import compact_chunks, pull_prefix
+
+    idx = np.arange(64, dtype=np.int32).reshape(4, 16)
+    nnz = np.array([3, 0, 16, 5], np.int32)
+    flat = np.asarray(compact_chunks(jnp.asarray(idx), jnp.asarray(nnz)))
+    expect = np.concatenate([idx[i, : nnz[i]] for i in range(4)])
+    assert np.array_equal(flat[: expect.size], expect)
+    # paged pull re-aligns the clamped final page
+    got = pull_prefix(jnp.asarray(flat), int(expect.size), page=7)
+    assert np.array_equal(got, flat[: expect.size])
+    assert pull_prefix(jnp.asarray(flat), 0).size == 0
