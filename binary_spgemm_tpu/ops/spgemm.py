@@ -860,6 +860,15 @@ def pull_prefix(
     return out
 
 
+def should_compact_pull(C: int, Pp: int, itemsize: int, total: int) -> bool:
+    """Gate for compact-before-pull: the padded stack must be big enough to
+    notice on the link, fit int32 flat addressing, and carry enough padding
+    to pay for the device-side gather."""
+    if C * Pp * itemsize <= COMPACT_PULL_BYTES or C * Pp >= 1 << 31:
+        return False
+    return total <= 0.85 * C * Pp
+
+
 def compact_pull(idx, nnz_valid: np.ndarray) -> list[np.ndarray] | None:
     """Compact a stacked padded ``[C, P]`` chunk-index device array and pull
     only the combined valid prefix; split back into per-chunk host arrays.
@@ -869,11 +878,9 @@ def compact_pull(idx, nnz_valid: np.ndarray) -> list[np.ndarray] | None:
     callers fall back to ``np.asarray``.
     """
     C, Pp = idx.shape
-    if C * Pp * idx.dtype.itemsize <= COMPACT_PULL_BYTES or C * Pp >= 1 << 31:
-        return None
     total = int(nnz_valid.sum())
-    if total > 0.85 * C * Pp:
-        return None  # padding too thin to pay for the gather
+    if not should_compact_pull(C, Pp, idx.dtype.itemsize, total):
+        return None
     flat = compact_chunks(idx, jnp.asarray(nnz_valid, np.int32))
     host = pull_prefix(flat, total)
     cuts = np.concatenate([[0], np.cumsum(nnz_valid.astype(np.int64))])

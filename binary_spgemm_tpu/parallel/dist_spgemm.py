@@ -1419,23 +1419,57 @@ def _fetch_global(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def _pull_valid_chunks(c_idx, valid: np.ndarray):
+    """Compact-pull per-(shard[, chunk]) valid prefixes of a stacked padded
+    device array (see ``ops.spgemm.compact_pull``) when the padded pull
+    would be the bottleneck.  Single-process only — the multi-process fetch
+    goes through ``process_allgather``.  Returns a flat list of per-chunk
+    host arrays, or ``None`` to fall back to the padded fetch."""
+    if jax.process_count() > 1:
+        return None
+    from ..ops.spgemm import compact_pull, should_compact_pull
+
+    Pp = c_idx.shape[-1]
+    n_chunks = int(np.prod(c_idx.shape[:-1]))
+    if not should_compact_pull(
+        n_chunks, Pp, c_idx.dtype.itemsize, int(valid.sum())
+    ):
+        return None
+    # De-shard before the compaction gather (reshard strips the explicit
+    # `@rows` aval sharding that survives device_put).  This path only
+    # matters when the whole result drains through one slow host link, so
+    # the replicated footprint mirrors the padded pull we were about to
+    # make anyway.
+    mesh = c_idx.sharding.mesh
+    repl = jax.sharding.reshard(
+        c_idx, NamedSharding(mesh, P(*([None] * c_idx.ndim)))
+    )
+    return compact_pull(repl.reshape(n_chunks, Pp), valid.reshape(-1))
+
+
 def _assemble_subchunked(
     c_ptr, c_idx, nnz_sc, total, sub_bounds, shape
 ) -> BCSR:
     """Host assembly of sub-chunked SPMD outputs (row pointers already global
     across chunks and shards)."""
     c_ptr = _fetch_global(c_ptr)
-    c_idx = _fetch_global(c_idx)
     nnz_sc = _fetch_global(nnz_sc)
+    C = sub_bounds.shape[1] - 1
+    parts = _pull_valid_chunks(c_idx, nnz_sc.astype(np.int64))
+    if parts is None:
+        c_idx = _fetch_global(c_idx)
     indptr_parts = [np.zeros(1, np.int64)]
     index_parts = []
     base = 0
     for s in range(sub_bounds.shape[0]):
-        for c in range(sub_bounds.shape[1] - 1):
+        for c in range(C):
             r0, r1 = sub_bounds[s, c], sub_bounds[s, c + 1]
             if r1 == r0:
                 continue
-            index_parts.append(c_idx[s, c, : nnz_sc[s, c]])
+            index_parts.append(
+                parts[s * C + c] if parts is not None
+                else c_idx[s, c, : nnz_sc[s, c]]
+            )
             # shard/chunk-local diffs + int64 host base — the device int32
             # prefix fix wraps past 2^31 total nnz (see _assemble_sharded)
             ptr = c_ptr[s, c].view(np.uint32)
@@ -1455,13 +1489,17 @@ def _assemble_subchunked(
 def _assemble_sharded(c_ptr, c_idx, nnz_sh, total, bounds, shape) -> BCSR:
     """Host assembly of sharded SPMD outputs (already globally prefix-fixed)."""
     c_ptr = _fetch_global(c_ptr)
-    c_idx = _fetch_global(c_idx)
     nnz_sh = _fetch_global(nnz_sh)[:, 0]
+    parts = _pull_valid_chunks(c_idx, nnz_sh.astype(np.int64))
+    if parts is None:
+        c_idx = _fetch_global(c_idx)
     indptr_parts = [np.zeros(1, np.int64)]
     index_parts = []
     base = 0
     for s, (r0, r1) in enumerate(zip(bounds, bounds[1:])):
-        index_parts.append(c_idx[s, : nnz_sh[s]])
+        index_parts.append(
+            parts[s] if parts is not None else c_idx[s, : nnz_sh[s]]
+        )
         # Rebuild global pointers from shard-LOCAL diffs + an int64 host
         # base: the device prefix fix is int32 and wraps past 2^31 total
         # output nnz; within-shard diffs recover exactly (mod-2^32 in

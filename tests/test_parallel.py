@@ -315,3 +315,19 @@ def test_dist_spgemm_or_empty_product():
     z = BCSR(np.zeros(51, np.int32), np.zeros(0, np.int32), (50, 50))
     c = dist_spgemm_or(d, z, z, make_row_mesh())
     assert c.equals(spm_or(d, z))
+
+
+@pytest.mark.parametrize("engine", ["esc", "ell"])
+def test_dist_assembly_compact_pull(monkeypatch, engine):
+    # force compact-before-pull in both dist assemblers (sharded + subchunked)
+    import binary_spgemm_tpu.ops.spgemm as sp
+    from binary_spgemm_tpu.parallel.dist_spgemm import dist_spgemm
+
+    monkeypatch.setattr(sp, "COMPACT_PULL_BYTES", 0)
+    monkeypatch.setattr(sp, "PULL_PAGE", 1 << 10)
+    a = BCSR.rmat(9, 4.0, seed=81)
+    c = dist_spgemm(a, a, make_row_mesh(), engine=engine)
+    sc = a.to_scipy() @ a.to_scipy()
+    sc.sort_indices()
+    assert np.array_equal(c.indptr, sc.indptr)
+    assert np.array_equal(c.indices, sc.indices)
