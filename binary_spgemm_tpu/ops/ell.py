@@ -753,7 +753,7 @@ class EllSpGEMMExecutor:
         the reference's grow-as-you-go realloc for huge outputs
         (final/SpGEMM_mpi_omp.c:28-31), restructured as bounded-footprint
         dispatches."""
-        from .spgemm import split_seps
+        from .spgemm import compact_pull, split_seps
 
         host_parts = []
         for er_g, ep_g in self._groups():
@@ -764,12 +764,20 @@ class EllSpGEMMExecutor:
                 out_pad=self.out_pad,
             )
             nnz = np.asarray(nnz_dev)
-            # pull only the valid prefix of each chunk's indices
+            # pull only the valid prefixes: compact the group on device when
+            # profitable (ONE kernel shape shared by every group — per-chunk
+            # `[:nnz]` slices would compile one kernel per distinct length)
+            group_idx = compact_pull(idx_dev, nnz.astype(np.int64))
+            if group_idx is None:
+                c_idx = np.asarray(idx_dev)
+                group_idx = [
+                    c_idx[j, : int(nnz[j])] for j in range(nnz.shape[0])
+                ]
             for j in range(nnz.shape[0]):
                 host_parts.append(
                     split_seps(
-                        np.asarray(idx_dev[j, : int(nnz[j])]),
-                        int(nnz[j]), self.rows_pad, self.n_cols,
+                        group_idx[j], int(nnz[j]),
+                        self.rows_pad, self.n_cols,
                     )
                 )
         return self._assemble_parts(host_parts[: self.n_chunks])

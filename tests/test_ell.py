@@ -210,6 +210,8 @@ def test_compact_pull_assembly(monkeypatch):
     assert exd.assemble(exd.run()).equals(spgemm_oracle(a, a))
     ex2 = SpGEMMExecutor(a, a, chunk_flops=1 << 12)
     assert ex2.assemble(ex2.run()).equals(spgemm_oracle(a, a))
+    # streaming assembly compacts per dispatch group
+    assert ex.run_assemble_streaming().equals(spgemm_oracle(a, a))
 
 
 def test_compact_chunks_and_pull_prefix_units():
