@@ -1440,11 +1440,12 @@ def _pull_valid_chunks(c_idx, valid: np.ndarray):
     # matters when the whole result drains through one slow host link, so
     # the replicated footprint mirrors the padded pull we were about to
     # make anyway.
-    mesh = c_idx.sharding.mesh
-    repl = jax.sharding.reshard(
-        c_idx, NamedSharding(mesh, P(*([None] * c_idx.ndim)))
-    )
-    return compact_pull(repl.reshape(n_chunks, Pp), valid.reshape(-1))
+    mesh = getattr(c_idx.sharding, "mesh", None)
+    if mesh is not None:
+        c_idx = jax.sharding.reshard(
+            c_idx, NamedSharding(mesh, P(*([None] * c_idx.ndim)))
+        )
+    return compact_pull(c_idx.reshape(n_chunks, Pp), valid.reshape(-1))
 
 
 def _assemble_subchunked(
