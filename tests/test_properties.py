@@ -126,3 +126,34 @@ def test_masked_engines_cross_parity_fuzz():
         assert masked_spgemm(f, a, a).equals(ref), trial
         ex = EllSpGEMMExecutor(a, a, row_chunks=3)
         assert ex.assemble(ex.run_masked(f)).equals(ref), trial
+
+
+def test_dist_engines_cross_parity_fuzz():
+    """Distributed masked/fused ops must agree across ESC and sliced-ELL
+    per-shard expansions and the serial oracle on randomized rectangular
+    shapes (≡ the single-chip fuzz, over the 8-device mesh)."""
+    from binary_spgemm_tpu.parallel.dist_spgemm import (
+        dist_masked_spgemm,
+        dist_spgemm_or,
+    )
+    from binary_spgemm_tpu.parallel.mesh import make_row_mesh
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle
+
+    rng = np.random.default_rng(321)
+    mesh = make_row_mesh()
+    for trial in range(3):
+        n = int(rng.integers(30, 300))
+        m = int(rng.integers(30, 300))
+        k = int(rng.integers(30, 300))
+        d = float(rng.uniform(0.5, 4.0))
+        a = BCSR.random(n, k, d, seed=trial + 11)
+        b = BCSR.random(k, m, d, seed=trial + 22)
+        f = BCSR.random(n, m, d * 3, seed=trial + 33)
+        dd = BCSR.random(n, m, d, seed=trial + 44)
+        ref_m = masked_spgemm_oracle(f, a, b)
+        ref_or = spm_or(dd, masked_spgemm(f, a, b))
+        for eng in ("esc", "ell"):
+            cm = dist_masked_spgemm(f, a, b, mesh, engine=eng)
+            assert cm.equals(ref_m), (trial, eng)
+            co = dist_spgemm_or(dd, a, b, mesh, mask=f, engine=eng)
+            assert co.equals(ref_or), (trial, eng)
