@@ -700,19 +700,14 @@ class EllSpGEMMExecutor:
         )
 
     def assemble(self, outputs) -> BCSR:
-        from .spgemm import compact_pull, split_seps
+        from .spgemm import pull_chunk_prefixes, split_seps
 
         if len(outputs) == 2:  # separator-embedded (run): split host-side
             idx_dev, nnz_dev = outputs
             nnz_c = np.asarray(nnz_dev)
             valid = nnz_c.astype(np.int64)
             valid[self.n_chunks :] = 0  # trailing dummy group-fill chunks
-            chunk_idx = compact_pull(idx_dev, valid)
-            if chunk_idx is None:
-                c_idx = np.asarray(idx_dev)
-                chunk_idx = [
-                    c_idx[i, : int(nnz_c[i])] for i in range(self.n_chunks)
-                ]
+            chunk_idx = pull_chunk_prefixes(idx_dev, valid)
             parts = [
                 split_seps(
                     chunk_idx[i], int(nnz_c[i]), self.rows_pad, self.n_cols
@@ -724,12 +719,7 @@ class EllSpGEMMExecutor:
         c_ptr, nnz_c = np.asarray(ptr_dev), np.asarray(nnz_dev)
         valid = nnz_c.astype(np.int64)
         valid[self.n_chunks :] = 0
-        chunk_idx = compact_pull(idx_dev, valid)
-        if chunk_idx is None:
-            c_idx = np.asarray(idx_dev)
-            chunk_idx = [
-                c_idx[i, : int(nnz_c[i])] for i in range(self.n_chunks)
-            ]
+        chunk_idx = pull_chunk_prefixes(idx_dev, valid)
         parts = [
             (c_ptr[i], chunk_idx[i], nnz_c[i]) for i in range(self.n_chunks)
         ]
@@ -753,7 +743,7 @@ class EllSpGEMMExecutor:
         the reference's grow-as-you-go realloc for huge outputs
         (final/SpGEMM_mpi_omp.c:28-31), restructured as bounded-footprint
         dispatches."""
-        from .spgemm import compact_pull, split_seps
+        from .spgemm import pull_chunk_prefixes, split_seps
 
         host_parts = []
         for er_g, ep_g in self._groups():
@@ -765,14 +755,8 @@ class EllSpGEMMExecutor:
             )
             nnz = np.asarray(nnz_dev)
             # pull only the valid prefixes: compact the group on device when
-            # profitable (ONE kernel shape shared by every group — per-chunk
-            # `[:nnz]` slices would compile one kernel per distinct length)
-            group_idx = compact_pull(idx_dev, nnz.astype(np.int64))
-            if group_idx is None:
-                c_idx = np.asarray(idx_dev)
-                group_idx = [
-                    c_idx[j, : int(nnz[j])] for j in range(nnz.shape[0])
-                ]
+            # profitable (ONE kernel shape shared by every group)
+            group_idx = pull_chunk_prefixes(idx_dev, nnz.astype(np.int64))
             for j in range(nnz.shape[0]):
                 host_parts.append(
                     split_seps(

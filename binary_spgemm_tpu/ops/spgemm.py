@@ -53,6 +53,7 @@ __all__ = [
     "packable",
     "compact_chunks",
     "compact_pull",
+    "pull_chunk_prefixes",
     "pull_prefix",
 ]
 
@@ -887,6 +888,18 @@ def compact_pull(idx, nnz_valid: np.ndarray) -> list[np.ndarray] | None:
     return [host[cuts[i] : cuts[i + 1]] for i in range(C)]
 
 
+def pull_chunk_prefixes(idx_dev, nnz_valid: np.ndarray) -> list[np.ndarray]:
+    """Pull each chunk's valid prefix of a stacked ``[C, P]`` device array:
+    compact-before-pull when profitable, else one padded pull sliced
+    host-side (NEVER per-chunk device ``[:n]`` slices — each distinct length
+    would compile a kernel)."""
+    parts = compact_pull(idx_dev, nnz_valid)
+    if parts is not None:
+        return parts
+    host = np.asarray(idx_dev)
+    return [host[i, : int(nnz_valid[i])] for i in range(host.shape[0])]
+
+
 def _stitch(chunks, rows_total, shape, run_chunk) -> BCSR:
     """Run ``run_chunk(r0, r1) -> (c_ptr, c_idx, nnz_c)`` per chunk and stitch the
     slices with a row-pointer prefix fix (≡ final/SpGEMM_mpi_omp.c:117-141)."""
@@ -970,12 +983,7 @@ class SpGEMMExecutor:
     def assemble(self, outputs) -> BCSR:
         idx_dev, nnz_dev = outputs
         nnz_c = np.asarray(nnz_dev)
-        chunk_idx = compact_pull(idx_dev, nnz_c.astype(np.int64))
-        if chunk_idx is None:
-            c_idx = np.asarray(idx_dev)
-            chunk_idx = [
-                c_idx[i, : int(nnz_c[i])] for i in range(len(self.chunks))
-            ]
+        chunk_idx = pull_chunk_prefixes(idx_dev, nnz_c.astype(np.int64))
         chunks = self.chunks
         it = iter(range(len(chunks)))
         return _stitch(
