@@ -882,6 +882,8 @@ def compact_pull(idx, nnz_valid: np.ndarray) -> list[np.ndarray] | None:
     total = int(nnz_valid.sum())
     if not should_compact_pull(C, Pp, idx.dtype.itemsize, total):
         return None
+    if C == 1:  # a single chunk's valid data is already a dense prefix
+        return [pull_prefix(idx.reshape(-1), total)]
     flat = compact_chunks(idx, jnp.asarray(nnz_valid, np.int32))
     host = pull_prefix(flat, total)
     cuts = np.concatenate([[0], np.cumsum(nnz_valid.astype(np.int64))])
@@ -1050,6 +1052,13 @@ def spgemm(
             n_cols=m,
             flops_pad=flops_pad,
         )
-        return split_seps(np.asarray(c_idx), int(nnz_c), rows_pad, m)
+        nnz_i = int(nnz_c)
+        # giant chunks page only the valid prefix off the device (no device
+        # reshape/compaction — one chunk's valid data is already a prefix)
+        if should_compact_pull(1, c_idx.shape[0], 4, nnz_i):
+            host = pull_prefix(c_idx, nnz_i)
+        else:
+            host = np.asarray(c_idx)
+        return split_seps(host, nnz_i, rows_pad, m)
 
     return _stitch(chunks, n, (n, m), run_chunk)

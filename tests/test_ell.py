@@ -228,3 +228,15 @@ def test_compact_chunks_and_pull_prefix_units():
     got = pull_prefix(jnp.asarray(flat), int(expect.size), page=7)
     assert np.array_equal(got, flat[: expect.size])
     assert pull_prefix(jnp.asarray(flat), 0).size == 0
+
+
+def test_chunked_spgemm_prefix_paged_pull(monkeypatch):
+    # the chunked ESC driver pages only each chunk's valid prefix when the
+    # padded chunk is large enough
+    import binary_spgemm_tpu.ops.spgemm as sp
+
+    monkeypatch.setattr(sp, "COMPACT_PULL_BYTES", 0)
+    monkeypatch.setattr(sp, "PULL_PAGE", 1 << 10)
+    a = BCSR.random(600, 600, 5.0, seed=91)
+    c = sp.spgemm(a, a, chunk_flops=1 << 13)  # force the chunked ESC path
+    assert c.equals(spgemm_oracle(a, a))
