@@ -1041,7 +1041,7 @@ def spgemm(
     b_indptr = jnp.asarray(b.indptr)
     b_indices = jnp.asarray(b.indices)
 
-    def run_chunk(r0, r1):
+    def dispatch(r0, r1):
         ptr, idx, nnz_local = pad_chunk_csr(a, r0, r1, rows_pad, nnz_pad)
         c_idx, nnz_c = spgemm_padded_seps(
             jnp.asarray(ptr),
@@ -1052,6 +1052,15 @@ def spgemm(
             n_cols=m,
             flops_pad=flops_pad,
         )
+        nnz_c.copy_to_host_async()
+        if c_idx.shape[0] * 4 <= COMPACT_PULL_BYTES:
+            # gate is statically off: start the D2H copy now so it overlaps
+            # the next chunk's compute (dispatch is async)
+            c_idx.copy_to_host_async()
+        return c_idx, nnz_c
+
+    def finish(out):
+        c_idx, nnz_c = out
         nnz_i = int(nnz_c)
         # giant chunks page only the valid prefix off the device (no device
         # reshape/compaction — one chunk's valid data is already a prefix)
@@ -1061,4 +1070,20 @@ def spgemm(
             host = np.asarray(c_idx)
         return split_seps(host, nnz_i, rows_pad, m)
 
-    return _stitch(chunks, n, (n, m), run_chunk)
+    # one-deep pipeline: chunk i+1's compute is queued before chunk i's
+    # pull + host split, so transfer/split overlap device compute — the
+    # overlap the reference's compute-then-gather design lacked (SURVEY
+    # §5 "no overlap").  Through this environment's tunnel the effect is a
+    # wash (pulls dominate at ~13-150 MB/s with huge run-to-run variance —
+    # benchmarks/ab_pipeline.py); the win case is a directly-attached host
+    # where per-chunk compute and D2H are comparable.
+    parts: list = []
+    prev = None
+    for r0, r1 in chunks:
+        cur = dispatch(r0, r1)
+        if prev is not None:
+            parts.append(finish(prev))
+        prev = cur
+    parts.append(finish(prev))
+    it = iter(parts)
+    return _stitch(chunks, n, (n, m), lambda r0, r1: next(it))
