@@ -861,13 +861,32 @@ def pull_prefix(
     return out
 
 
+# One compaction pass's flat-size cap: compact_chunks flattens to [C*P] and
+# gathers with int32 positions.  Bigger stacks compact in chunk groups.
+_COMPACT_FLAT_MAX = (1 << 31) - 1
+
+
 def should_compact_pull(C: int, Pp: int, itemsize: int, total: int) -> bool:
     """Gate for compact-before-pull: the padded stack must be big enough to
-    notice on the link, fit int32 flat addressing, and carry enough padding
-    to pay for the device-side gather."""
-    if C * Pp * itemsize <= COMPACT_PULL_BYTES or C * Pp >= 1 << 31:
+    notice on the link and carry enough padding to pay for the device-side
+    gather.  (Streams past int32 flat addressing compact group-wise.)"""
+    if C * Pp * itemsize <= COMPACT_PULL_BYTES:
         return False
     return total <= 0.85 * C * Pp
+
+
+def _compact_pull_block(idx, nnz_valid: np.ndarray) -> list[np.ndarray]:
+    """Compact one ``[C, P]`` block (flat size < 2³¹) and pull its combined
+    valid prefix; split back per chunk.  No profitability gate — callers
+    gate on the whole stream."""
+    C, Pp = idx.shape
+    total = int(nnz_valid.sum())
+    if C == 1:  # a single chunk's valid data is already a dense prefix
+        return [pull_prefix(idx.reshape(-1), total)]
+    flat = compact_chunks(idx, jnp.asarray(nnz_valid, np.int32))
+    host = pull_prefix(flat, total)
+    cuts = np.concatenate([[0], np.cumsum(nnz_valid.astype(np.int64))])
+    return [host[cuts[i] : cuts[i + 1]] for i in range(C)]
 
 
 def compact_pull(idx, nnz_valid: np.ndarray) -> list[np.ndarray] | None:
@@ -875,19 +894,27 @@ def compact_pull(idx, nnz_valid: np.ndarray) -> list[np.ndarray] | None:
     only the combined valid prefix; split back into per-chunk host arrays.
 
     Returns ``None`` when the straight padded pull is the better plan (small
-    result, little padding, or the flat stream exceeds int32 addressing) —
-    callers fall back to ``np.asarray``.
+    result or little padding) — callers fall back to ``np.asarray``.  Stacks
+    past int32 flat addressing (>2³¹ elements — the gather's index domain)
+    compact in uniform groups of chunks, at most two distinct group shapes
+    so at most two extra kernel compiles.
     """
     C, Pp = idx.shape
     total = int(nnz_valid.sum())
     if not should_compact_pull(C, Pp, idx.dtype.itemsize, total):
         return None
-    if C == 1:  # a single chunk's valid data is already a dense prefix
-        return [pull_prefix(idx.reshape(-1), total)]
-    flat = compact_chunks(idx, jnp.asarray(nnz_valid, np.int32))
-    host = pull_prefix(flat, total)
-    cuts = np.concatenate([[0], np.cumsum(nnz_valid.astype(np.int64))])
-    return [host[cuts[i] : cuts[i + 1]] for i in range(C)]
+    if C * Pp <= _COMPACT_FLAT_MAX:
+        return _compact_pull_block(idx, nnz_valid)
+    G = max(1, _COMPACT_FLAT_MAX // Pp)
+    parts: list[np.ndarray] = []
+    for g0 in range(0, C, G):
+        g1 = min(g0 + G, C)
+        parts.extend(
+            _compact_pull_block(
+                jax.lax.slice_in_dim(idx, g0, g1), nnz_valid[g0:g1]
+            )
+        )
+    return parts
 
 
 def pull_chunk_prefixes(idx_dev, nnz_valid: np.ndarray) -> list[np.ndarray]:

@@ -230,6 +230,25 @@ def test_compact_chunks_and_pull_prefix_units():
     assert pull_prefix(jnp.asarray(flat), 0).size == 0
 
 
+def test_compact_pull_groups(monkeypatch):
+    # stacks past the flat gather's int32 domain compact in uniform chunk
+    # groups; patch the cap down to force grouping on a small stack
+    import jax.numpy as jnp
+
+    import binary_spgemm_tpu.ops.spgemm as sp
+
+    monkeypatch.setattr(sp, "COMPACT_PULL_BYTES", 0)
+    monkeypatch.setattr(sp, "PULL_PAGE", 1 << 10)
+    monkeypatch.setattr(sp, "_COMPACT_FLAT_MAX", 40)  # P=16 -> groups of 2
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 100, (5, 16), dtype=np.int32)
+    nnz = np.array([3, 16, 0, 7, 5], np.int64)
+    parts = sp.compact_pull(jnp.asarray(idx), nnz)
+    assert parts is not None and len(parts) == 5
+    for i in range(5):
+        assert np.array_equal(parts[i], idx[i, : nnz[i]])
+
+
 def test_chunked_spgemm_prefix_paged_pull(monkeypatch):
     # the chunked ESC driver pages only each chunk's valid prefix when the
     # padded chunk is large enough
