@@ -26,11 +26,12 @@ from .spgemm import (
     _histogram_indptr_wins,
     _indptr_from_sorted_rows,
     _row_ids,
-    _stitch,
+    _stitch_pipelined,
     expand_pairs,
     pad_bucket,
     pad_chunk_csr,
     packable,
+    pull_padded_tuple,
     row_flops,
     sort_compress,
     uniform_chunk_plan,
@@ -211,7 +212,7 @@ def spgemm_or(
     b_indptr = jnp.asarray(b.indptr)
     b_indices = jnp.asarray(b.indices)
 
-    def run_chunk(r0, r1):
+    def dispatch(r0, r1):
         ptr, idx, nnz_local = pad_chunk_csr(a, r0, r1, rows_pad, nnz_pad)
         d_ptr, d_idx, d_local = pad_chunk_csr(d, r0, r1, rows_pad, d_nnz_pad)
         args = [
@@ -224,4 +225,7 @@ def spgemm_or(
             args += [jnp.asarray(f_ptr), jnp.asarray(f_idx)]
         return spgemm_or_padded(*args, n_cols=m, flops_pad=flops_pad)
 
-    return _stitch(chunks, n, (n, m), run_chunk)
+    def finish(out):
+        return pull_padded_tuple(*out)
+
+    return _stitch_pipelined(chunks, n, (n, m), dispatch, finish)

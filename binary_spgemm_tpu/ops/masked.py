@@ -23,10 +23,11 @@ from ..formats.bcsr import BCSR
 from .spgemm import (
     INT,
     DEFAULT_CHUNK_FLOPS,
-    _stitch,
+    _stitch_pipelined,
     expand_pairs,
     pad_bucket,
     pad_chunk_csr,
+    pull_padded_tuple,
     row_flops,
     uniform_chunk_plan,
 )
@@ -118,7 +119,7 @@ def masked_spgemm(
     b_indptr = jnp.asarray(b.indptr)
     b_indices = jnp.asarray(b.indices)
 
-    def run_chunk(r0, r1):
+    def dispatch(r0, r1):
         ptr, idx, nnz_local = pad_chunk_csr(a, r0, r1, rows_pad, nnz_pad)
         f_ptr, f_idx, _ = pad_chunk_csr(f, r0, r1, rows_pad, f_nnz_pad, fill=m)
         return masked_spgemm_padded(
@@ -133,4 +134,7 @@ def masked_spgemm(
             flops_pad=flops_pad,
         )
 
-    return _stitch(chunks, n, (n, m), run_chunk)
+    def finish(out):
+        return pull_padded_tuple(*out)
+
+    return _stitch_pipelined(chunks, n, (n, m), dispatch, finish)

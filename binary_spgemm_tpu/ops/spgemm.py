@@ -952,6 +952,51 @@ def _stitch(chunks, rows_total, shape, run_chunk) -> BCSR:
     return BCSR(indptr, indices, shape)
 
 
+def _stitch_pipelined(chunks, rows_total, shape, dispatch, finish) -> BCSR:
+    """:func:`_stitch` with a one-deep dispatch/finish pipeline.
+
+    ``dispatch(r0, r1)`` queues one chunk's device work (async);
+    ``finish(out)`` pulls and host-processes it (blocking).  Chunk i+1's
+    compute is queued before chunk i's pull, so device→host transfer and
+    host splits overlap device compute — the overlap the reference's
+    compute-then-gather design lacked (SURVEY §5 "no overlap").
+    """
+    def prefetch(out):
+        # start D2H copies at dispatch time (dispatch is async) for outputs
+        # small enough that the straight copy is the pull plan anyway; big
+        # padded outputs wait for finish's gated prefix paging
+        for x in out:
+            if hasattr(x, "copy_to_host_async") and x.nbytes <= COMPACT_PULL_BYTES:
+                x.copy_to_host_async()
+        return out
+
+    parts: list = []
+    prev = None
+    for r0, r1 in chunks:
+        cur = prefetch(dispatch(r0, r1))
+        if prev is not None:
+            parts.append(finish(prev))
+        prev = cur
+    parts.append(finish(prev))
+    it = iter(parts)
+    return _stitch(chunks, rows_total, shape, lambda r0, r1: next(it))
+
+
+def pull_padded_tuple(c_ptr, c_idx, nnz_c) -> tuple[np.ndarray, np.ndarray, int]:
+    """Pull one chunk's ``(indptr, indices, nnz)`` kernel output to the host.
+
+    Blocks; slices the valid index prefix HOST-side (a device ``[:nnz]``
+    slice would compile one kernel per distinct nnz — 30-300 s each through
+    this environment's tunnel), paging only the prefix off the device for
+    giant padded chunks."""
+    nnz_i = int(nnz_c)
+    if should_compact_pull(1, c_idx.shape[0], c_idx.dtype.itemsize, nnz_i):
+        idx_host = pull_prefix(c_idx, nnz_i)
+    else:
+        idx_host = np.asarray(c_idx)[:nnz_i]
+    return np.asarray(c_ptr), idx_host, nnz_i
+
+
 class SpGEMMExecutor:
     """Pre-staged repeated C = A·B executor.
 
@@ -1079,11 +1124,6 @@ def spgemm(
             n_cols=m,
             flops_pad=flops_pad,
         )
-        nnz_c.copy_to_host_async()
-        if c_idx.shape[0] * 4 <= COMPACT_PULL_BYTES:
-            # gate is statically off: start the D2H copy now so it overlaps
-            # the next chunk's compute (dispatch is async)
-            c_idx.copy_to_host_async()
         return c_idx, nnz_c
 
     def finish(out):
@@ -1097,20 +1137,8 @@ def spgemm(
             host = np.asarray(c_idx)
         return split_seps(host, nnz_i, rows_pad, m)
 
-    # one-deep pipeline: chunk i+1's compute is queued before chunk i's
-    # pull + host split, so transfer/split overlap device compute — the
-    # overlap the reference's compute-then-gather design lacked (SURVEY
-    # §5 "no overlap").  Through this environment's tunnel the effect is a
-    # wash (pulls dominate at ~13-150 MB/s with huge run-to-run variance —
+    # Through this environment's tunnel the pipeline's effect is a wash
+    # (pulls dominate at ~13-150 MB/s with huge run-to-run variance —
     # benchmarks/ab_pipeline.py); the win case is a directly-attached host
     # where per-chunk compute and D2H are comparable.
-    parts: list = []
-    prev = None
-    for r0, r1 in chunks:
-        cur = dispatch(r0, r1)
-        if prev is not None:
-            parts.append(finish(prev))
-        prev = cur
-    parts.append(finish(prev))
-    it = iter(parts)
-    return _stitch(chunks, n, (n, m), lambda r0, r1: next(it))
+    return _stitch_pipelined(chunks, n, (n, m), dispatch, finish)
