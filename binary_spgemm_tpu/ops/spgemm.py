@@ -121,10 +121,11 @@ class DeviceBCSR:
         )
 
     def to_host(self) -> BCSR:
-        nnz = int(self.nnz)
-        return BCSR(
-            np.asarray(self.indptr), np.asarray(self.indices[:nnz]), self.shape
-        )
+        # pull the padded array and slice host-side (a device [:nnz] slice
+        # would compile one kernel per distinct nnz), paging only the prefix
+        # off the device for giant padded results
+        ptr, idx, _ = pull_padded_tuple(self.indptr, self.indices, self.nnz)
+        return BCSR(ptr, idx, self.shape)
 
 
 # ---------------------------------------------------------------------------------

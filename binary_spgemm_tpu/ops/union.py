@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..formats.bcsr import BCSR
-from .spgemm import INT, _row_ids, pad_bucket, sort_compress
+from .spgemm import INT, _row_ids, pad_bucket, pull_padded_tuple, sort_compress
 
 __all__ = ["spm_or", "spm_or_padded"]
 
@@ -69,5 +69,6 @@ def spm_or(a: BCSR, b: BCSR) -> BCSR:
         return jnp.asarray(mat.indptr), jnp.asarray(idx), jnp.asarray(mat.nnz, INT)
 
     c_ptr, c_idx, nnz_c = spm_or_padded(*padded(a), *padded(b), n_cols=m)
-    nnz_c = int(nnz_c)
-    return BCSR(np.asarray(c_ptr), np.asarray(c_idx[:nnz_c]), (n, m))
+    # host-side prefix slice: a device [:nnz] slice would compile per nnz
+    ptr, idx, _ = pull_padded_tuple(c_ptr, c_idx, nnz_c)
+    return BCSR(ptr, idx, (n, m))
