@@ -321,6 +321,112 @@ def _ell_masked_jit(
     return tuple(jnp.stack([o[i] for o in outs]) for i in range(2))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rows_pad", "n_cols", "widths", "pads", "sort_pad", "out_pad"
+    ),
+)
+def _ell_or_jit(
+    tables,
+    entry_rows,
+    entry_pos,
+    d_ptr,  # [k, rows_pad+1] chunk-local D row pointers
+    d_idx,  # [k, d_pad] D indices (canonical, fill = n_cols)
+    *,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+    out_pad: int | None = None,
+):
+    """Fused union-product C = D OR (A·B): D's chunk-local pairs join each
+    chunk's candidate stream before the sort — the SPA pre-seed analogue
+    (≡ ``SpGEMM_dor``, old/BSpGEMM.c:75-126) — and the union IS the sort's
+    dedup.  Row pointers ride as embedded separators
+    (see :func:`_ell_spgemm_sep_jit`)."""
+    from .spgemm import _row_ids, sort_compress_seps
+
+    d_pad = d_idx.shape[-1]
+    sep_rows = jnp.arange(rows_pad, dtype=INT)
+    sep_cols = jnp.full((rows_pad,), n_cols, INT)
+    outs = []
+    for k, (row, col) in enumerate(
+        _chunk_pair_streams(
+            tables, entry_rows, entry_pos,
+            rows_pad=rows_pad, n_cols=n_cols,
+            widths=widths, pads=pads, sort_pad=sort_pad - rows_pad - d_pad,
+        )
+    ):
+        d_rows = _row_ids(d_ptr[k], d_pad)
+        d_valid = jnp.arange(d_pad, dtype=INT) < d_ptr[k][-1]
+        d_rows = jnp.where(d_valid, d_rows, rows_pad)
+        d_cols = jnp.where(d_valid, d_idx[k], n_cols)
+        outs.append(
+            sort_compress_seps(
+                jnp.concatenate([row, d_rows, sep_rows]),
+                jnp.concatenate([col, d_cols, sep_cols]),
+                rows_pad, n_cols,
+            )
+        )
+    if out_pad is not None and out_pad < sort_pad:
+        outs = [(i[:out_pad], n) for i, n in outs]
+    return tuple(jnp.stack([o[i] for o in outs]) for i in range(2))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rows_pad", "n_cols", "widths", "pads", "sort_pad"),
+)
+def _ell_or_masked_jit(
+    tables,
+    entry_rows,
+    entry_pos,
+    d_ptr,
+    d_idx,
+    f_ptr,
+    f_idx,
+    *,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+):
+    """Masked fused-OR C = D OR (F .* (A·B)): the three-way tagged sort-join
+    of ``_sort_compress_or_masked`` (mask < D < candidate within a (row, col)
+    run — ≡ ``SpGEMM_dor_masked``, old/BSpGEMM.c:185-254) over the sliced-ELL
+    candidate stream.  Returns stacked chunk-local ``(indptr, indices, nnz)``
+    (no separators — the join's compaction already pays the demote re-sort,
+    and separators cannot ride a 2-bit-tagged key unambiguously)."""
+    from .fused import _sort_compress_or_masked
+    from .spgemm import _row_ids
+
+    def pairs(ptr, idx):
+        pad = idx.shape[-1]
+        r = _row_ids(ptr, pad)
+        v = jnp.arange(pad, dtype=INT) < ptr[-1]
+        return jnp.where(v, r, rows_pad), jnp.where(v, idx, n_cols)
+
+    outs = []
+    for k, (row, col) in enumerate(
+        _chunk_pair_streams(
+            tables, entry_rows, entry_pos,
+            rows_pad=rows_pad, n_cols=n_cols,
+            widths=widths, pads=pads, sort_pad=sort_pad,
+        )
+    ):
+        d_rows, d_cols = pairs(d_ptr[k], d_idx[k])
+        f_rows, f_cols = pairs(f_ptr[k], f_idx[k])
+        outs.append(
+            _sort_compress_or_masked(
+                row, col, d_rows, d_cols, f_rows, f_cols, rows_pad, n_cols
+            )
+        )
+    return tuple(jnp.stack([o[i] for o in outs]) for i in range(3))
+
+
 class EllSpGEMMExecutor:
     """Pre-staged repeated C = A·B via the sliced-ELL engine.
 
@@ -697,6 +803,57 @@ class EllSpGEMMExecutor:
             return outs[0]
         return tuple(
             jnp.concatenate([o[i] for o in outs]) for i in range(2)
+        )
+
+    def run_or(self, d, mask=None):
+        """Fused union-product C = D OR (A·B), optionally D OR (F .* (A·B)),
+        with this executor's staged A/B — ≡ ``SpGEMM_dor`` /
+        ``SpGEMM_dor_masked`` (old/BSpGEMM.c:75-254), served by the
+        sliced-ELL engine (the reference only ever ran these serially).
+
+        ``d`` and ``mask`` are :class:`BCSR` operands (staged per call) or
+        results of :meth:`stage_mask` (no per-call host work)."""
+        staged_d = d if isinstance(d, list) else self.stage_mask(d)
+        staged_f = (
+            None
+            if mask is None
+            else mask if isinstance(mask, list) else self.stage_mask(mask)
+        )
+        outs = []
+        for gi, ((dp, di), (er_g, ep_g)) in enumerate(
+            zip(staged_d, self._groups())
+        ):
+            if staged_f is None:
+                d_pad = di.shape[-1]
+                # D's pairs extend every chunk's sort; keep the total at a
+                # 32nd-octave bucket (XLA sorts run faster there) and bound
+                # the resident output by out_pad + D's width
+                or_sort_pad = pad_bucket(self.sort_pad + d_pad, div=32)
+                outs.append(
+                    _ell_or_jit(
+                        self.tables, er_g, ep_g, dp, di,
+                        rows_pad=self.rows_pad, n_cols=self.n_cols,
+                        widths=self.widths, pads=self.pads,
+                        sort_pad=or_sort_pad,
+                        out_pad=min(
+                            pad_bucket(self.out_pad + d_pad), or_sort_pad
+                        ),
+                    )
+                )
+            else:
+                fp, fi = staged_f[gi]
+                outs.append(
+                    _ell_or_masked_jit(
+                        self.tables, er_g, ep_g, dp, di, fp, fi,
+                        rows_pad=self.rows_pad, n_cols=self.n_cols,
+                        widths=self.widths, pads=self.pads,
+                        sort_pad=self.sort_pad - self.rows_pad,
+                    )
+                )
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(
+            jnp.concatenate([o[i] for o in outs]) for i in range(len(outs[0]))
         )
 
     def assemble(self, outputs) -> BCSR:

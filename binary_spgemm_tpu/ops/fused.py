@@ -194,6 +194,20 @@ def spgemm_or(
             raise ValueError(f"mask shape {mask.shape} != {(n, m)}")
         mask = mask.sum_duplicates()
 
+    # Engine choice mirrors spgemm(): the sliced-ELL fused kernels (D joins
+    # the chunk sort / three-way tagged join) whenever the expansion fits;
+    # explicit ``chunk_flops`` forces the chunked ESC path below.
+    if chunk_flops is None:
+        from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
+
+        try:
+            ex = EllSpGEMMExecutor(a, b, masked=mask is not None)
+            budget = ex.resident_slots if mask is None else ex.total_slots
+            if budget <= AUTO_ELL_MAX_SLOTS:
+                return ex.assemble(ex.run_or(d, mask=mask))
+        except OverflowError:
+            pass
+
     chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
     rf = row_flops(a, b)
     # the masked kernel packs (row, col, 2-bit tag), so the row cap must be

@@ -11,9 +11,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..formats.bcsr import BCSR
+from .fused import spgemm_or
 from .masked import masked_spgemm
 from .spgemm import spgemm
-from .union import spm_or
 
 __all__ = ["k_hop", "transitive_closure", "triangle_structure", "triangle_count"]
 
@@ -50,7 +50,10 @@ def transitive_closure(
     r = a.sum_duplicates()
     iters = max_iters if max_iters is not None else max(1, a.n_rows.bit_length())
     for _ in range(iters):
-        nxt = spm_or(r, spgemm(r, r, chunk_flops=chunk_flops))
+        # one fused pass per round: the union rides the product's sort
+        # (spgemm_or pre-seeds the candidate stream with D ≡ SpGEMM_dor's
+        # SPA pre-seed, old/BSpGEMM.c:75-126) instead of a second sort
+        nxt = spgemm_or(r, r, r, chunk_flops=chunk_flops)
         if nxt.nnz == r.nnz and nxt.equals(r):
             return r
         r = nxt

@@ -62,6 +62,52 @@ def test_shape_errors():
         spgemm_or(d, a, a)
 
 
+def test_dor_engines_cross():
+    # auto (sliced-ELL fused kernels) vs forced chunked ESC, plain + masked
+    a = BCSR.random(300, 300, 5.0, seed=7)
+    d = BCSR.random(300, 300, 2.0, seed=8)
+    f = BCSR.random(300, 300, 4.0, seed=9)
+    for kw in ({}, {"mask": f}):
+        assert spgemm_or(d, a, a, **kw).equals(
+            spgemm_or(d, a, a, chunk_flops=2048, **kw)
+        )
+
+
+def test_run_or_executor_paths():
+    from binary_spgemm_tpu.ops.ell import EllSpGEMMExecutor
+
+    a = BCSR.random(400, 400, 4.0, seed=11)
+    d = BCSR.random(400, 400, 2.0, seed=12)
+    f = BCSR.random(400, 400, 3.0, seed=13)
+    ref = spm_or(d, spgemm(a, a))
+    refm = spm_or(d, masked_spgemm(f, a, a))
+    for rc in (5, "deal", 1):
+        ex = EllSpGEMMExecutor(a, a, row_chunks=rc)
+        assert ex.assemble(ex.run_or(d)).equals(ref)
+        assert ex.assemble(ex.run_or(d, mask=f)).equals(refm)
+    # staged-operand reuse (no per-call host prep)
+    ex = EllSpGEMMExecutor(a, a, row_chunks=5, masked=True)
+    sd, sf = ex.stage_mask(d), ex.stage_mask(f)
+    assert ex.assemble(ex.run_or(sd)).equals(ref)
+    assert ex.assemble(ex.run_or(sd, mask=sf)).equals(refm)
+
+
+def test_run_or_multigroup(monkeypatch):
+    # tiny dispatch budget forces several chunk groups + dummy-chunk padding
+    import binary_spgemm_tpu.ops.ell as ell_mod
+
+    monkeypatch.setattr(ell_mod, "DISPATCH_SLOT_BUDGET", 1 << 12)
+    a = BCSR.random(500, 500, 4.0, seed=21)
+    d = BCSR.random(500, 500, 2.0, seed=22)
+    f = BCSR.random(500, 500, 3.0, seed=23)
+    ex = ell_mod.EllSpGEMMExecutor(a, a, row_chunks=7)
+    assert ex.n_groups > 1
+    assert ex.assemble(ex.run_or(d)).equals(spm_or(d, spgemm(a, a)))
+    assert ex.assemble(ex.run_or(d, mask=f)).equals(
+        spm_or(d, masked_spgemm(f, a, a))
+    )
+
+
 def test_fused_masked_three_way_overlaps():
     """Pairs in all combinations of {D, mask, product} must follow
     C = D OR (F .* (A.B)) exactly."""
