@@ -34,14 +34,16 @@ N, D = 1 << 16, 16.0
 def make_variant(stage):
     @functools.partial(
         jax.jit,
-        static_argnames=("rows_pad", "n_cols", "widths", "pads", "sort_pad"),
+        static_argnames=(
+            "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad"
+        ),
     )
-    def fn(tables, er, ep, *, rows_pad, n_cols, widths, pads, sort_pad):
+    def fn(tables, er, ep, *, n_chunks, rows_pad, n_cols, widths, pads, sort_pad):
         outs = []
         shift = int(n_cols).bit_length()
         assert packable(rows_pad, n_cols)
         for row, col in _chunk_pair_streams(
-            tables, er, ep, rows_pad=rows_pad, n_cols=n_cols,
+            tables, er, ep, n_chunks=n_chunks, rows_pad=rows_pad, n_cols=n_cols,
             widths=widths, pads=pads, sort_pad=sort_pad,
         ):
             key = (row << shift) | col
@@ -92,7 +94,7 @@ def main():
 
         def run():
             return fn(
-                ex.tables, er_g, ep_g,
+                ex.tables, er_g, ep_g, n_chunks=ex.group_size,
                 rows_pad=ex.rows_pad, n_cols=ex.n_cols,
                 widths=ex.widths, pads=ex.pads, sort_pad=ex.sort_pad,
             )
