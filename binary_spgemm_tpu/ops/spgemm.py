@@ -714,16 +714,29 @@ def _chunk_rows(
     exceeding the budget gets its own chunk).  This is the flop-balanced analogue
     of the reference's equal-rows tBlock split (final/SpGEMM_mpi_omp.c:83) — fixing
     its known load-imbalance weakness on skewed matrices."""
+    n = len(rf)
+    if n == 0:
+        return [(0, 0)]
+    cum = np.zeros(n + 1, np.int64)
+    np.cumsum(rf, out=cum[1:])
+    # one searchsorted per chunk instead of a Python pass over every row
+    # (the row loop cost 26 ms at n=64K, ~0.4 s at n=1M)
     chunks = []
-    start, acc = 0, 0
-    for i, f in enumerate(rf):
-        if (acc and acc + f > chunk_flops) or (
-            max_rows is not None and i - start >= max_rows
-        ):
-            chunks.append((start, i))
-            start, acc = i, 0
-        acc += int(f)
-    chunks.append((start, len(rf)))
+    start = 0
+    while start < n:
+        end = (
+            int(np.searchsorted(cum, cum[start] + chunk_flops, side="right"))
+            - 1
+        )
+        if cum[end] == cum[start] and end < n:
+            # zero-flop prefix: the first flop-carrying row rides along even
+            # when it alone exceeds the budget (a chunk is never all-padding)
+            end += 1
+        if max_rows is not None:
+            end = min(end, start + max_rows)
+        end = min(max(end, start + 1), n)
+        chunks.append((start, end))
+        start = end
     return chunks
 
 

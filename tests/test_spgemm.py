@@ -152,3 +152,35 @@ def test_spgemm_unpackable_key_domain():
 
     c2 = ell_spgemm(a, b)
     assert c2.equals(spgemm_oracle(a, b))
+
+
+def test_chunk_rows_matches_greedy_loop():
+    # the searchsorted-per-chunk planner must match the original greedy
+    # row loop exactly (chunk plans feed compiled-shape caches)
+    from binary_spgemm_tpu.ops.spgemm import _chunk_rows
+
+    def loop_ref(rf, budget, max_rows=None):
+        chunks = []
+        start, acc = 0, 0
+        for i, f in enumerate(rf):
+            if (acc and acc + f > budget) or (
+                max_rows is not None and i - start >= max_rows
+            ):
+                chunks.append((start, i))
+                start, acc = i, 0
+            acc += int(f)
+        chunks.append((start, len(rf)))
+        return chunks
+
+    rng = np.random.default_rng(0)
+    for trial in range(60):
+        n = int(rng.integers(1, 200))
+        rf = rng.integers(0, 50, n).astype(np.int64)
+        if trial % 3 == 0:
+            rf[int(rng.integers(0, n))] = 1000  # oversized single row
+        if trial % 4 == 0:
+            rf[-max(1, n // 4):] = 0  # trailing zero-flop rows
+        budget = int(rng.integers(1, 200))
+        mr = None if trial % 2 else int(rng.integers(1, 20))
+        assert _chunk_rows(rf, budget, mr) == loop_ref(rf, budget, mr), trial
+    assert _chunk_rows(np.zeros(0, np.int64), 10) == [(0, 0)]
