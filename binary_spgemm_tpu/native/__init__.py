@@ -120,6 +120,21 @@ def lib():
                 ctypes.POINTER(ctypes.c_uint32),
                 ctypes.POINTER(ctypes.c_uint32),
             ]
+        if hasattr(l, "ell_class_partition"):
+            l.ell_class_partition.restype = ctypes.c_long
+            l.ell_class_partition.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),  # indptr
+                ctypes.c_long,  # n_rows
+                ctypes.POINTER(ctypes.c_int32),  # cols
+                ctypes.c_long,  # nnz
+                ctypes.POINTER(ctypes.c_int32),  # class_of_row
+                ctypes.POINTER(ctypes.c_int32),  # pos_in_class
+                ctypes.c_int,  # n_classes
+                ctypes.POINTER(ctypes.c_int32),  # out_rows
+                ctypes.POINTER(ctypes.c_int32),  # out_pos
+                ctypes.POINTER(ctypes.c_long),  # cuts
+                ctypes.c_int,  # nthreads
+            ]
         _lib = l
         return _lib
 
@@ -263,3 +278,40 @@ def coo2csr(rows: np.ndarray, cols: np.ndarray, n_rows: int):
     if rc != 0:
         raise ValueError("row index out of range in COO->CSR")
     return indptr, indices
+
+
+def class_partition(indptr, indices, class_of_row, pos_in_class, n_classes):
+    """Stable per-class partition of CSR entries (native tier of
+    ops/ell.py::_build_class_entries — all host cores via the OpenMP
+    counting sort).  Returns per-class ``(entry_rows, entry_pos)`` int32
+    list pairs, or None when the native library is unavailable."""
+    l = lib()
+    if l is None or not hasattr(l, "ell_class_partition") or n_classes == 0:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.uint32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    class_of_row = np.ascontiguousarray(class_of_row, dtype=np.int32)
+    pos_in_class = np.ascontiguousarray(pos_in_class, dtype=np.int32)
+    nnz = len(indices)
+    out_rows = np.empty(nnz, np.int32)
+    out_pos = np.empty(nnz, np.int32)
+    cuts = np.empty(n_classes + 1, np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    kept = l.ell_class_partition(
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(indptr) - 1,
+        indices.ctypes.data_as(i32p),
+        nnz,
+        class_of_row.ctypes.data_as(i32p),
+        pos_in_class.ctypes.data_as(i32p),
+        n_classes,
+        out_rows.ctypes.data_as(i32p),
+        out_pos.ctypes.data_as(i32p),
+        cuts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        os.cpu_count() or 1,
+    )
+    if kept < 0:
+        return None
+    rows_pc = [out_rows[cuts[c] : cuts[c + 1]] for c in range(n_classes)]
+    pos_pc = [out_pos[cuts[c] : cuts[c + 1]] for c in range(n_classes)]
+    return rows_pc, pos_pc

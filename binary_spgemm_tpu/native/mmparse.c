@@ -349,3 +349,85 @@ long coo2csr_stable_par(const uint32_t *rows, const uint32_t *cols, long nnz,
     return 0;
 #endif
 }
+
+/* Per-class partition of A's entries for the sliced-ELL engine (native tier
+ * of ops/ell.py::_build_class_entries).  Entry e of A (CSR row r, column c)
+ * belongs to class class_of_row[c] (-1 = empty B row; dropped).  Outputs the
+ * per-class concatenated (entry row id, in-class position) lists in input
+ * order (stable) plus the class cuts.  Parallel stable counting sort:
+ * per-thread histograms over contiguous entry ranges; a (class, thread)-
+ * ordered exclusive scan gives write cursors, so within a class thread order
+ * equals input order.  Returns the number of kept entries, or -1 on alloc
+ * failure. */
+static long ell_row_of(const uint32_t *indptr, long n_rows, long e) {
+    long lo = 0, hi = n_rows; /* last r with indptr[r] <= e */
+    while (lo < hi) {
+        long mid = (lo + hi + 1) >> 1;
+        if ((long)indptr[mid] <= e)
+            lo = mid;
+        else
+            hi = mid - 1;
+    }
+    return lo;
+}
+
+long ell_class_partition(const uint32_t *indptr, long n_rows,
+                         const int32_t *cols, long nnz,
+                         const int32_t *class_of_row,
+                         const int32_t *pos_in_class, int n_classes,
+                         int32_t *out_rows, int32_t *out_pos,
+                         long *cuts /* n_classes+1 */, int nthreads) {
+    int nt = 1;
+#ifdef _OPENMP
+    nt = nthreads;
+    if (nt > MM_PAR_MAX_THREADS)
+        nt = MM_PAR_MAX_THREADS;
+    if (nt < 1 || nnz < (1L << 18))
+        nt = 1;
+#else
+    (void)nthreads;
+#endif
+    long *hist = calloc((size_t)nt * n_classes, sizeof(long));
+    if (!hist)
+        return -1;
+#pragma omp parallel for num_threads(nt)
+    for (int t = 0; t < nt; t++) {
+        long lo = nnz * t / nt, hi = nnz * (t + 1) / nt;
+        long *h = hist + (size_t)t * n_classes;
+        for (long e = lo; e < hi; e++) {
+            int32_t c = class_of_row[cols[e]];
+            if (c >= 0)
+                h[c]++;
+        }
+    }
+    long acc = 0;
+    for (int c = 0; c < n_classes; c++) {
+        cuts[c] = acc;
+        for (int t = 0; t < nt; t++) {
+            long h = hist[(size_t)t * n_classes + c];
+            hist[(size_t)t * n_classes + c] = acc;
+            acc += h;
+        }
+    }
+    cuts[n_classes] = acc;
+#pragma omp parallel for num_threads(nt)
+    for (int t = 0; t < nt; t++) {
+        long lo = nnz * t / nt, hi = nnz * (t + 1) / nt;
+        if (hi <= lo)
+            continue;
+        long *cur = hist + (size_t)t * n_classes;
+        long r = ell_row_of(indptr, n_rows, lo);
+        for (long e = lo; e < hi; e++) {
+            while (e >= (long)indptr[r + 1])
+                r++;
+            int32_t c = class_of_row[cols[e]];
+            if (c < 0)
+                continue;
+            long d = cur[c]++;
+            out_rows[d] = (int32_t)r;
+            out_pos[d] = pos_in_class[cols[e]];
+        }
+    }
+    free(hist);
+    return acc;
+}

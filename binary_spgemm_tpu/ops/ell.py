@@ -137,7 +137,20 @@ def _build_class_entries(
 
     Returns per-class ``(entry_rows, entry_pos)``: the output-row id and
     in-class B-row slot of every A-entry whose column belongs to the class.
+
+    Native tier first (``native.class_partition``: one OpenMP stable
+    counting-sort pass over the entries — ~0.85 s of numpy passes at
+    nnz=8.4M become one parallel C pass); numpy fallback below is
+    order-identical.
     """
+    from ..native import class_partition
+
+    out = class_partition(
+        a.indptr, a.indices, ell.class_of_row, ell.pos_in_class,
+        len(ell.widths),
+    )
+    if out is not None:
+        return out
     entry_rows = np.repeat(
         np.arange(a.n_rows, dtype=np.int32), np.diff(a.indptr)
     )

@@ -259,3 +259,36 @@ def test_chunked_spgemm_prefix_paged_pull(monkeypatch):
     a = BCSR.random(600, 600, 5.0, seed=91)
     c = sp.spgemm(a, a, chunk_flops=1 << 13)  # force the chunked ESC path
     assert c.equals(spgemm_oracle(a, a))
+
+
+def test_native_class_partition_matches_numpy():
+    # the OpenMP counting-sort partition must be order-identical with the
+    # numpy stable-argsort fallback (incl. empty B rows -> class -1 entries)
+    from binary_spgemm_tpu.native import class_partition
+    from binary_spgemm_tpu.ops.ell import EllB
+
+    rng = np.random.default_rng(17)
+    for trial in range(8):
+        n = int(rng.integers(30, 400))
+        a = BCSR.random(n, n, float(rng.uniform(0.5, 6.0)), seed=trial)
+        b = BCSR.random(n, n, float(rng.uniform(0.2, 4.0)), seed=trial + 70)
+        ell = EllB.build(b)
+        got = class_partition(
+            a.indptr, a.indices, ell.class_of_row, ell.pos_in_class,
+            len(ell.widths),
+        )
+        if got is None:
+            import pytest
+
+            pytest.skip("native library unavailable")
+        # numpy reference (the in-module fallback path)
+        entry_rows = np.repeat(np.arange(n, dtype=np.int32), np.diff(a.indptr))
+        cls = np.asarray(ell.class_of_row)[a.indices]
+        pos = np.asarray(ell.pos_in_class)[a.indices]
+        live = cls >= 0
+        entry_rows, cls, pos = entry_rows[live], cls[live], pos[live]
+        order = np.argsort(cls.astype(np.int16), kind="stable")
+        for ci in range(len(ell.widths)):
+            sel = order[cls[order] == ci]
+            assert np.array_equal(got[0][ci], entry_rows[sel]), (trial, ci)
+            assert np.array_equal(got[1][ci], pos[sel]), (trial, ci)
