@@ -135,6 +135,29 @@ def lib():
                 ctypes.POINTER(ctypes.c_long),  # cuts
                 ctypes.c_int,  # nthreads
             ]
+        if hasattr(l, "csr_row_weight"):
+            l.csr_row_weight.restype = ctypes.c_long
+            l.csr_row_weight.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),  # indptr
+                ctypes.c_long,  # n_rows
+                ctypes.POINTER(ctypes.c_int32),  # cols
+                ctypes.POINTER(ctypes.c_int64),  # weight
+                ctypes.POINTER(ctypes.c_int64),  # out
+                ctypes.c_int,  # nthreads
+            ]
+        if hasattr(l, "ell_table_fill"):
+            l.ell_table_fill.restype = ctypes.c_long
+            l.ell_table_fill.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),  # indptr
+                ctypes.c_long,  # n_rows
+                ctypes.POINTER(ctypes.c_int32),  # indices
+                ctypes.POINTER(ctypes.c_int32),  # class_of_row
+                ctypes.POINTER(ctypes.c_int32),  # pos_in_class
+                ctypes.POINTER(ctypes.c_void_p),  # tables
+                ctypes.POINTER(ctypes.c_long),  # widths
+                ctypes.c_int32,  # sentinel
+                ctypes.c_int,  # nthreads
+            ]
         _lib = l
         return _lib
 
@@ -288,6 +311,8 @@ def class_partition(indptr, indices, class_of_row, pos_in_class, n_classes):
     l = lib()
     if l is None or not hasattr(l, "ell_class_partition") or n_classes == 0:
         return None
+    if len(indices) > np.iinfo(np.int32).max:  # uint32 indptr domain
+        return None
     indptr = np.ascontiguousarray(indptr, dtype=np.uint32)
     indices = np.ascontiguousarray(indices, dtype=np.int32)
     class_of_row = np.ascontiguousarray(class_of_row, dtype=np.int32)
@@ -315,3 +340,61 @@ def class_partition(indptr, indices, class_of_row, pos_in_class, n_classes):
     rows_pc = [out_rows[cuts[c] : cuts[c + 1]] for c in range(n_classes)]
     pos_pc = [out_pos[cuts[c] : cuts[c + 1]] for c in range(n_classes)]
     return rows_pc, pos_pc
+
+
+def row_weight(indptr, cols, weight):
+    """Per-row weighted entry sums over a CSR structure (native tier of
+    ops/spgemm.py::row_flops and the ELL padded-weight plan input).
+    Returns int64[n_rows], or None when the native library is unavailable."""
+    l = lib()
+    if l is None or not hasattr(l, "csr_row_weight"):
+        return None
+    if len(cols) > np.iinfo(np.int32).max:  # uint32 indptr domain
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.uint32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    weight = np.ascontiguousarray(weight, dtype=np.int64)
+    n_rows = len(indptr) - 1
+    out = np.empty(n_rows, np.int64)
+    l.csr_row_weight(
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n_rows,
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        weight.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        os.cpu_count() or 1,
+    )
+    return out
+
+
+def table_fill(indptr, indices, class_of_row, pos_in_class, tables, sentinel):
+    """Fill pre-allocated sliced-ELLPACK class tables in one parallel pass
+    (native tier of EllB.build's per-class scatter).  ``tables`` is a list of
+    np.empty [n_rows_c, width_c] int32 arrays, written in place.  Returns
+    True, or None when the native library is unavailable."""
+    l = lib()
+    if l is None or not hasattr(l, "ell_table_fill") or not tables:
+        return None
+    if len(indices) > np.iinfo(np.int32).max:  # uint32 indptr domain
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.uint32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    class_of_row = np.ascontiguousarray(class_of_row, dtype=np.int32)
+    pos_in_class = np.ascontiguousarray(pos_in_class, dtype=np.int32)
+    ptrs = (ctypes.c_void_p * len(tables))(
+        *[t.ctypes.data for t in tables]
+    )
+    widths = np.array([t.shape[1] for t in tables], dtype=np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    l.ell_table_fill(
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(indptr) - 1,
+        indices.ctypes.data_as(i32p),
+        class_of_row.ctypes.data_as(i32p),
+        pos_in_class.ctypes.data_as(i32p),
+        ptrs,
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        sentinel,
+        os.cpu_count() or 1,
+    )
+    return True

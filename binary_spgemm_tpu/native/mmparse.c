@@ -431,3 +431,64 @@ long ell_class_partition(const uint32_t *indptr, long n_rows,
     free(hist);
     return acc;
 }
+
+/* Per-row weighted entry sum over a CSR structure: out[r] = sum over entries
+ * e of row r of weight[cols[e]].  Serves both the Gustavson row-flop count
+ * (weight = B's row lengths; ops/spgemm.py::row_flops) and the sliced-ELL
+ * padded-weight plan input (weight = padded class width per B row).
+ * Parallel over rows (guided: power-law rows are wildly uneven). */
+long csr_row_weight(const uint32_t *indptr, long n_rows, const int32_t *cols,
+                    const int64_t *weight, int64_t *out, int nthreads) {
+#ifdef _OPENMP
+    int nt = nthreads;
+    if (nt > MM_PAR_MAX_THREADS)
+        nt = MM_PAR_MAX_THREADS;
+    if (nt < 1)
+        nt = 1;
+#pragma omp parallel for num_threads(nt) schedule(guided)
+#else
+    (void)nthreads;
+#endif
+    for (long r = 0; r < n_rows; r++) {
+        int64_t s = 0;
+        for (long e = (long)indptr[r]; e < (long)indptr[r + 1]; e++)
+            s += weight[cols[e]];
+        out[r] = s;
+    }
+    return 0;
+}
+
+/* Fill per-class sliced-ELLPACK tables (native tier of EllB.build's scatter):
+ * each nonempty row r copies its indices into tables[class_of_row[r]] at slot
+ * pos_in_class[r] and sentinel-pads the slot's tail.  `tables[c]` is a
+ * caller-allocated (np.empty) [n_rows_c, widths[c]] int32 buffer.  Parallel
+ * over rows; slots are disjoint by construction. */
+long ell_table_fill(const uint32_t *indptr, long n_rows,
+                    const int32_t *indices, const int32_t *class_of_row,
+                    const int32_t *pos_in_class, int32_t **tables,
+                    const long *widths, int32_t sentinel, int nthreads) {
+#ifdef _OPENMP
+    int nt = nthreads;
+    if (nt > MM_PAR_MAX_THREADS)
+        nt = MM_PAR_MAX_THREADS;
+    if (nt < 1)
+        nt = 1;
+#pragma omp parallel for num_threads(nt) schedule(guided)
+#else
+    (void)nthreads;
+#endif
+    for (long r = 0; r < n_rows; r++) {
+        int32_t c = class_of_row[r];
+        if (c < 0)
+            continue;
+        long w = widths[c];
+        int32_t *slot = tables[c] + (size_t)pos_in_class[r] * w;
+        long lo = (long)indptr[r], hi = (long)indptr[r + 1];
+        long i = 0;
+        for (long e = lo; e < hi; e++)
+            slot[i++] = indices[e];
+        for (; i < w; i++)
+            slot[i] = sentinel;
+    }
+    return 0;
+}

@@ -95,24 +95,46 @@ class EllB:
         classes = np.unique(wb[nz]) if nz.any() else np.zeros(0, np.int64)
         class_of_row = np.full(m, -1, np.int32)
         pos_in_class = np.zeros(m, np.int32)
-        widths, tables = [], []
+        widths: list[int] = []
+        tables: list[np.ndarray] = []
         sentinel = b.n_cols
-        for ci, wc in enumerate(classes):
-            wc = int(wc)
-            rows = np.flatnonzero(wb == wc)
-            class_of_row[rows] = ci
-            pos_in_class[rows] = np.arange(len(rows), dtype=np.int32)
-            # vectorised fill: entry e of class row k lands at tbl[k, offset]
-            lens = w[rows]
-            tbl = np.full((len(rows), wc), sentinel, np.int32)
-            dst_row = np.repeat(np.arange(len(rows)), lens)
-            dst_off = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
-                np.cumsum(lens) - lens, lens
-            )
-            src = _segment_sources(b.indptr, rows, lens)
-            tbl[dst_row, dst_off] = b.indices[src]
-            widths.append(wc)
-            tables.append(tbl)
+        if len(classes):
+            # class id + stable in-class slot per nonempty row, vectorised
+            # (slot order within a class = ascending global row, as before)
+            rows_nz = np.flatnonzero(nz)
+            ci_nz = np.searchsorted(classes, wb[nz]).astype(np.int32)
+            class_of_row[rows_nz] = ci_nz
+            order = np.argsort(ci_nz.astype(np.int16), kind="stable")
+            counts = np.bincount(ci_nz, minlength=len(classes))
+            starts = np.concatenate([[0], np.cumsum(counts[:-1])])
+            pos_in_class[rows_nz[order]] = (
+                np.arange(len(order), dtype=np.int64)
+                - np.repeat(starts, counts)
+            ).astype(np.int32)
+            widths = [int(wc) for wc in classes]
+            from ..native import table_fill
+
+            tables = [
+                np.empty((int(cnt), wc), np.int32)
+                for cnt, wc in zip(counts, widths)
+            ]
+            # one parallel native pass over B's rows; numpy scatter fallback
+            if not table_fill(
+                b.indptr, b.indices, class_of_row, pos_in_class, tables,
+                sentinel,
+            ):
+                for ci, wc in enumerate(widths):
+                    rows = rows_nz[ci_nz == ci]
+                    # entry e of class row k lands at tbl[k, offset]
+                    lens = w[rows]
+                    tbl = np.full((len(rows), wc), sentinel, np.int32)
+                    dst_row = np.repeat(np.arange(len(rows)), lens)
+                    dst_off = np.arange(
+                        int(lens.sum()), dtype=np.int64
+                    ) - np.repeat(np.cumsum(lens) - lens, lens)
+                    src = _segment_sources(b.indptr, rows, lens)
+                    tbl[dst_row, dst_off] = b.indices[src]
+                    tables[ci] = tbl
         return cls(widths, tables, class_of_row, pos_in_class, tuple(b.shape))
 
 

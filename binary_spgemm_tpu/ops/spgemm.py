@@ -642,8 +642,15 @@ spgemm_padded_seps.__doc__ = "Jitted entry point for :func:`esc_spgemm_seps`."
 
 
 def row_flops(a: BCSR, b: BCSR) -> np.ndarray:
-    """Per-output-row Gustavson flop counts of A·B (host, vectorised)."""
+    """Per-output-row Gustavson flop counts of A·B (host; native parallel
+    pass when available, vectorised numpy otherwise)."""
     blen = np.diff(b.indptr).astype(np.int64)
+    if a.nnz:
+        from ..native import row_weight
+
+        out = row_weight(a.indptr, a.indices, blen)
+        if out is not None:
+            return out
     per_entry = blen[a.indices] if a.nnz else np.zeros(0, np.int64)
     cum = np.zeros(a.nnz + 1, dtype=np.int64)
     np.cumsum(per_entry, out=cum[1:])

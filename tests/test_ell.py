@@ -292,3 +292,26 @@ def test_native_class_partition_matches_numpy():
             sel = order[cls[order] == ci]
             assert np.array_equal(got[0][ci], entry_rows[sel]), (trial, ci)
             assert np.array_equal(got[1][ci], pos[sel]), (trial, ci)
+
+
+def test_native_row_weight_matches_numpy():
+    from binary_spgemm_tpu.native import row_weight
+    from binary_spgemm_tpu.ops.spgemm import row_flops
+
+    rng = np.random.default_rng(19)
+    for trial in range(6):
+        n = int(rng.integers(30, 500))
+        a = BCSR.random(n, n, float(rng.uniform(0.3, 6.0)), seed=trial)
+        b = BCSR.random(n, n, float(rng.uniform(0.3, 6.0)), seed=trial + 7)
+        blen = np.diff(b.indptr).astype(np.int64)
+        got = row_weight(a.indptr, a.indices, blen)
+        if got is None:
+            import pytest
+
+            pytest.skip("native library unavailable")
+        per = blen[a.indices] if a.nnz else np.zeros(0, np.int64)
+        cum = np.zeros(a.nnz + 1, np.int64)
+        np.cumsum(per, out=cum[1:])
+        want = cum[a.indptr[1:]] - cum[a.indptr[:-1]]
+        assert np.array_equal(got, want)
+        assert np.array_equal(row_flops(a, b), want)
