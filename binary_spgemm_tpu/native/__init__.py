@@ -41,11 +41,16 @@ def _build() -> bool:
 
 
 def lib():
-    """The loaded native library, or None if unavailable."""
+    """The loaded native library, or None if unavailable (or disabled via
+    ``BINARY_SPGEMM_NO_NATIVE=1`` — the kill switch forcing every caller onto
+    its pure-numpy fallback)."""
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
+        if os.environ.get("BINARY_SPGEMM_NO_NATIVE"):
+            _tried = True
+            return None
         _tried = True
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
             _SRC

@@ -16,7 +16,13 @@ import jax.numpy as jnp
 from .spgemm import INT, DeviceBCSR, esc_spgemm
 from .union import spm_or_padded
 
-__all__ = ["spgemm_device", "spm_or_device", "flops_bound_device"]
+__all__ = [
+    "spgemm_device",
+    "spm_or_device",
+    "spgemm_or_device",
+    "masked_spgemm_device",
+    "flops_bound_device",
+]
 
 
 def flops_bound_device(a: DeviceBCSR, b: DeviceBCSR) -> jax.Array:
@@ -58,3 +64,54 @@ def spm_or_device(a: DeviceBCSR, b: DeviceBCSR) -> DeviceBCSR:
         n_cols=a.shape[1],
     )
     return DeviceBCSR(c_ptr, c_idx, nnz_c, tuple(a.shape))
+
+
+def spgemm_or_device(
+    d: DeviceBCSR,
+    a: DeviceBCSR,
+    b: DeviceBCSR,
+    *,
+    flops_pad: int,
+    mask: DeviceBCSR | None = None,
+) -> DeviceBCSR:
+    """C = D OR (A·B), optionally D OR (mask .* (A·B)), entirely on device.
+
+    The fused form of :func:`spgemm_device` + :func:`spm_or_device` in one
+    sort (≡ ``SpGEMM_dor``/``SpGEMM_dor_masked``, old/BSpGEMM.c:75-254) —
+    the accumulate step of device-resident iterated products (reachability
+    closures, k-hop frontiers).  ``mask`` must be canonical (sorted,
+    deduplicated) like every mask operand.
+    """
+    from .fused import spgemm_or_padded
+
+    if a.shape[1] != b.shape[0] or tuple(d.shape) != (a.shape[0], b.shape[1]):
+        raise ValueError(f"shape mismatch: D{d.shape} vs {a.shape} @ {b.shape}")
+    args = [
+        d.indptr, d.indices, d.nnz,
+        a.indptr, a.indices, a.nnz,
+        b.indptr, b.indices,
+    ]
+    if mask is not None:
+        if tuple(mask.shape) != tuple(d.shape):
+            raise ValueError(f"mask shape {mask.shape} != {d.shape}")
+        args += [mask.indptr, mask.indices]
+    c_ptr, c_idx, nnz_c = spgemm_or_padded(
+        *args, n_cols=b.shape[1], flops_pad=flops_pad
+    )
+    return DeviceBCSR(c_ptr, c_idx, nnz_c, tuple(d.shape))
+
+
+def masked_spgemm_device(
+    f: DeviceBCSR, a: DeviceBCSR, b: DeviceBCSR, *, flops_pad: int
+) -> DeviceBCSR:
+    """C = F .* (A·B) entirely on device (mask FIRST, like
+    :func:`..masked.masked_spgemm`).  ``f`` must be canonical."""
+    from .masked import masked_spgemm_padded
+
+    if a.shape[1] != b.shape[0] or tuple(f.shape) != (a.shape[0], b.shape[1]):
+        raise ValueError(f"shape mismatch: F{f.shape} vs {a.shape} @ {b.shape}")
+    c_ptr, c_idx, nnz_c = masked_spgemm_padded(
+        f.indptr, f.indices, a.indptr, a.indices, a.nnz,
+        b.indptr, b.indices, n_cols=b.shape[1], flops_pad=flops_pad,
+    )
+    return DeviceBCSR(c_ptr, c_idx, nnz_c, tuple(f.shape))

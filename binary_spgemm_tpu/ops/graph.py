@@ -8,6 +8,8 @@ All reuse the ESC engine, so they inherit bit-exactness and chunking.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..formats.bcsr import BCSR
@@ -39,14 +41,28 @@ def k_hop(a: BCSR, k: int, *, chunk_flops: int | None = None) -> BCSR:
 
 
 def transitive_closure(
-    a: BCSR, *, max_iters: int | None = None, chunk_flops: int | None = None
+    a: BCSR,
+    *,
+    max_iters: int | None = None,
+    chunk_flops: int | None = None,
+    device: bool = False,
 ) -> BCSR:
     """Reachability closure: OR of A, A², A⁴, ... until fixpoint.
 
     Doubling iteration: R ← R OR R·R; converges in ⌈log2(diameter)⌉ rounds.
+
+    ``device=True`` keeps R resident in HBM between rounds (the fused
+    :func:`..device_api.spgemm_or_device` step + a between-round compact):
+    the host syncs two scalars per round instead of pulling each
+    intermediate — the win whenever the device→host link is slow relative
+    to compute, or when the closure feeds further device-resident ops.
+    Raises OverflowError when a round's flop bound exceeds the resident
+    whole-matrix budget (use the chunked host path then).
     """
     if a.n_rows != a.n_cols:
         raise ValueError("closure needs a square matrix")
+    if device:
+        return _transitive_closure_device(a, max_iters)
     r = a.sum_duplicates()
     iters = max_iters if max_iters is not None else max(1, a.n_rows.bit_length())
     for _ in range(iters):
@@ -58,6 +74,59 @@ def transitive_closure(
             return r
         r = nxt
     return r
+
+
+# Flop-bound cap for one resident whole-matrix fused step: ~24 B/slot of
+# sort intermediates => 2^28 slots ~ 6.4 GB transient on a 16 GB chip.
+DEVICE_CLOSURE_MAX_FLOPS = 1 << 28
+
+
+@functools.cache
+def _step_bound_jit():
+    import jax
+    import jax.numpy as jnp
+
+    from .spgemm import INT
+
+    @jax.jit
+    def step_bound(indptr, indices, nnz):
+        # int32 flop bound + a float32 overflow sentinel (int32 sums wrap
+        # silently; fp32 keeps ~7 digits — plenty for a threshold test)
+        valid = jnp.arange(indices.shape[0], dtype=INT) < nnz
+        acol = jnp.where(valid, indices, 0)
+        blen = jnp.where(valid, indptr[acol + 1] - indptr[acol], 0)
+        return jnp.sum(blen, dtype=INT), jnp.sum(blen.astype(jnp.float32))
+
+    return step_bound
+
+
+def _transitive_closure_device(a: BCSR, max_iters: int | None) -> BCSR:
+    from .device_api import spgemm_or_device
+    from .spgemm import DeviceBCSR, pad_bucket, require_int32_operands
+
+    require_int32_operands(a)
+    step_bound = _step_bound_jit()
+    r = DeviceBCSR.from_host(a.sum_duplicates())
+    iters = max_iters if max_iters is not None else max(1, a.n_rows.bit_length())
+    prev_nnz = int(r.nnz)
+    for _ in range(iters):
+        fb, est = step_bound(r.indptr, r.indices, r.nnz)
+        if float(est) > 0.98 * DEVICE_CLOSURE_MAX_FLOPS:
+            raise OverflowError(
+                f"closure round flop bound ~{float(est):.3g} exceeds the "
+                f"resident budget {DEVICE_CLOSURE_MAX_FLOPS}; use the "
+                "chunked host path (device=False)"
+            )
+        nxt = spgemm_or_device(
+            r, r, r, flops_pad=pad_bucket(max(int(fb), 8))
+        )
+        nnz = int(nxt.nnz)
+        if nnz == prev_nnz:
+            # nxt = R OR (R·R) is a superset of R; equal nnz => fixpoint
+            break
+        prev_nnz = nnz
+        r = nxt.compact()
+    return r.to_host()
 
 
 def triangle_structure(a: BCSR, *, chunk_flops: int | None = None) -> BCSR:

@@ -127,6 +127,23 @@ class DeviceBCSR:
         ptr, idx, _ = pull_padded_tuple(self.indptr, self.indices, self.nnz)
         return BCSR(ptr, idx, self.shape)
 
+    def compact(self, pad_to: int | None = None) -> "DeviceBCSR":
+        """Repack into a tighter padded index array, staying on device.
+
+        Kernel outputs compact their valid entries into a prefix, so this is
+        one STATIC-shape slice (the only host sync is the nnz scalar; the
+        pad is power-of-two bucketed so repeated compactions reuse a handful
+        of compiled shapes).  The iterated-product loops (reachability
+        closure) call this between rounds so each round's expansion works on
+        ``O(nnz)`` padding instead of the previous round's flop bound."""
+        pad = pad_to if pad_to is not None else pad_bucket(max(int(self.nnz), 1))
+        if pad >= self.indices.shape[0]:
+            return self
+        return DeviceBCSR(
+            self.indptr, jax.lax.slice(self.indices, (0,), (pad,)),
+            self.nnz, self.shape,
+        )
+
 
 # ---------------------------------------------------------------------------------
 # Traced building blocks

@@ -66,3 +66,41 @@ def test_triangle_structure_and_count():
     b = BCSR.from_dense(sq)
     assert triangle_structure(b).nnz == 0
     assert triangle_count(b) == 0
+
+
+def test_transitive_closure_device_matches_host():
+    from binary_spgemm_tpu.ops.graph import transitive_closure
+
+    for seed, n, d in [(11, 60, 1.5), (12, 200, 0.8), (13, 90, 2.5)]:
+        a = BCSR.random(n, n, d, seed=seed)
+        host = transitive_closure(a)
+        dev = transitive_closure(a, device=True)
+        assert dev.equals(host), (seed, n)
+    # max_iters truncation agrees too
+    a = BCSR.random(120, 120, 1.2, seed=14)
+    assert transitive_closure(a, max_iters=2, device=True).equals(
+        transitive_closure(a, max_iters=2)
+    )
+
+
+def test_transitive_closure_device_flop_guard(monkeypatch):
+    import binary_spgemm_tpu.ops.graph as g
+
+    monkeypatch.setattr(g, "DEVICE_CLOSURE_MAX_FLOPS", 64)
+    a = BCSR.random(100, 100, 3.0, seed=15)
+    import pytest
+
+    with pytest.raises(OverflowError):
+        g.transitive_closure(a, device=True)
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_after_module():
+    # see tests/test_device_api.py — same XLA CPU compiler-state workaround
+    yield
+    import jax
+
+    jax.clear_caches()
