@@ -20,13 +20,24 @@ from .spgemm import spgemm
 __all__ = ["k_hop", "transitive_closure", "triangle_structure", "triangle_count"]
 
 
-def k_hop(a: BCSR, k: int, *, chunk_flops: int | None = None) -> BCSR:
+def k_hop(
+    a: BCSR,
+    k: int,
+    *,
+    chunk_flops: int | None = None,
+    device: bool = False,
+) -> BCSR:
     """Structure of A^k (nodes reachable in exactly ≤k-hop products).
 
-    Computed by binary exponentiation — log2(k) SpGEMMs.
+    Computed by binary exponentiation — log2(k) SpGEMMs.  ``device=True``
+    keeps the running power and result in HBM between products (see
+    :func:`transitive_closure`); raises OverflowError past the resident
+    whole-matrix flop budget.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if device:
+        return _k_hop_device(a, k)
     result = None
     power = a.sum_duplicates()
     while k:
@@ -127,6 +138,42 @@ def _transitive_closure_device(a: BCSR, max_iters: int | None) -> BCSR:
         prev_nnz = nnz
         r = nxt.compact()
     return r.to_host()
+
+
+def _device_product(x, y, step_bound):
+    """One resident product with the flop-bound guard (shared by the
+    device-resident k-hop and closure loops)."""
+    from .device_api import spgemm_device
+    from .spgemm import pad_bucket
+
+    fb, est = step_bound(y.indptr, x.indices, x.nnz)
+    if float(est) > 0.98 * DEVICE_CLOSURE_MAX_FLOPS:
+        raise OverflowError(
+            f"product flop bound ~{float(est):.3g} exceeds the resident "
+            f"budget {DEVICE_CLOSURE_MAX_FLOPS}; use the chunked host path "
+            "(device=False)"
+        )
+    return spgemm_device(x, y, flops_pad=pad_bucket(max(int(fb), 8))).compact()
+
+
+def _k_hop_device(a: BCSR, k: int) -> BCSR:
+    from .spgemm import DeviceBCSR, require_int32_operands
+
+    require_int32_operands(a)
+    step_bound = _step_bound_jit()
+    result = None
+    power = DeviceBCSR.from_host(a.sum_duplicates())
+    while k:
+        if k & 1:
+            result = (
+                power
+                if result is None
+                else _device_product(result, power, step_bound)
+            )
+        k >>= 1
+        if k:
+            power = _device_product(power, power, step_bound)
+    return result.to_host()
 
 
 def triangle_structure(a: BCSR, *, chunk_flops: int | None = None) -> BCSR:

@@ -104,3 +104,11 @@ def _clear_jax_caches_after_module():
     import jax
 
     jax.clear_caches()
+
+
+def test_k_hop_device_matches_host():
+    from binary_spgemm_tpu.ops.graph import k_hop
+
+    for seed, n, d, k in [(21, 150, 2.0, 3), (22, 80, 1.5, 5), (23, 60, 3.0, 1)]:
+        a = BCSR.random(n, n, d, seed=seed)
+        assert k_hop(a, k, device=True).equals(k_hop(a, k)), (seed, k)
