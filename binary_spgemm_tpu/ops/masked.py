@@ -87,23 +87,26 @@ def masked_spgemm(
 
     f = f.sum_duplicates()
 
-    # Engine choice mirrors the unmasked auto_executor: the sliced-ELL
-    # expansion (row-gather, packed-key chunk sorts) beats ESC whenever its
-    # padded expansion fits one program; the sort-fused mask join is shared,
-    # so results stay bit-exact either way.
-    from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
+    # Engine choice mirrors spgemm()/spgemm_or(): the sliced-ELL expansion
+    # (row-gather, packed-key chunk sorts) beats ESC whenever its padded
+    # expansion fits one program; the sort-fused mask join is shared, so
+    # results stay bit-exact either way.  An explicit ``chunk_flops`` forces
+    # the chunked ESC path below (the documented contract — previously the
+    # ELL route ignored it).
+    if chunk_flops is None:
+        from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
 
-    # masked=True halves the chunk row cap so the (row, col, tag) sort key
-    # stays single-int32 packed: measured 0.211 s vs 0.471 s at n=256K d=16
-    # (benchmarks/masked_cap.py); at n<=64K the plans coincide.
-    try:
-        ex = EllSpGEMMExecutor(a, b, masked=True)
-        if ex.total_slots <= AUTO_ELL_MAX_SLOTS:
-            # (masked outputs are not out_pad-truncated; use the stricter
-            # sort-domain budget)
-            return ex.assemble(ex.run_masked(f))
-    except OverflowError:
-        pass
+        # masked=True halves the chunk row cap so the (row, col, tag) sort
+        # key stays single-int32 packed: measured 0.211 s vs 0.471 s at
+        # n=256K d=16 (benchmarks/masked_cap.py); at n<=64K plans coincide.
+        try:
+            ex = EllSpGEMMExecutor(a, b, masked=True)
+            if ex.total_slots <= AUTO_ELL_MAX_SLOTS:
+                # (masked outputs are not out_pad-truncated; use the
+                # stricter sort-domain budget)
+                return ex.assemble(ex.run_masked(f))
+        except OverflowError:
+            pass
 
     chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
     rf = row_flops(a, b)
