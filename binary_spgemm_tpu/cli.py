@@ -159,6 +159,65 @@ def cmd_gen(args) -> int:
     return 0
 
 
+def cmd_multiply(args) -> int:
+    """Compute one op — C = A·B, F.*(A·B), D OR (A·B), or D OR (F.*(A·B)) —
+    and optionally write the result as a pattern ``.mtx`` (the capability the
+    reference's CLI lacked: its binaries only ever timed C = A·A)."""
+    a = _load(args.path, args.transpose)
+    b = _load(args.b, args.transpose) if args.b else a
+    kw = {"chunk_flops": args.chunk_flops}
+    if args.engine == "esc" and kw["chunk_flops"] is None:
+        kw["chunk_flops"] = DEFAULT_CHUNK_FLOPS
+    mask = _load(args.mask, args.transpose) if args.mask else None
+    if args.engine == "ell" and not args.mask and not args.fuse_or:
+        from .ops.ell import ell_spgemm
+
+        c = ell_spgemm(a, b)
+    elif args.fuse_or:
+        from .ops.fused import spgemm_or
+
+        d = _load(args.fuse_or, args.transpose)
+        c = spgemm_or(d, a, b, mask=mask, **kw)
+    elif mask is not None:
+        from .ops.masked import masked_spgemm
+
+        c = masked_spgemm(mask, a, b, **kw)
+    else:
+        c = spgemm(a, b, **kw)
+    if args.out:
+        write_pattern(
+            args.out, c,
+            comment=f"C from {args.path}"
+            + (f" * {args.b}" if args.b else " squared"),
+        )
+    print(f"C: shape={c.shape} nnz={c.nnz}" + (f" -> {args.out}" if args.out else ""))
+    return 0
+
+
+def cmd_graph(args) -> int:
+    """Graph ops over the SpGEMM core: reachability closure, k-hop,
+    triangle-edge structure."""
+    from .ops.graph import k_hop, transitive_closure, triangle_structure
+
+    a = _load(args.path, args.transpose)
+    if args.op == "closure":
+        c = transitive_closure(
+            a, max_iters=args.max_iters, chunk_flops=args.chunk_flops,
+            device=args.device,
+        )
+    elif args.op == "khop":
+        c = k_hop(a, args.k, chunk_flops=args.chunk_flops, device=args.device)
+    else:  # triangles
+        c = triangle_structure(a, chunk_flops=args.chunk_flops)
+    if args.out:
+        write_pattern(args.out, c, comment=f"{args.op} of {args.path}")
+    print(
+        f"{args.op}: shape={c.shape} nnz={c.nnz}"
+        + (f" -> {args.out}" if args.out else "")
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="binary_spgemm_tpu",
@@ -222,6 +281,33 @@ def build_parser() -> argparse.ArgumentParser:
         "--oracle", action="store_true", help="also compare against scipy"
     )
     v.set_defaults(fn=cmd_validate)
+
+    m = sub.add_parser(
+        "multiply",
+        parents=[common],
+        help="compute C = A*B (masked / fused-OR variants) and write it",
+    )
+    m.add_argument("b", nargs="?", default=None, help="B operand (default: A)")
+    m.add_argument("--mask", default=None, help="mask F: C = F .* (A*B)")
+    m.add_argument(
+        "--fuse-or", default=None, help="D operand: C = D OR (F.*?(A*B))"
+    )
+    m.add_argument("--out", default=None, help="write C as a pattern .mtx")
+    m.set_defaults(fn=cmd_multiply)
+
+    gr = sub.add_parser(
+        "graph", parents=[common], help="closure / k-hop / triangle structure"
+    )
+    gr.add_argument("op", choices=["closure", "khop", "triangles"])
+    gr.add_argument("--k", type=int, default=2, help="k for khop")
+    gr.add_argument("--max-iters", type=int, default=None)
+    gr.add_argument(
+        "--device",
+        action="store_true",
+        help="HBM-resident iteration (closure/khop): two scalar syncs per round",
+    )
+    gr.add_argument("--out", default=None, help="write the result .mtx")
+    gr.set_defaults(fn=cmd_graph)
 
     g = sub.add_parser("gen", help="generate a random pattern .mtx")
     g.add_argument("out")

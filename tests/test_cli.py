@@ -66,3 +66,39 @@ def test_bench_blocksize_sweep(mtx, capsys):
 
 def test_validate_sharded_b(mtx):
     assert main(["validate", mtx, "--devices", "4", "--b-layout", "sharded"]) == 0
+
+
+def test_multiply_writes_result(mtx, tmp_path, capsys):
+    import numpy as np
+
+    from binary_spgemm_tpu.io.mmio import read_pattern
+    from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+    out = str(tmp_path / "c.mtx")
+    assert main(["multiply", mtx, "--out", out]) == 0
+    a = read_pattern(mtx)
+    c = read_pattern(out, transpose=False)  # written as-is
+    assert c.equals(spgemm_oracle(a, a))
+    # masked + fused-OR variants
+    f = str(tmp_path / "f.mtx")
+    d = str(tmp_path / "d.mtx")
+    write_pattern(f, BCSR.random(200, 200, 3.0, seed=5))
+    write_pattern(d, BCSR.random(200, 200, 1.0, seed=6))
+    assert main(["multiply", mtx, "--mask", f]) == 0
+    assert main(["multiply", mtx, "--fuse-or", d, "--mask", f]) == 0
+    assert main(["multiply", mtx, "--engine", "esc", "--chunk-flops", "4096"]) == 0
+    assert "nnz=" in capsys.readouterr().out
+
+
+def test_graph_commands(mtx, tmp_path, capsys):
+    from binary_spgemm_tpu.io.mmio import read_pattern
+    from binary_spgemm_tpu.ops.graph import transitive_closure
+
+    out = str(tmp_path / "r.mtx")
+    assert main(["graph", mtx, "closure", "--out", out]) == 0
+    a = read_pattern(mtx)
+    assert read_pattern(out, transpose=False).equals(transitive_closure(a))
+    assert main(["graph", mtx, "khop", "--k", "3"]) == 0
+    assert main(["graph", mtx, "khop", "--k", "2", "--device"]) == 0
+    assert main(["graph", mtx, "triangles"]) == 0
+    assert "triangles:" in capsys.readouterr().out
