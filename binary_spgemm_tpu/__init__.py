@@ -21,6 +21,7 @@ from .ops.union import spm_or
 from .ops.fused import spgemm_or
 from .ops.bsr import bsr_spgemm
 from .ops.ell import EllSpGEMMExecutor, ell_spgemm
+from .ops.graph import k_hop, transitive_closure, triangle_count, triangle_structure
 
 __all__ = [
     "BCSR",
@@ -37,6 +38,10 @@ __all__ = [
     "masked_spgemm",
     "spm_or",
     "bsr_spgemm",
+    "k_hop",
+    "transitive_closure",
+    "triangle_count",
+    "triangle_structure",
 ]
 
 __version__ = "0.1.0"
