@@ -199,6 +199,9 @@ def cmd_graph(args) -> int:
     triangle-edge structure."""
     from .ops.graph import k_hop, transitive_closure, triangle_structure
 
+    if args.op == "triangles" and args.device:
+        print("triangles has no device-resident form", file=sys.stderr)
+        return 2
     a = _load(args.path, args.transpose)
     if args.op == "closure":
         c = transitive_closure(
@@ -225,26 +228,33 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    common = argparse.ArgumentParser(add_help=False)
-    common.add_argument("path", help="Matrix-Market pattern file")
-    common.add_argument(
+    # io_common: flags every command honours; common adds the engine and
+    # mesh knobs only bench/validate wire through (multiply/graph must not
+    # silently accept-and-ignore --devices/--balance/--b-layout)
+    io_common = argparse.ArgumentParser(add_help=False)
+    io_common.add_argument("path", help="Matrix-Market pattern file")
+    io_common.add_argument(
         "--no-transpose",
         dest="transpose",
         action="store_false",
         help="read the file as-is instead of the reference's transpose semantics",
     )
-    common.add_argument(
+    io_common.add_argument(
         "--chunk-flops",
         type=int,
         default=None,
         help="max Gustavson flops per ESC row chunk (≈ tBlock); setting it "
         "forces the ESC engine (default: auto engine, sliced-ELL when it fits)",
     )
-    common.add_argument(
+    engine_common = argparse.ArgumentParser(add_help=False)
+    engine_common.add_argument(
         "--engine",
         choices=["auto", "esc", "ell"],
         default="auto",
         help="SpGEMM engine (auto = sliced-ELL when its expansion fits)",
+    )
+    common = argparse.ArgumentParser(
+        add_help=False, parents=[io_common, engine_common]
     )
     common.add_argument(
         "--devices", type=int, default=None, help="mesh size (≈ MPI tasks)"
@@ -284,7 +294,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     m = sub.add_parser(
         "multiply",
-        parents=[common],
+        parents=[io_common, engine_common],
         help="compute C = A*B (masked / fused-OR variants) and write it",
     )
     m.add_argument("b", nargs="?", default=None, help="B operand (default: A)")
@@ -296,7 +306,9 @@ def build_parser() -> argparse.ArgumentParser:
     m.set_defaults(fn=cmd_multiply)
 
     gr = sub.add_parser(
-        "graph", parents=[common], help="closure / k-hop / triangle structure"
+        "graph",
+        parents=[io_common],
+        help="closure / k-hop / triangle structure",
     )
     gr.add_argument("op", choices=["closure", "khop", "triangles"])
     gr.add_argument("--k", type=int, default=2, help="k for khop")

@@ -359,6 +359,12 @@ def row_weight(indptr, cols, weight):
     indptr = np.ascontiguousarray(indptr, dtype=np.uint32)
     cols = np.ascontiguousarray(cols, dtype=np.int32)
     weight = np.ascontiguousarray(weight, dtype=np.int64)
+    # the C loop reads weight[cols[e]] unchecked; keep the numpy fallback's
+    # bounds behaviour rather than a silent out-of-range heap read
+    if len(cols) and int(cols.max()) >= len(weight):
+        raise IndexError(
+            f"column id {int(cols.max())} out of range for {len(weight)} rows"
+        )
     n_rows = len(indptr) - 1
     out = np.empty(n_rows, np.int64)
     l.csr_row_weight(

@@ -796,6 +796,24 @@ class EllSpGEMMExecutor:
             jnp.concatenate([o[i] for o in outs]) for i in range(2)
         )
 
+    def staged_nnz_pad(self, mat: "BCSR") -> int:
+        """Per-chunk padded nnz a staged side operand (mask / fused-OR D)
+        occupies — the pad :meth:`stage_mask` will use.  Lets callers budget
+        ``run_or``/``run_masked`` (whose sorts and outputs widen by this)
+        BEFORE staging; computed on the raw operand it upper-bounds the
+        canonicalised pad (dedup only shrinks rows)."""
+        if self.row_sets is not None:
+            lens_all = np.diff(mat.indptr).astype(np.int64)
+            return pad_bucket(
+                max(
+                    (int(lens_all[rows].sum()) for rows in self.row_sets),
+                    default=1,
+                )
+            )
+        return pad_bucket(
+            max(int(mat.indptr[r1] - mat.indptr[r0]) for r0, r1 in self.chunks)
+        )
+
     def stage_mask(self, f: "BCSR"):
         """Canonicalise, chunk-slice, and device-stage a mask for
         :meth:`run_masked`.  Returns an opaque list of per-group
@@ -807,15 +825,9 @@ class EllSpGEMMExecutor:
         if f.shape != self.shape:
             raise ValueError(f"mask shape {f.shape} != product {self.shape}")
         f = f.sum_duplicates()
+        f_nnz_pad = self.staged_nnz_pad(f)
         ptrs, idxs = [], []
         if self.row_sets is not None:
-            lens_all = np.diff(f.indptr).astype(np.int64)
-            f_nnz_pad = pad_bucket(
-                max(
-                    (int(lens_all[rows].sum()) for rows in self.row_sets),
-                    default=1,
-                )
-            )
             for rows in self.row_sets:
                 fp, fi, _ = _pad_rowset_csr(
                     f, rows, self.rows_pad, f_nnz_pad, fill=self.n_cols
@@ -823,9 +835,6 @@ class EllSpGEMMExecutor:
                 ptrs.append(fp)
                 idxs.append(fi)
         else:
-            f_nnz_pad = pad_bucket(
-                max(int(f.indptr[r1] - f.indptr[r0]) for r0, r1 in self.chunks)
-            )
             for r0, r1 in self.chunks:
                 fp, fi, _ = pad_chunk_csr(
                     f, r0, r1, self.rows_pad, f_nnz_pad, fill=self.n_cols

@@ -202,7 +202,22 @@ def spgemm_or(
 
         try:
             ex = EllSpGEMMExecutor(a, b, masked=mask is not None)
-            budget = ex.resident_slots if mask is None else ex.total_slots
+            # budget what run_or actually allocates: every chunk's sort and
+            # output widen by the staged D (and mask) pads
+            d_pad = ex.staged_nnz_pad(d)
+            if mask is None:
+                budget = (
+                    min(
+                        pad_bucket(ex.out_pad + d_pad),
+                        pad_bucket(ex.sort_pad + d_pad, div=32),
+                    )
+                    * ex.n_chunks
+                )
+            else:
+                f_pad = ex.staged_nnz_pad(mask)
+                budget = (
+                    ex.sort_pad - ex.rows_pad + d_pad + f_pad
+                ) * ex.n_chunks
             if budget <= AUTO_ELL_MAX_SLOTS:
                 return ex.assemble(ex.run_or(d, mask=mask))
         except OverflowError:

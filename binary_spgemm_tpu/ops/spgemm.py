@@ -136,7 +136,10 @@ class DeviceBCSR:
         of compiled shapes).  The iterated-product loops (reachability
         closure) call this between rounds so each round's expansion works on
         ``O(nnz)`` padding instead of the previous round's flop bound."""
-        pad = pad_to if pad_to is not None else pad_bucket(max(int(self.nnz), 1))
+        nnz = int(self.nnz)
+        pad = pad_to if pad_to is not None else pad_bucket(max(nnz, 1))
+        if pad < nnz:
+            raise ValueError(f"pad_to {pad} would truncate {nnz} valid entries")
         if pad >= self.indices.shape[0]:
             return self
         return DeviceBCSR(
@@ -872,6 +875,11 @@ def _slice_page(flat: jax.Array, off: jax.Array, *, page: int) -> jax.Array:
     return jax.lax.dynamic_slice(flat, (off,), (page,))
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
+def _slice_group(idx: jax.Array, g0: jax.Array, *, size: int) -> jax.Array:
+    return jax.lax.dynamic_slice_in_dim(idx, g0, size, axis=0)
+
+
 def pull_prefix(
     flat: jax.Array, total: int, page: int | None = None
 ) -> np.ndarray:
@@ -947,11 +955,11 @@ def compact_pull(idx, nnz_valid: np.ndarray) -> list[np.ndarray] | None:
     parts: list[np.ndarray] = []
     for g0 in range(0, C, G):
         g1 = min(g0 + G, C)
-        parts.extend(
-            _compact_pull_block(
-                jax.lax.slice_in_dim(idx, g0, g1), nnz_valid[g0:g1]
-            )
-        )
+        # traced start + static size: one compiled slice per group SHAPE
+        # (<=2 — full groups and one remainder), not one per offset; static
+        # slice starts would compile a program per group through the tunnel
+        sub = _slice_group(idx, np.int32(g0), size=g1 - g0)
+        parts.extend(_compact_pull_block(sub, nnz_valid[g0:g1]))
     return parts
 
 

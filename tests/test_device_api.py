@@ -99,3 +99,10 @@ def _clear_jax_caches_after_module():
     # executables after the module avoids the state buildup.
     yield
     jax.clear_caches()
+
+
+def test_device_compact_truncation_raises():
+    a = BCSR.random(100, 100, 3.0, seed=10)
+    d = DeviceBCSR.from_host(a)
+    with pytest.raises(ValueError):
+        d.compact(pad_to=8)

@@ -315,3 +315,35 @@ def test_native_row_weight_matches_numpy():
         want = cum[a.indptr[1:]] - cum[a.indptr[:-1]]
         assert np.array_equal(got, want)
         assert np.array_equal(row_flops(a, b), want)
+
+
+def test_native_table_fill_matches_numpy(monkeypatch):
+    # EllB.build's native one-pass scatter must produce byte-identical
+    # tables (incl. sentinel tails) to the numpy fallback branch
+    import binary_spgemm_tpu.native as native_mod
+    from binary_spgemm_tpu.ops.ell import EllB
+
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        n = int(rng.integers(30, 400))
+        b = BCSR.random(n, n, float(rng.uniform(0.2, 6.0)), seed=trial + 40)
+        ell_native = EllB.build(b)
+        monkeypatch.setattr(native_mod, "table_fill", lambda *a, **k: None)
+        ell_numpy = EllB.build(b)
+        monkeypatch.undo()
+        assert ell_native.widths == ell_numpy.widths
+        assert np.array_equal(ell_native.class_of_row, ell_numpy.class_of_row)
+        assert np.array_equal(ell_native.pos_in_class, ell_numpy.pos_in_class)
+        for tn, tp in zip(ell_native.tables, ell_numpy.tables):
+            assert np.array_equal(tn, tp), trial
+
+
+def test_native_row_weight_bounds_check():
+    from binary_spgemm_tpu.native import row_weight
+
+    a = BCSR.random(50, 80, 2.0, seed=3)  # cols up to 79
+    short_weight = np.ones(40, np.int64)  # too short
+    if row_weight(a.indptr, a.indices, np.ones(80, np.int64)) is None:
+        pytest.skip("native library unavailable")
+    with pytest.raises(IndexError):
+        row_weight(a.indptr, a.indices, short_weight)
