@@ -55,6 +55,11 @@ def main() -> None:
 
     import jax
 
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # honour the env var even though the image's sitecustomize
+        # pre-registers the TPU backend (whose init hangs when the service
+        # is unreachable) — lets the sweep smoke-test on CPU
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -142,11 +147,25 @@ def main() -> None:
                     uout = spm_or_padded(*uargs, n_cols=n)
                     np.asarray(uout[2])
                     uts.append(time.perf_counter() - t0)
+                # fused-OR (D pre-seeds the chunk sorts): staged, device time
+                dmat = _B.random(n, n, d / 2, seed=9)
+                oex = EllSpGEMMExecutor(a, a)
+                sd = oex.stage_mask(dmat)
+                oout = oex.run_or(sd)
+                np.asarray(oout[-1][:1])
+                ots = []
+                for _ in range(args.times):
+                    t0 = time.perf_counter()
+                    oout = oex.run_or(sd)
+                    np.asarray(oout[-1][:1])
+                    ots.append(time.perf_counter() - t0)
                 extras = {
                     "masked_fastest_s": min(mts),
                     "masked_nnz": int(mex.assemble(mout).nnz),
                     "union_fastest_s": min(uts),
                     "union_nnz": int(uout[2]),
+                    "fused_or_fastest_s": min(ots),
+                    "fused_or_nnz": int(oex.assemble(oout).nnz),
                 }
             if kind == "blocked":
                 from binary_spgemm_tpu import BlockedBCSR
