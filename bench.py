@@ -41,6 +41,30 @@ def main() -> None:
     from binary_spgemm_tpu.ops.ell import auto_executor
     from binary_spgemm_tpu.ops.spgemm import spgemm_flops
 
+    # Acquire the device FIRST with bounded retries: the axon service has
+    # measured multi-hour outages during which backend init blocks ~10 min
+    # then raises UNAVAILABLE — retry a few times (the outage may end
+    # mid-round) and fail loudly rather than crash deep in the benchmark.
+    dev = None
+    for attempt in range(3):
+        try:
+            dev = jax.devices()[0]
+            break
+        except Exception as e:  # noqa: BLE001 — init raises RuntimeError
+            print(
+                f"device init attempt {attempt + 1}/3 failed: {e}",
+                file=sys.stderr,
+            )
+            if attempt == 2:
+                raise
+            try:
+                import jax.extend.backend as _jeb
+
+                _jeb.clear_backends()
+            except Exception:
+                pass
+            time.sleep(120)
+
     a = BCSR.random(N, N, D, seed=SEED)
     flops = spgemm_flops(a, a)
 
@@ -48,7 +72,6 @@ def main() -> None:
     # timing); auto_executor picks the sliced-ELL engine here (the row-gather
     # expansion is ~6x cheaper than ESC's element gather on TPU).
     ex = auto_executor(a, a)
-    dev = jax.devices()[0]
 
     # Warmup (compile) + correctness gate vs scipy
     out = ex.run()
