@@ -37,14 +37,15 @@ def _block_until_ready():
     (jax.device_put(0.0) + 0).block_until_ready()
 
 
-def _single_device_spgemm(a, args):
+def _single_device_spgemm(a, args, b=None):
+    b = a if b is None else b
     if args.engine == "ell":
         from .ops.ell import ell_spgemm
 
-        return ell_spgemm(a, a)
+        return ell_spgemm(a, b)
     if args.engine == "esc":
-        return spgemm(a, a, chunk_flops=args.chunk_flops or DEFAULT_CHUNK_FLOPS)
-    return spgemm(a, a, chunk_flops=args.chunk_flops)
+        return spgemm(a, b, chunk_flops=args.chunk_flops or DEFAULT_CHUNK_FLOPS)
+    return spgemm(a, b, chunk_flops=args.chunk_flops)
 
 
 def cmd_bench(args) -> int:
@@ -169,11 +170,7 @@ def cmd_multiply(args) -> int:
     if args.engine == "esc" and kw["chunk_flops"] is None:
         kw["chunk_flops"] = DEFAULT_CHUNK_FLOPS
     mask = _load(args.mask, args.transpose) if args.mask else None
-    if args.engine == "ell" and not args.mask and not args.fuse_or:
-        from .ops.ell import ell_spgemm
-
-        c = ell_spgemm(a, b)
-    elif args.fuse_or:
+    if args.fuse_or:
         from .ops.fused import spgemm_or
 
         d = _load(args.fuse_or, args.transpose)
@@ -183,7 +180,7 @@ def cmd_multiply(args) -> int:
 
         c = masked_spgemm(mask, a, b, **kw)
     else:
-        c = spgemm(a, b, **kw)
+        c = _single_device_spgemm(a, args, b)
     if args.out:
         write_pattern(
             args.out, c,

@@ -392,6 +392,18 @@ def _ell_masked_jit(
     return tuple(jnp.stack([o[i] for o in outs]) for i in range(2))
 
 
+def _staged_pairs(ptr, idx, rows_pad: int, n_cols: int):
+    """Sentinel-masked (row, col) pairs of one staged chunk-local CSR operand
+    (mask / fused-OR D): slots past ``ptr[-1]`` become (rows_pad, n_cols)
+    padding sentinels."""
+    from .spgemm import _row_ids
+
+    pad = idx.shape[-1]
+    r = _row_ids(ptr, pad)
+    v = jnp.arange(pad, dtype=INT) < ptr[-1]
+    return jnp.where(v, r, rows_pad), jnp.where(v, idx, n_cols)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -419,7 +431,7 @@ def _ell_or_jit(
     (≡ ``SpGEMM_dor``, old/BSpGEMM.c:75-126) — and the union IS the sort's
     dedup.  Row pointers ride as embedded separators
     (see :func:`_ell_spgemm_sep_jit`)."""
-    from .spgemm import _row_ids, sort_compress_seps
+    from .spgemm import sort_compress_seps
 
     d_pad = d_idx.shape[-1]
     sep_rows = jnp.arange(rows_pad, dtype=INT)
@@ -432,10 +444,7 @@ def _ell_or_jit(
             widths=widths, pads=pads, sort_pad=sort_pad - rows_pad - d_pad,
         )
     ):
-        d_rows = _row_ids(d_ptr[k], d_pad)
-        d_valid = jnp.arange(d_pad, dtype=INT) < d_ptr[k][-1]
-        d_rows = jnp.where(d_valid, d_rows, rows_pad)
-        d_cols = jnp.where(d_valid, d_idx[k], n_cols)
+        d_rows, d_cols = _staged_pairs(d_ptr[k], d_idx[k], rows_pad, n_cols)
         outs.append(
             sort_compress_seps(
                 jnp.concatenate([row, d_rows, sep_rows]),
@@ -477,13 +486,6 @@ def _ell_or_masked_jit(
     (no separators — the join's compaction already pays the demote re-sort,
     and separators cannot ride a 2-bit-tagged key unambiguously)."""
     from .fused import _sort_compress_or_masked
-    from .spgemm import _row_ids
-
-    def pairs(ptr, idx):
-        pad = idx.shape[-1]
-        r = _row_ids(ptr, pad)
-        v = jnp.arange(pad, dtype=INT) < ptr[-1]
-        return jnp.where(v, r, rows_pad), jnp.where(v, idx, n_cols)
 
     outs = []
     for k, (row, col) in enumerate(
@@ -493,8 +495,8 @@ def _ell_or_masked_jit(
             widths=widths, pads=pads, sort_pad=sort_pad,
         )
     ):
-        d_rows, d_cols = pairs(d_ptr[k], d_idx[k])
-        f_rows, f_cols = pairs(f_ptr[k], f_idx[k])
+        d_rows, d_cols = _staged_pairs(d_ptr[k], d_idx[k], rows_pad, n_cols)
+        f_rows, f_cols = _staged_pairs(f_ptr[k], f_idx[k], rows_pad, n_cols)
         outs.append(
             _sort_compress_or_masked(
                 row, col, d_rows, d_cols, f_rows, f_cols, rows_pad, n_cols

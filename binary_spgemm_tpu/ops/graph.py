@@ -113,7 +113,7 @@ def _step_bound_jit():
 
 def _transitive_closure_device(a: BCSR, max_iters: int | None) -> BCSR:
     from .device_api import spgemm_or_device
-    from .spgemm import DeviceBCSR, pad_bucket, require_int32_operands
+    from .spgemm import DeviceBCSR, require_int32_operands
 
     require_int32_operands(a)
     step_bound = _step_bound_jit()
@@ -121,15 +121,8 @@ def _transitive_closure_device(a: BCSR, max_iters: int | None) -> BCSR:
     iters = max_iters if max_iters is not None else max(1, a.n_rows.bit_length())
     prev_nnz = int(r.nnz)
     for _ in range(iters):
-        fb, est = step_bound(r.indptr, r.indices, r.nnz)
-        if float(est) > 0.98 * DEVICE_CLOSURE_MAX_FLOPS:
-            raise OverflowError(
-                f"closure round flop bound ~{float(est):.3g} exceeds the "
-                f"resident budget {DEVICE_CLOSURE_MAX_FLOPS}; use the "
-                "chunked host path (device=False)"
-            )
         nxt = spgemm_or_device(
-            r, r, r, flops_pad=pad_bucket(max(int(fb), 8))
+            r, r, r, flops_pad=_guarded_flops_pad(step_bound, r, r)
         )
         nnz = int(nxt.nnz)
         if nnz == prev_nnz:
@@ -140,10 +133,9 @@ def _transitive_closure_device(a: BCSR, max_iters: int | None) -> BCSR:
     return r.to_host()
 
 
-def _device_product(x, y, step_bound):
-    """One resident product with the flop-bound guard (shared by the
-    device-resident k-hop and closure loops)."""
-    from .device_api import spgemm_device
+def _guarded_flops_pad(step_bound, x, y) -> int:
+    """Flop-bound pad for one resident product x·y, raising past the
+    whole-matrix budget (shared by the device k-hop and closure loops)."""
     from .spgemm import pad_bucket
 
     fb, est = step_bound(y.indptr, x.indices, x.nnz)
@@ -153,7 +145,15 @@ def _device_product(x, y, step_bound):
             f"budget {DEVICE_CLOSURE_MAX_FLOPS}; use the chunked host path "
             "(device=False)"
         )
-    return spgemm_device(x, y, flops_pad=pad_bucket(max(int(fb), 8))).compact()
+    return pad_bucket(max(int(fb), 8))
+
+
+def _device_product(x, y, step_bound):
+    from .device_api import spgemm_device
+
+    return spgemm_device(
+        x, y, flops_pad=_guarded_flops_pad(step_bound, x, y)
+    ).compact()
 
 
 def _k_hop_device(a: BCSR, k: int) -> BCSR:
