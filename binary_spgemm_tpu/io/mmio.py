@@ -85,8 +85,20 @@ def read_pattern(
             "entries cross the row filter); expand first, then slice"
         )
 
-    with open(path, "rb") as f:
-        size = os.fstat(f.fileno()).st_size
+    # transparent gzip (SuiteSparse ships .mtx.gz): decompress up front —
+    # a compressed stream can't be mmapped, so the body is a zero-copy view
+    # over the decompressed buffer instead
+    import io
+
+    raw = None
+    if str(path).endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as gz:
+            raw = gz.read()
+
+    with (io.BytesIO(raw) if raw is not None else open(path, "rb")) as f:
+        size = len(raw) if raw is not None else os.fstat(f.fileno()).st_size
         # Header (banner + comments + size line) from an incrementally-grown
         # prefix read; the body never needs to be materialised up front.
         head = f.read(1 << 16)
@@ -120,7 +132,9 @@ def read_pattern(
                 raise ValueError("missing size line")
         n_rows, n_cols, nnz = (int(tok) for tok in s.split()[:3])
 
-        if size >= (16 << 20):
+        if raw is not None:
+            body = memoryview(raw)[pos:]  # head is a prefix of raw
+        elif size >= (16 << 20):
             # zero-copy body view over an mmap: the OS pages the file in as
             # the multi-threaded native parser streams through it
             mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
@@ -192,7 +206,13 @@ def write_pattern(path, mat: BCSR, *, comment: str | None = None) -> None:
     line, then 1-based ``row col`` pairs.
     """
     rows, cols = mat.to_coo()
-    with open(path, "wb") as f:
+    if str(path).endswith(".gz"):
+        import gzip
+
+        opener = gzip.open
+    else:
+        opener = open
+    with opener(path, "wb") as f:
         f.write(b"%%MatrixMarket matrix coordinate pattern general\n")
         if comment:
             for line in comment.splitlines():
