@@ -21,7 +21,14 @@ from .ops.union import spm_or
 from .ops.fused import spgemm_or
 from .ops.bsr import bsr_spgemm
 from .ops.ell import EllSpGEMMExecutor, ell_spgemm
-from .ops.graph import k_hop, transitive_closure, triangle_count, triangle_structure
+from .ops.graph import (
+    bfs_levels,
+    k_hop,
+    reachable,
+    transitive_closure,
+    triangle_count,
+    triangle_structure,
+)
 
 __all__ = [
     "BCSR",
@@ -38,7 +45,9 @@ __all__ = [
     "masked_spgemm",
     "spm_or",
     "bsr_spgemm",
+    "bfs_levels",
     "k_hop",
+    "reachable",
     "transitive_closure",
     "triangle_count",
     "triangle_structure",

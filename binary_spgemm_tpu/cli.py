@@ -194,12 +194,24 @@ def cmd_multiply(args) -> int:
 def cmd_graph(args) -> int:
     """Graph ops over the SpGEMM core: reachability closure, k-hop,
     triangle-edge structure."""
-    from .ops.graph import k_hop, transitive_closure, triangle_structure
+    from .ops.graph import bfs_levels, k_hop, transitive_closure, triangle_structure
 
-    if args.op == "triangles" and args.device:
-        print("triangles has no device-resident form", file=sys.stderr)
+    if args.op in ("triangles", "bfs") and args.device:
+        print(f"{args.op} has no device-resident form", file=sys.stderr)
         return 2
     a = _load(args.path, args.transpose)
+    if args.op == "bfs":
+        if not args.sources:
+            print("bfs needs --sources", file=sys.stderr)
+            return 2
+        sources = [int(s) for s in args.sources.split(",")]
+        lv = bfs_levels(
+            a, sources, max_hops=args.max_iters, chunk_flops=args.chunk_flops
+        )
+        n_reach = int((lv >= 0).sum())
+        print(f"bfs: n={a.n_rows} reachable={n_reach} max_level={int(lv.max())}")
+        print(",".join(str(int(x)) for x in lv))
+        return 0
     if args.op == "closure":
         c = transitive_closure(
             a, max_iters=args.max_iters, chunk_flops=args.chunk_flops,
@@ -307,9 +319,14 @@ def build_parser() -> argparse.ArgumentParser:
         parents=[io_common],
         help="closure / k-hop / triangle structure",
     )
-    gr.add_argument("op", choices=["closure", "khop", "triangles"])
+    gr.add_argument("op", choices=["closure", "khop", "triangles", "bfs"])
     gr.add_argument("--k", type=int, default=2, help="k for khop")
     gr.add_argument("--max-iters", type=int, default=None)
+    gr.add_argument(
+        "--sources",
+        default=None,
+        help="comma-separated source node ids (bfs; levels print as CSV)",
+    )
     gr.add_argument(
         "--device",
         action="store_true",

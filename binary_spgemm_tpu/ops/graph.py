@@ -17,7 +17,14 @@ from .fused import spgemm_or
 from .masked import masked_spgemm
 from .spgemm import spgemm
 
-__all__ = ["k_hop", "transitive_closure", "triangle_structure", "triangle_count"]
+__all__ = [
+    "k_hop",
+    "transitive_closure",
+    "triangle_structure",
+    "triangle_count",
+    "bfs_levels",
+    "reachable",
+]
 
 
 def k_hop(
@@ -174,6 +181,64 @@ def _k_hop_device(a: BCSR, k: int) -> BCSR:
         if k:
             power = _device_product(power, power, step_bound)
     return result.to_host()
+
+
+def bfs_levels(
+    a: BCSR,
+    sources,
+    *,
+    max_hops: int | None = None,
+    chunk_flops: int | None = None,
+) -> np.ndarray:
+    """BFS hop levels from a source set over the directed graph with
+    adjacency A (edge i→j when A[i, j] is set).
+
+    Returns ``int32[n]``: sources get 0, a node first reached after ``k``
+    frontier expansions gets ``k``, unreachable nodes get ``-1``.
+
+    Each round multiplies the current frontier — a 1×n pattern row — by A
+    on device (the row-slice kernel at slice height 1, ≡ SpGEMM_bigslice
+    with end_row-start_row=1, final/SpGEMM_mpi_omp.c:15-58) and the host
+    peels the never-seen columns off the product row, so every edge out of
+    a node is traversed exactly once across the whole search.
+    """
+    if a.n_rows != a.n_cols:
+        raise ValueError("bfs needs a square adjacency matrix")
+    n = a.n_rows
+    src = np.unique(np.atleast_1d(np.asarray(sources, dtype=np.int64)))
+    if src.size == 0:
+        raise ValueError("sources must be non-empty")
+    if src[0] < 0 or src[-1] >= n:
+        raise ValueError(f"source ids must be in [0, {n}); got {sources!r}")
+
+    level = np.full(n, -1, dtype=np.int32)
+    level[src] = 0
+    frontier = src.astype(np.int32)  # ascending & unique, BCSR-canonical
+    hops = n if max_hops is None else max_hops
+    lvl = 0
+    while frontier.size and lvl < hops:
+        lvl += 1
+        f = BCSR(
+            np.array([0, frontier.size], dtype=np.int32), frontier, (1, n)
+        )
+        prod = spgemm(f, a, chunk_flops=chunk_flops)
+        cand = prod.indices  # ascending, deduped
+        frontier = cand[level[cand] < 0]
+        level[frontier] = lvl
+    return level
+
+
+def reachable(
+    a: BCSR,
+    sources,
+    *,
+    max_hops: int | None = None,
+    chunk_flops: int | None = None,
+) -> np.ndarray:
+    """Sorted ids of nodes reachable from the source set (sources included),
+    optionally within ``max_hops`` edge traversals.  See :func:`bfs_levels`."""
+    lv = bfs_levels(a, sources, max_hops=max_hops, chunk_flops=chunk_flops)
+    return np.flatnonzero(lv >= 0).astype(np.int32)
 
 
 def triangle_structure(a: BCSR, *, chunk_flops: int | None = None) -> BCSR:

@@ -102,3 +102,17 @@ def test_graph_commands(mtx, tmp_path, capsys):
     assert main(["graph", mtx, "khop", "--k", "2", "--device"]) == 0
     assert main(["graph", mtx, "triangles"]) == 0
     assert "triangles:" in capsys.readouterr().out
+
+
+def test_graph_bfs_command(mtx, capsys):
+    import numpy as np
+
+    from binary_spgemm_tpu.io.mmio import read_pattern
+    from binary_spgemm_tpu.ops.graph import bfs_levels
+
+    assert main(["graph", mtx, "bfs", "--sources", "0,5"]) == 0
+    out = capsys.readouterr().out
+    lv = np.array([int(x) for x in out.strip().splitlines()[-1].split(",")])
+    np.testing.assert_array_equal(lv, bfs_levels(read_pattern(mtx), [0, 5]))
+    assert main(["graph", mtx, "bfs"]) == 2  # --sources required
+    assert main(["graph", mtx, "bfs", "--sources", "1", "--device"]) == 2

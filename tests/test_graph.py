@@ -112,3 +112,72 @@ def test_k_hop_device_matches_host():
     for seed, n, d, k in [(21, 150, 2.0, 3), (22, 80, 1.5, 5), (23, 60, 3.0, 1)]:
         a = BCSR.random(n, n, d, seed=seed)
         assert k_hop(a, k, device=True).equals(k_hop(a, k)), (seed, k)
+
+
+# ---- BFS / reachability ---------------------------------------------------
+
+
+def _bfs_oracle(a: BCSR, sources):
+    from scipy.sparse.csgraph import dijkstra
+
+    dist = dijkstra(
+        a.to_scipy(), directed=True, unweighted=True,
+        indices=np.atleast_1d(sources), min_only=True,
+    )
+    lv = np.where(np.isinf(dist), -1, dist).astype(np.int32)
+    return lv
+
+
+def test_bfs_levels_ring():
+    from binary_spgemm_tpu import bfs_levels
+
+    lv = bfs_levels(ring(8), 3)
+    np.testing.assert_array_equal(lv, [5, 6, 7, 0, 1, 2, 3, 4])
+
+
+def test_bfs_levels_matches_csgraph():
+    from binary_spgemm_tpu import bfs_levels
+
+    for seed, n, d, srcs in [
+        (31, 200, 1.5, 0),
+        (32, 150, 0.5, [3, 77]),          # sparse: plenty unreachable
+        (33, 120, 3.0, [0, 1, 2]),
+        (34, 64, 2.0, [63]),
+    ]:
+        a = BCSR.random(n, n, d, seed=seed)
+        np.testing.assert_array_equal(
+            bfs_levels(a, srcs), _bfs_oracle(a, srcs), err_msg=str(seed)
+        )
+
+
+def test_bfs_levels_max_hops_and_reachable():
+    from binary_spgemm_tpu import bfs_levels, reachable
+
+    a = ring(10)
+    lv = bfs_levels(a, 0, max_hops=3)
+    np.testing.assert_array_equal(lv, [0, 1, 2, 3, -1, -1, -1, -1, -1, -1])
+    np.testing.assert_array_equal(reachable(a, 0, max_hops=3), [0, 1, 2, 3])
+    # full reach on a random graph = closure row support ∪ {source}
+    b = BCSR.random(90, 90, 2.0, seed=41)
+    want = np.flatnonzero(_bfs_oracle(b, 5) >= 0)
+    np.testing.assert_array_equal(reachable(b, 5), want)
+
+
+def test_bfs_levels_validation():
+    from binary_spgemm_tpu import bfs_levels
+
+    a = ring(6)
+    with pytest.raises(ValueError, match="non-empty"):
+        bfs_levels(a, [])
+    with pytest.raises(ValueError, match="source ids"):
+        bfs_levels(a, 6)
+    with pytest.raises(ValueError, match="square"):
+        bfs_levels(BCSR.random(4, 5, 1.0, seed=1), 0)
+
+
+def test_bfs_levels_empty_adjacency():
+    from binary_spgemm_tpu import bfs_levels
+
+    a = BCSR(np.zeros(7, np.int32), np.zeros(0, np.int32), (6, 6))
+    lv = bfs_levels(a, [2, 4])
+    np.testing.assert_array_equal(lv, [-1, -1, 0, -1, 0, -1])
