@@ -247,6 +247,36 @@ class BCSR:
         mat = cls.from_coo(rows, cols, (n, n))
         return mat.sum_duplicates()
 
+    @classmethod
+    def from_torch(cls, t) -> "BCSR":
+        """Build from a torch sparse tensor (CSR / COO / CSC layouts) or a
+        dense torch tensor; nonzero values mark the pattern."""
+        import torch
+
+        if t.layout == torch.sparse_csr:
+            return cls(
+                t.crow_indices().cpu().numpy(),
+                t.col_indices().cpu().numpy(),
+                tuple(t.shape),
+            )
+        if t.layout in (torch.sparse_coo, torch.sparse_csc):
+            if t.layout == torch.sparse_csc:
+                t = t.to_sparse_coo()
+            idx = t.coalesce().indices().cpu().numpy()
+            return cls.from_coo(idx[0], idx[1], tuple(t.shape))
+        return cls.from_dense(t.cpu().numpy())
+
+    def to_torch(self):
+        """Export as a ``torch.sparse_csr_tensor`` with bool ones values."""
+        import torch
+
+        return torch.sparse_csr_tensor(
+            torch.from_numpy(np.ascontiguousarray(self.indptr)),
+            torch.from_numpy(np.ascontiguousarray(self.indices)),
+            torch.ones(self.nnz, dtype=torch.bool),
+            size=self.shape,
+        )
+
     # -- conversions ---------------------------------------------------------------
     def to_scipy(self):
         import scipy.sparse as sp

@@ -114,3 +114,16 @@ def test_random_blocked_spgemm_parity():
     assert spgemm(a, a).equals(ref)
     blk = BlockedBCSR.from_bcsr(a, 128)
     assert bsr_spgemm(blk, blk).to_bcsr().equals(ref)
+
+
+def test_torch_interop_roundtrip():
+    torch = pytest.importorskip("torch")
+    m = BCSR.random(120, 90, 2.5, seed=13)
+    t = m.to_torch()
+    assert t.layout == torch.sparse_csr and tuple(t.shape) == (120, 90)
+    assert BCSR.from_torch(t).equals(m)
+    # COO / CSC / dense ingestion all canonicalise to the same pattern
+    assert BCSR.from_torch(t.to_sparse_coo()).equals(m)
+    assert BCSR.from_torch(t.to_sparse_csc()).equals(m)
+    dense = torch.from_numpy(m.to_dense())
+    assert BCSR.from_torch(dense).equals(m)
