@@ -46,16 +46,17 @@ def main() -> None:
     # then raises UNAVAILABLE — retry a few times (the outage may end
     # mid-round) and fail loudly rather than crash deep in the benchmark.
     dev = None
-    for attempt in range(3):
+    attempts = 8  # ~25 min of retries: outages have ended mid-round before
+    for attempt in range(attempts):
         try:
             dev = jax.devices()[0]
             break
         except Exception as e:  # noqa: BLE001 — init raises RuntimeError
             print(
-                f"device init attempt {attempt + 1}/3 failed: {e}",
+                f"device init attempt {attempt + 1}/{attempts} failed: {e}",
                 file=sys.stderr,
             )
-            if attempt == 2:
+            if attempt == attempts - 1:
                 raise
             try:
                 import jax.extend.backend as _jeb
@@ -63,7 +64,7 @@ def main() -> None:
                 _jeb.clear_backends()
             except Exception:
                 pass
-            time.sleep(120)
+            time.sleep(180)
 
     a = BCSR.random(N, N, D, seed=SEED)
     flops = spgemm_flops(a, a)
