@@ -35,6 +35,12 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # honour the env var even though the image's sitecustomize
+        # pre-registers the TPU backend (whose init hangs when the service
+        # is unreachable) — lets new cases smoke-test on CPU
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -66,6 +72,14 @@ def main() -> None:
     rowidx_16 = jnp.asarray(rng.integers(0, 1 << 16, E // 16, dtype=np.int32))
     table2d_8 = jnp.asarray(rng.integers(0, T, (1 << 17, 8), dtype=np.int32))
     rowidx_8 = jnp.asarray(rng.integers(0, 1 << 17, E // 8, dtype=np.int32))
+    # packed-pair experiment: same logical int32 row width (16) as
+    # gather_rows_w16 but stored as 8 int64 lanes per row — decides whether
+    # XLA's row-gather throughput is per logical element (packing ~halves the
+    # expansion gather) or per 32-bit lane (int64 is lane-pair emulated: no
+    # win).  ns_per_elem is normalised by logical int32 elements (E).
+    table2d_8_i64 = jnp.asarray(
+        rng.integers(0, 1 << 62, (1 << 16, 8), dtype=np.int64)
+    )
     small_table = jnp.asarray(rng.integers(0, 1 << 14, 1 << 14, dtype=np.int32))
     idx_small = jnp.asarray(rng.integers(0, 1 << 14, E, dtype=np.int32))
     idx_sorted = jnp.asarray(np.sort(np.asarray(idx)))
@@ -76,6 +90,10 @@ def main() -> None:
         "gather_win16": (lambda: _g_win(jax, jnp, table, starts, W)),
         "gather_rows_w16": (lambda: _g_elem(jnp, table2d_16, rowidx_16)),
         "gather_rows_w8": (lambda: _g_elem(jnp, table2d_8, rowidx_8)),
+        "gather_rows_w8_i64": (lambda: _g_elem(jnp, table2d_8_i64, rowidx_16)),
+        "gather_rows_w8_i64_unpack": (
+            lambda: _g_packed_unpack(jnp, table2d_8_i64, rowidx_16)
+        ),
         "gather_small_table": (lambda: _g_elem(jnp, small_table, idx_small)),
         # NOTE: a hand-built rank-1 lax.gather with indices_are_sorted=True
         # SIGABRTs the v5e gather emitter (gather_emitter.cc:1543 CHECK,
@@ -131,6 +149,18 @@ def main() -> None:
 
 def _g_elem(jnp, table, idx):
     f = __import__("jax").jit(lambda t, i: t[i])
+    return lambda: f(table, idx)
+
+
+def _g_packed_unpack(jnp, table, idx):
+    jax = __import__("jax")
+
+    def g(t, i):
+        g64 = t[i]  # [r, w2] int64
+        g32 = jax.lax.bitcast_convert_type(g64, jnp.int32)  # [r, w2, 2]
+        return g32.reshape(g64.shape[0], -1)
+
+    f = jax.jit(g)
     return lambda: f(table, idx)
 
 
