@@ -46,7 +46,10 @@ def main() -> None:
     # then raises UNAVAILABLE — retry a few times (the outage may end
     # mid-round) and fail loudly rather than crash deep in the benchmark.
     dev = None
-    attempts = 8  # ~25 min of retries: outages have ended mid-round before
+    # 8 attempts x (up to ~10 min blocking init + 3 min sleep) — worst case
+    # ~100 min before giving up: outages have ended mid-round before, and a
+    # late benchmark beats no benchmark
+    attempts = 8
     for attempt in range(attempts):
         try:
             dev = jax.devices()[0]

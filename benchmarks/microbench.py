@@ -41,6 +41,10 @@ def main() -> None:
         # pre-registers the TPU backend (whose init hangs when the service
         # is unreachable) — lets new cases smoke-test on CPU
         jax.config.update("jax_platforms", "cpu")
+    # the packed-gather cases need real int64 arrays; without x64 jnp.asarray
+    # silently downcasts the table to int32 and the experiment measures
+    # nothing (every other case pins int32 explicitly, unaffected)
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -147,9 +147,12 @@ def main() -> None:
                     uout = spm_or_padded(*uargs, n_cols=n)
                     np.asarray(uout[2])
                     uts.append(time.perf_counter() - t0)
-                # fused-OR (D pre-seeds the chunk sorts): staged, device time
+                # fused-OR (D pre-seeds the chunk sorts): staged, device time.
+                # Reuse the main executor's staged tables when it is the ELL
+                # engine — a third EllSpGEMMExecutor(a, a) would hold a third
+                # resident copy of the staged A entries for no reason.
                 dmat = _B.random(n, n, d / 2, seed=9)
-                oex = EllSpGEMMExecutor(a, a)
+                oex = ex if is_ell else EllSpGEMMExecutor(a, a)
                 sd = oex.stage_mask(dmat)
                 oout = oex.run_or(sd)
                 np.asarray(oout[-1][:1])

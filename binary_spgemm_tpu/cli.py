@@ -204,13 +204,27 @@ def cmd_graph(args) -> int:
         if not args.sources:
             print("bfs needs --sources", file=sys.stderr)
             return 2
-        sources = [int(s) for s in args.sources.split(",")]
+        try:
+            sources = [int(s) for s in args.sources.split(",")]
+        except ValueError:
+            print(
+                f"--sources must be comma-separated integers, got "
+                f"{args.sources!r}",
+                file=sys.stderr,
+            )
+            return 2
         lv = bfs_levels(
             a, sources, max_hops=args.max_iters, chunk_flops=args.chunk_flops
         )
         n_reach = int((lv >= 0).sum())
         print(f"bfs: n={a.n_rows} reachable={n_reach} max_level={int(lv.max())}")
-        print(",".join(str(int(x)) for x in lv))
+        csv = ",".join(str(int(x)) for x in lv)
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(csv + "\n")
+            print(f"levels -> {args.out}")
+        else:
+            print(csv)
         return 0
     if args.op == "closure":
         c = transitive_closure(

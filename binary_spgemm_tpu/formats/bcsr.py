@@ -254,16 +254,22 @@ class BCSR:
         import torch
 
         if t.layout == torch.sparse_csr:
-            return cls(
-                t.crow_indices().cpu().numpy(),
-                t.col_indices().cpu().numpy(),
-                tuple(t.shape),
-            )
+            vals = t.values().cpu().numpy()
+            indptr = t.crow_indices().cpu().numpy()
+            cols = t.col_indices().cpu().numpy()
+            if np.all(vals != 0):
+                return cls(indptr, cols, tuple(t.shape))
+            # drop explicit zeros (torch keeps them after masked/sub ops)
+            rows = np.repeat(np.arange(len(indptr) - 1), np.diff(indptr))
+            keep = vals != 0
+            return cls.from_coo(rows[keep], cols[keep], tuple(t.shape))
         if t.layout in (torch.sparse_coo, torch.sparse_csc):
             if t.layout == torch.sparse_csc:
                 t = t.to_sparse_coo()
-            idx = t.coalesce().indices().cpu().numpy()
-            return cls.from_coo(idx[0], idx[1], tuple(t.shape))
+            t = t.coalesce()
+            idx = t.indices().cpu().numpy()
+            keep = t.values().cpu().numpy() != 0
+            return cls.from_coo(idx[0][keep], idx[1][keep], tuple(t.shape))
         return cls.from_dense(t.cpu().numpy())
 
     def to_torch(self):

@@ -116,3 +116,17 @@ def test_graph_bfs_command(mtx, capsys):
     np.testing.assert_array_equal(lv, bfs_levels(read_pattern(mtx), [0, 5]))
     assert main(["graph", mtx, "bfs"]) == 2  # --sources required
     assert main(["graph", mtx, "bfs", "--sources", "1", "--device"]) == 2
+    assert main(["graph", mtx, "bfs", "--sources", "0,x"]) == 2  # not ints
+
+
+def test_graph_bfs_out_file(mtx, tmp_path, capsys):
+    import numpy as np
+
+    from binary_spgemm_tpu.io.mmio import read_pattern
+    from binary_spgemm_tpu.ops.graph import bfs_levels
+
+    out = str(tmp_path / "levels.csv")
+    assert main(["graph", mtx, "bfs", "--sources", "2", "--out", out]) == 0
+    assert out in capsys.readouterr().out
+    lv = np.array([int(x) for x in open(out).read().strip().split(",")])
+    np.testing.assert_array_equal(lv, bfs_levels(read_pattern(mtx), 2))

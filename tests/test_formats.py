@@ -127,3 +127,18 @@ def test_torch_interop_roundtrip():
     assert BCSR.from_torch(t.to_sparse_csc()).equals(m)
     dense = torch.from_numpy(m.to_dense())
     assert BCSR.from_torch(dense).equals(m)
+
+
+def test_torch_explicit_zeros_dropped():
+    torch = pytest.importorskip("torch")
+    # torch keeps explicit zeros after masked/sub ops; every layout must
+    # yield the same pattern as the dense view
+    t = torch.sparse_csr_tensor(
+        torch.tensor([0, 2, 3]), torch.tensor([0, 1, 1]),
+        torch.tensor([1.0, 0.0, 2.0]), size=(2, 2),
+    )
+    want = BCSR.from_torch(t.to_dense())
+    assert want.nnz == 2
+    assert BCSR.from_torch(t).equals(want)
+    assert BCSR.from_torch(t.to_sparse_coo()).equals(want)
+    assert BCSR.from_torch(t.to_sparse_csc()).equals(want)
