@@ -157,3 +157,46 @@ def test_dist_engines_cross_parity_fuzz():
             assert cm.equals(ref_m), (trial, eng)
             co = dist_spgemm_or(dd, a, b, mesh, mask=f, engine=eng)
             assert co.equals(ref_or), (trial, eng)
+
+
+def test_degenerate_shapes_vs_oracle():
+    # 1-row/1-col/empty/full operands through every single-chip op
+    rng = np.random.default_rng(0)
+    shapes = [(1, 1), (1, 5), (5, 1), (7, 3), (1, 64), (128, 2)]
+    for (n, k) in shapes:
+        for da, db in [(0.0, 1.0), (1.0, 0.0), (3.0, 3.0)]:
+            a = BCSR.random(n, k, da, seed=int(rng.integers(1 << 30)))
+            b = BCSR.random(k, n, db, seed=int(rng.integers(1 << 30)))
+            assert spgemm(a, b).equals(spgemm_oracle(a, b)), (n, k, da, db)
+
+
+def test_degenerate_square_ops_vs_oracle():
+    rng = np.random.default_rng(1)
+    for n in (1, 2, 7):
+        a = BCSR.random(n, n, 1.5, seed=int(rng.integers(1 << 30)))
+        b = BCSR.random(n, n, 1.5, seed=int(rng.integers(1 << 30)))
+        f = BCSR.random(n, n, 1.0, seed=int(rng.integers(1 << 30)))
+        d = BCSR.random(n, n, 0.5, seed=int(rng.integers(1 << 30)))
+        sp = lambda m: m.to_scipy()
+        assert masked_spgemm(f, a, b).equals(
+            BCSR.from_scipy(sp(f).multiply(sp(a) @ sp(b)).astype(bool).tocsr())
+        ), n
+        assert spm_or(a, f).equals(
+            BCSR.from_scipy((sp(a) + sp(f)).astype(bool).tocsr())
+        ), n
+        assert spgemm_or(d, a, b).equals(
+            BCSR.from_scipy((sp(d) + (sp(a) @ sp(b))).astype(bool).tocsr())
+        ), n
+
+
+def test_dist_degenerate_sizes():
+    # fewer rows than devices: empty shards through the SPMD assembly
+    from binary_spgemm_tpu.parallel.dist_spgemm import dist_spgemm
+    from binary_spgemm_tpu.parallel.mesh import make_row_mesh
+
+    mesh = make_row_mesh()
+    for n in (1, 2, 7):
+        a = BCSR.random(n, n, 2.0, seed=n)
+        for layout in ("replicated", "ring"):
+            c = dist_spgemm(a, a, mesh, b_layout=layout)
+            assert c.equals(spgemm_oracle(a, a)), (n, layout)
