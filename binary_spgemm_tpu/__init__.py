@@ -21,6 +21,7 @@ from .ops.union import spm_or
 from .ops.fused import spgemm_or
 from .ops.bsr import bsr_spgemm
 from .ops.ell import EllSpGEMMExecutor, ell_spgemm
+from .ops.counts import spgemm_counts
 from .ops.graph import (
     bfs_levels,
     k_hop,
@@ -40,6 +41,7 @@ __all__ = [
     "read_pattern",
     "write_pattern",
     "spgemm",
+    "spgemm_counts",
     "spgemm_flops",
     "spgemm_or",
     "masked_spgemm",

@@ -234,6 +234,12 @@ def cmd_graph(args) -> int:
     elif args.op == "khop":
         c = k_hop(a, args.k, chunk_flops=args.chunk_flops, device=args.device)
     else:  # triangles
+        if args.count:
+            from .ops.graph import triangle_count
+
+            t = triangle_count(a, chunk_flops=args.chunk_flops)
+            print(f"triangles: n={a.n_rows} count={t}")
+            return 0
         c = triangle_structure(a, chunk_flops=args.chunk_flops)
     if args.out:
         write_pattern(args.out, c, comment=f"{args.op} of {args.path}")
@@ -340,6 +346,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--sources",
         default=None,
         help="comma-separated source node ids (bfs; levels print as CSV)",
+    )
+    gr.add_argument(
+        "--count",
+        action="store_true",
+        help="triangles: print the triangle COUNT (device counting kernel, "
+        "needs a symmetric hollow adjacency) instead of the edge structure",
     )
     gr.add_argument(
         "--device",

@@ -252,15 +252,21 @@ def triangle_structure(a: BCSR, *, chunk_flops: int | None = None) -> BCSR:
     return masked_spgemm(a, a, a, chunk_flops=chunk_flops)
 
 
-def triangle_count(a: BCSR) -> int:
-    """Number of triangles in the undirected simple graph with adjacency A.
+def triangle_count(
+    a: BCSR, *, chunk_flops: int | None = None, device: bool = True
+) -> int:
+    """Number of triangles in the undirected simple graph with adjacency A
+    (symmetric, empty diagonal): Σ_{(i,j)∈A} |N(i) ∩ N(j)| / 6.
 
-    A must be symmetric with an empty diagonal.  Uses the structure-only
-    identity: a triangle {i,j,k} contributes its 3 edges to
-    ``triangle_structure``; counting wedges exactly needs values, so this
-    routine counts via a scipy value product on the masked structure's support
-    (host-side; the structure filter is the TPU part).
+    ``device=True`` (default) runs the masked counting kernel on device
+    (:func:`.counts.triangle_count_device` — each chunk returns one scalar,
+    no index arrays leave the device); ``device=False`` is the scipy host
+    oracle (an int64 value product masked to A's support).
     """
+    if device:
+        from .counts import triangle_count_device
+
+        return triangle_count_device(a, chunk_flops=chunk_flops)
     sp = a.to_scipy().astype(np.int64)
     prod = sp @ sp
     tri = prod.multiply(sp)

@@ -119,6 +119,18 @@ def test_graph_bfs_command(mtx, capsys):
     assert main(["graph", mtx, "bfs", "--sources", "0,x"]) == 2  # not ints
 
 
+def test_graph_triangle_count(tmp_path, capsys):
+    import numpy as np
+
+    from binary_spgemm_tpu import BCSR, write_pattern
+
+    k4 = BCSR.from_dense(~np.eye(4, dtype=bool))
+    p = str(tmp_path / "k4.mtx")
+    write_pattern(p, k4)
+    assert main(["graph", p, "triangles", "--count", "--no-transpose"]) == 0
+    assert "count=4" in capsys.readouterr().out
+
+
 def test_graph_bfs_out_file(mtx, tmp_path, capsys):
     import numpy as np
 

@@ -1,0 +1,82 @@
+"""Counting SpGEMM (structure + multiplicities) vs scipy's integer product."""
+import numpy as np
+import pytest
+
+from binary_spgemm_tpu import BCSR, spgemm_counts
+from binary_spgemm_tpu.ops.counts import triangle_count_device
+from binary_spgemm_tpu.ops.graph import triangle_count
+
+
+def _oracle(a: BCSR, b: BCSR):
+    sp = a.to_scipy().astype(np.int64) @ b.to_scipy().astype(np.int64)
+    sp.sort_indices()
+    return sp
+
+
+@pytest.mark.parametrize(
+    "n,k,m,d,seed",
+    [
+        (120, 90, 150, 3.0, 0),
+        (64, 64, 64, 5.0, 1),
+        (300, 40, 300, 2.0, 2),
+        (1, 50, 1, 4.0, 3),
+    ],
+)
+def test_counts_match_integer_product(n, k, m, d, seed):
+    a = BCSR.random(n, k, d, seed=seed)
+    b = BCSR.random(k, m, d, seed=seed + 9)
+    c, counts = spgemm_counts(a, b)
+    ref = _oracle(a, b)
+    np.testing.assert_array_equal(c.indptr, ref.indptr)
+    np.testing.assert_array_equal(c.indices, ref.indices)
+    np.testing.assert_array_equal(counts, ref.data)
+
+
+def test_counts_chunked_matches():
+    a = BCSR.random(400, 400, 6.0, seed=7)
+    c1, k1 = spgemm_counts(a, a)
+    c2, k2 = spgemm_counts(a, a, chunk_flops=4096)  # many chunks
+    assert c1.equals(c2)
+    np.testing.assert_array_equal(k1, k2)
+    ref = _oracle(a, a)
+    np.testing.assert_array_equal(k1, ref.data)
+
+
+def test_counts_empty():
+    a = BCSR(np.zeros(5, np.int32), np.zeros(0, np.int32), (4, 4))
+    c, counts = spgemm_counts(a, a)
+    assert c.nnz == 0 and counts.size == 0
+
+
+def _sym_graph(n, d, seed):
+    a = BCSR.random(n, n, d, seed=seed)
+    sp = a.to_scipy()
+    sp = ((sp + sp.T) > 0).astype(np.int64).tolil()
+    sp.setdiag(0)
+    return BCSR.from_scipy(sp.tocsr())
+
+
+@pytest.mark.parametrize("n,d,seed", [(60, 4.0, 0), (200, 3.0, 1), (31, 8.0, 2)])
+def test_triangle_count_device_matches_host(n, d, seed):
+    a = _sym_graph(n, d, seed)
+    host = triangle_count(a, device=False)
+    assert triangle_count_device(a) == host
+    assert triangle_count(a) == host  # default routes to device
+    # chunked path agrees too
+    assert triangle_count_device(a, chunk_flops=2048) == host
+
+
+def test_triangle_count_k4_and_c4():
+    k4 = BCSR.from_dense(~np.eye(4, dtype=bool))
+    assert triangle_count_device(k4) == 4
+    c4 = np.zeros((4, 4), bool)
+    for i in range(4):
+        c4[i, (i + 1) % 4] = c4[(i + 1) % 4, i] = True
+    assert triangle_count_device(BCSR.from_dense(c4)) == 0
+
+
+def test_triangle_count_rejects_asymmetric():
+    # directed edge set: wedge sum not divisible by 6
+    a = BCSR.from_dense(np.triu(~np.eye(4, dtype=bool)))
+    with pytest.raises(ValueError, match="symmetric"):
+        triangle_count_device(a)
