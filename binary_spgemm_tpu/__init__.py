@@ -21,7 +21,7 @@ from .ops.union import spm_or
 from .ops.fused import spgemm_or
 from .ops.bsr import bsr_spgemm
 from .ops.ell import EllSpGEMMExecutor, ell_spgemm
-from .ops.counts import spgemm_counts
+from .ops.counts import masked_spgemm_counts, spgemm_counts
 from .ops.graph import (
     bfs_levels,
     k_hop,
@@ -45,6 +45,7 @@ __all__ = [
     "spgemm_flops",
     "spgemm_or",
     "masked_spgemm",
+    "masked_spgemm_counts",
     "spm_or",
     "bsr_spgemm",
     "bfs_levels",

@@ -39,7 +39,12 @@ from .spgemm import (
     uniform_chunk_plan,
 )
 
-__all__ = ["spgemm_counts", "triangle_count_device", "sort_compress_counts"]
+__all__ = [
+    "spgemm_counts",
+    "masked_spgemm_counts",
+    "triangle_count_device",
+    "sort_compress_counts",
+]
 
 
 def sort_compress_counts(
@@ -190,6 +195,196 @@ def _masked_counts_sum_padded(
         & (rows_s < n_rows)
     )
     return jnp.sum(counted, dtype=INT)
+
+
+@functools.partial(jax.jit, static_argnames=("n_cols", "flops_pad"))
+def _masked_counts_padded(
+    f_indptr,
+    f_indices,
+    f_nnz,
+    a_indptr,
+    a_indices,
+    a_nnz,
+    b_indptr,
+    b_indices,
+    *,
+    n_cols,
+    flops_pad,
+):
+    """C = F .* (A·B) structure plus multiplicities (common-neighbor counts
+    over the mask's support).
+
+    Two-stage: the counts compression (one sort + payload compaction sort,
+    :func:`sort_compress_counts`), then a tagged join of the compacted
+    entries against F's pairs (mask sorts first within an equal (row, col)
+    run, ≡ ``sort_compress_masked``) with the counts riding as payload.
+    Returns ``(c_indptr, c_indices, c_counts, nnz_c)`` where the padded
+    arrays have ``flops_pad + len(f_indices)`` slots.
+    """
+    n_rows = a_indptr.shape[0] - 1
+    row, col = expand_pairs(
+        a_indptr, a_indices, a_nnz, b_indptr, b_indices,
+        n_cols=n_cols, flops_pad=flops_pad,
+    )
+    pf = f_indices.shape[0]
+    f_row = _row_ids(f_indptr, pf)
+    f_valid = jnp.arange(pf, dtype=INT) < f_nnz
+    f_row = jnp.where(f_valid, f_row, n_rows)
+    f_col = jnp.where(f_valid, f_indices, n_cols)
+
+    if packable(n_rows, 2 * n_cols + 1):
+        bl = int(n_cols).bit_length()
+        # stage 1: counts compression on plain pair keys
+        key = (row << bl) | col
+        key_s = jax.lax.sort((key,), is_stable=False)[0]
+        valid = key_s < (n_rows << bl)
+        q = jnp.cumsum(valid.astype(INT)) - valid.astype(INT)
+        total = jnp.sum(valid, dtype=INT)
+        prev = jnp.concatenate([jnp.full((1,), -1, INT), key_s[:-1]])
+        keep = (key_s != prev) & valid
+        n_uniq = jnp.sum(keep, dtype=INT)
+        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max >> 1)
+        u_keys, qc = jax.lax.sort((demoted, q), num_keys=1, is_stable=False)
+        mark = jnp.arange(key_s.shape[0], dtype=INT)
+        nxt = jnp.where(mark + 1 < n_uniq, jnp.roll(qc, -1), total)
+        u_counts = jnp.where(mark < n_uniq, nxt - qc, 0)
+        # stage 2: tagged join against the mask, counts as payload
+        jk = jnp.concatenate(
+            [(u_keys << 1) | 1, (((f_row << bl) | f_col) << 1)]
+        )
+        jc = jnp.concatenate([u_counts, jnp.zeros(pf, INT)])
+        jk_s, jc_s = jax.lax.sort((jk, jc), num_keys=1, is_stable=False)
+        jprev = jnp.concatenate([jnp.full((1,), -2, INT), jk_s[:-1]])
+        keep2 = (
+            ((jk_s & 1) == 1)
+            & (jprev == (jk_s & ~1))
+            & (jk_s < ((n_rows << (bl + 1)) | 1))
+        )
+        nnz_c = jnp.sum(keep2, dtype=INT)
+        dem2 = jnp.where(keep2, jk_s, jnp.iinfo(jnp.int32).max)
+        c_keys, c_counts = jax.lax.sort(
+            (dem2, jnp.where(keep2, jc_s, 0)), num_keys=1, is_stable=False
+        )
+        c_indices = (c_keys >> 1) & ((1 << bl) - 1)
+        if _histogram_indptr_wins(n_rows, jk.shape[0]):
+            c_indptr = _indptr_from_sorted_rows(
+                jax.lax.shift_right_logical(c_keys, bl + 1), n_rows
+            )
+        else:
+            c_indptr = jnp.searchsorted(
+                c_keys, jnp.arange(n_rows + 1, dtype=INT) << (bl + 1),
+                side="left",
+            ).astype(INT)
+        return c_indptr, c_indices, c_counts, nnz_c
+
+    # general path: 2-key counts compression, then a 3-key tagged join
+    u_ptr, u_idx, u_cnt, n_uniq = sort_compress_counts(
+        row, col, n_rows, n_cols
+    )
+    u_rows = _row_ids(u_ptr, u_idx.shape[0])
+    uvalid = jnp.arange(u_idx.shape[0], dtype=INT) < n_uniq
+    u_rows = jnp.where(uvalid, u_rows, n_rows)
+    u_cols = jnp.where(uvalid, u_idx, n_cols)
+    rows = jnp.concatenate([u_rows, f_row])
+    cols = jnp.concatenate([u_cols, f_col])
+    tags = jnp.concatenate(
+        [jnp.ones(u_rows.shape[0], INT), jnp.zeros(pf, INT)]
+    )
+    cnts = jnp.concatenate([u_cnt, jnp.zeros(pf, INT)])
+    rs, cs, ts, ks = jax.lax.sort(
+        (rows, cols, tags, cnts), num_keys=3, is_stable=False
+    )
+    pr = jnp.concatenate([jnp.full((1,), -1, INT), rs[:-1]])
+    pc = jnp.concatenate([jnp.full((1,), -1, INT), cs[:-1]])
+    pt = jnp.concatenate([jnp.full((1,), -1, INT), ts[:-1]])
+    keep2 = (
+        (ts == 1) & (pr == rs) & (pc == cs) & (pt == 0) & (rs < n_rows)
+    )
+    nnz_c = jnp.sum(keep2, dtype=INT)
+    dr = jnp.where(keep2, rs, n_rows)
+    dc = jnp.where(keep2, cs, n_cols)
+    c_rows, c_indices, c_counts = jax.lax.sort(
+        (dr, dc, jnp.where(keep2, ks, 0)), num_keys=2, is_stable=False
+    )
+    if _histogram_indptr_wins(n_rows, rows.shape[0]):
+        c_indptr = _indptr_from_sorted_rows(c_rows, n_rows)
+    else:
+        c_indptr = jnp.searchsorted(
+            c_rows, jnp.arange(n_rows + 1, dtype=INT), side="left"
+        ).astype(INT)
+    return c_indptr, c_indices, c_counts, nnz_c
+
+
+def masked_spgemm_counts(
+    f: BCSR, a: BCSR, b: BCSR, *, chunk_flops: int | None = None
+) -> tuple[BCSR, np.ndarray]:
+    """C = F .* (A·B) structure plus per-entry multiplicities.
+
+    With ``f = a = b`` = an undirected adjacency this is the per-edge
+    **common-neighbor count** (the triangle support with multiplicities —
+    the standard link-prediction primitive; Jaccard/Adamic-Adar follow from
+    these counts plus row degrees on the host).  MASK FIRST, like
+    :func:`..masked.masked_spgemm`.
+    """
+    if a.n_cols != b.n_rows or tuple(f.shape) != (a.n_rows, b.n_cols):
+        raise ValueError(f"shape mismatch: F{f.shape} vs {a.shape} @ {b.shape}")
+    from .spgemm import require_int32_operands
+
+    require_int32_operands(f, a, b)
+    n, m = a.n_rows, b.n_cols
+    if a.nnz == 0 or b.nnz == 0 or f.nnz == 0:
+        empty = BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
+        return empty, np.zeros(0, np.int64)
+    f = f.sum_duplicates()
+
+    chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
+    rf = row_flops(a, b)
+    chunks, rows_pad, nnz_pad, flops_pad = uniform_chunk_plan(
+        a, rf, chunk_flops, 2 * m + 1
+    )
+    f_nnz_pad = pad_bucket(
+        max(int(f.indptr[r1] - f.indptr[r0]) for r0, r1 in chunks)
+    )
+    b_indptr = jnp.asarray(b.indptr)
+    b_indices = jnp.asarray(b.indices)
+
+    indptr_parts = [np.zeros(1, np.int64)]
+    index_parts, count_parts = [], []
+    base = 0
+    for r0, r1 in chunks:
+        ptr, idx, nnz_local = pad_chunk_csr(a, r0, r1, rows_pad, nnz_pad)
+        f_ptr, f_idx, f_local = pad_chunk_csr(
+            f, r0, r1, rows_pad, f_nnz_pad, fill=m
+        )
+        c_ptr, c_idx, c_cnt, nnz_c = _masked_counts_padded(
+            jnp.asarray(f_ptr),
+            jnp.asarray(f_idx),
+            jnp.asarray(f_local, INT),
+            jnp.asarray(ptr),
+            jnp.asarray(idx),
+            jnp.asarray(nnz_local, INT),
+            b_indptr,
+            b_indices,
+            n_cols=m,
+            flops_pad=flops_pad,
+        )
+        k = int(nnz_c)
+        index_parts.append(np.asarray(c_idx)[:k])
+        count_parts.append(np.asarray(c_cnt)[:k])
+        indptr_parts.append(
+            np.asarray(c_ptr[1 : r1 - r0 + 1], dtype=np.int64) + base
+        )
+        base += k
+    indptr = np.concatenate(indptr_parts)
+    indices = (
+        np.concatenate(index_parts) if index_parts else np.zeros(0, np.int32)
+    )
+    counts = (
+        np.concatenate(count_parts).astype(np.int64)
+        if count_parts
+        else np.zeros(0, np.int64)
+    )
+    return BCSR(indptr, indices, (n, m)), counts
 
 
 def spgemm_counts(

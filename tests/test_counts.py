@@ -80,3 +80,87 @@ def test_triangle_count_rejects_asymmetric():
     a = BCSR.from_dense(np.triu(~np.eye(4, dtype=bool)))
     with pytest.raises(ValueError, match="symmetric"):
         triangle_count_device(a)
+
+
+def _masked_oracle(f: BCSR, a: BCSR, b: BCSR):
+    prod = a.to_scipy().astype(np.int64) @ b.to_scipy().astype(np.int64)
+    m = prod.multiply(f.to_scipy().astype(np.int64))
+    m = m.tocsr()
+    m.sort_indices()
+    m.eliminate_zeros()
+    return m
+
+
+@pytest.mark.parametrize(
+    "n,k,m,d,seed",
+    [(100, 80, 120, 3.0, 0), (64, 64, 64, 5.0, 1), (200, 30, 200, 2.0, 2)],
+)
+def test_masked_counts_match_oracle(n, k, m, d, seed):
+    from binary_spgemm_tpu import masked_spgemm_counts
+
+    a = BCSR.random(n, k, d, seed=seed)
+    b = BCSR.random(k, m, d, seed=seed + 5)
+    f = BCSR.random(n, m, d * 4, seed=seed + 13)
+    c, counts = masked_spgemm_counts(f, a, b)
+    ref = _masked_oracle(f, a, b)
+    np.testing.assert_array_equal(c.indptr, ref.indptr)
+    np.testing.assert_array_equal(c.indices, ref.indices)
+    np.testing.assert_array_equal(counts, ref.data)
+
+
+def test_masked_counts_chunked_and_common_neighbors():
+    from binary_spgemm_tpu import masked_spgemm_counts
+
+    g = _sym_graph(150, 4.0, 5)
+    c1, k1 = masked_spgemm_counts(g, g, g)
+    c2, k2 = masked_spgemm_counts(g, g, g, chunk_flops=2048)
+    assert c1.equals(c2)
+    np.testing.assert_array_equal(k1, k2)
+    # per-edge common-neighbor counts sum to 6 * triangles
+    assert int(k1.sum()) == 6 * triangle_count(g, device=False)
+    ref = _masked_oracle(g, g, g)
+    np.testing.assert_array_equal(k1, ref.data)
+
+
+def test_masked_counts_empty():
+    from binary_spgemm_tpu import masked_spgemm_counts
+
+    a = BCSR.random(10, 10, 2.0, seed=1)
+    f = BCSR(np.zeros(11, np.int32), np.zeros(0, np.int32), (10, 10))
+    c, counts = masked_spgemm_counts(f, a, a)
+    assert c.nnz == 0 and counts.size == 0
+
+
+def test_counts_nonpackable_paths():
+    # n_cols so large the (row, col) pair can't pack into one int32 key:
+    # exercises the 2-key counts compression and the 3-key tagged join
+    from binary_spgemm_tpu import masked_spgemm_counts
+
+    big = 3_000_000
+    rng = np.random.default_rng(3)
+    # A's columns and B's support concentrate in small ranges so candidate
+    # pairs collide (multiplicities > 1) while the COLUMN SPACE stays wide
+    a = BCSR.from_coo(
+        rng.integers(0, 1024, 8000), rng.integers(0, 1000, 8000), (1024, big)
+    ).sum_duplicates()
+    b = BCSR.from_coo(
+        rng.integers(0, 1000, 50_000),
+        rng.integers(0, 2000, 50_000),
+        (big, big),
+    ).sum_duplicates()
+    from binary_spgemm_tpu.ops.spgemm import packable
+
+    assert not packable(1024, big) and not packable(1024, 2 * big + 1)
+    c, counts = __import__("binary_spgemm_tpu").spgemm_counts(a, b)
+    ref = _oracle(a, b)
+    np.testing.assert_array_equal(c.indptr, ref.indptr)
+    np.testing.assert_array_equal(c.indices, ref.indices)
+    np.testing.assert_array_equal(counts, ref.data)
+    f = BCSR.from_coo(
+        rng.integers(0, 1024, 3000), rng.integers(0, big, 3000), (1024, big)
+    ).sum_duplicates()
+    cm, km = masked_spgemm_counts(f, a, b)
+    refm = _masked_oracle(f, a, b)
+    np.testing.assert_array_equal(cm.indptr, refm.indptr)
+    np.testing.assert_array_equal(cm.indices, refm.indices)
+    np.testing.assert_array_equal(km, refm.data)
