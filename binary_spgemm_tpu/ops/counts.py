@@ -125,33 +125,19 @@ def _counts_padded(
     return sort_compress_counts(row, col, n_rows, n_cols)
 
 
-@functools.partial(jax.jit, static_argnames=("n_cols", "flops_pad"))
-def _masked_counts_sum_padded(
-    f_indptr,
-    f_indices,
-    f_nnz,
-    a_indptr,
-    a_indices,
-    a_nnz,
-    b_indptr,
-    b_indices,
-    *,
-    n_cols,
-    flops_pad,
+def masked_counts_sum(
+    row, col, f_indptr, f_indices, f_nnz, n_rows: int, n_cols: int
 ):
-    """Σ over mask entries (i, j) of multiplicity((A·B)[i, j]) — one int32.
+    """Σ over mask entries (i, j) of multiplicity of candidate pair (i, j) —
+    one traced int32 scalar (composable: also the per-shard kernel of
+    :func:`..parallel.dist_spgemm.dist_triangle_count`).
 
     One tagged sort (mask pairs sort before candidates within an equal
     (row, col) run, ≡ ``sort_compress_masked``); a forward-fill of the most
     recent mask key marks every candidate belonging to a masked run, and the
-    answer is the count of marked candidates.  Bounded by the chunk's flop
-    pad, so int32 cannot overflow per chunk.
+    answer is the count of marked candidates.  Bounded by the candidate
+    stream's padded length, so int32 cannot overflow per call.
     """
-    n_rows = a_indptr.shape[0] - 1
-    row, col = expand_pairs(
-        a_indptr, a_indices, a_nnz, b_indptr, b_indices,
-        n_cols=n_cols, flops_pad=flops_pad,
-    )
     pf = f_indices.shape[0]
     f_row = _row_ids(f_indptr, pf)
     f_valid = jnp.arange(pf, dtype=INT) < f_nnz
@@ -195,6 +181,31 @@ def _masked_counts_sum_padded(
         & (rows_s < n_rows)
     )
     return jnp.sum(counted, dtype=INT)
+
+
+@functools.partial(jax.jit, static_argnames=("n_cols", "flops_pad"))
+def _masked_counts_sum_padded(
+    f_indptr,
+    f_indices,
+    f_nnz,
+    a_indptr,
+    a_indices,
+    a_nnz,
+    b_indptr,
+    b_indices,
+    *,
+    n_cols,
+    flops_pad,
+):
+    """Jitted one-chunk wrapper: ESC expansion + :func:`masked_counts_sum`."""
+    n_rows = a_indptr.shape[0] - 1
+    row, col = expand_pairs(
+        a_indptr, a_indices, a_nnz, b_indptr, b_indices,
+        n_cols=n_cols, flops_pad=flops_pad,
+    )
+    return masked_counts_sum(
+        row, col, f_indptr, f_indices, f_nnz, n_rows, n_cols
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_cols", "flops_pad"))

@@ -52,6 +52,7 @@ __all__ = [
     "dist_masked_spgemm",
     "dist_spm_or",
     "dist_spgemm_or",
+    "dist_triangle_count",
     "dist_spgemm_sharded",
     "dist_spgemm_sharded_b",
     "dist_spgemm_ell",
@@ -329,6 +330,77 @@ def dist_masked_spgemm(
         mesh=ops.mesh, n_cols=m, flops_pad=ops.flops_pad,
     )
     return _assemble_sharded(c_ptr, c_idx, nnz_sh, total, ops.bounds, (n, m))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "n_cols", "flops_pad"))
+def dist_triangle_sum_sharded(
+    a_ptr, a_idx, a_nnz, f_ptr, f_idx, b_ptr, b_idx,
+    *, mesh: Mesh, n_cols: int, flops_pad: int,
+):
+    """SPMD wedge sum Σ_{(i,j)∈F} mult((A·B)[i,j]): per-shard ESC expansion +
+    the tagged counting join (:func:`..ops.counts.masked_counts_sum`), then a
+    two-limb int32 ``psum`` (a shard's sum is < 2³¹ by the flop pad, but the
+    global sum may not be — hi/lo limbs keep the reduction exact without
+    int64).  Returns the two replicated int32 limbs ``(hi, lo)``;
+    total = (hi << 15) + lo.
+    """
+    from ..ops.counts import masked_counts_sum
+
+    rows_pad = a_ptr.shape[-1] - 1
+
+    def shard_fn(ap, ai, an, fp, fi, bp, bi):
+        row, col = expand_pairs(
+            ap[0], ai[0], an[0, 0], bp, bi,
+            n_cols=n_cols, flops_pad=flops_pad,
+        )
+        s = masked_counts_sum(
+            row, col, fp[0], fi[0], fp[0][-1], rows_pad, n_cols
+        )
+        return (
+            jax.lax.psum(s >> 15, ROWS_AXIS),
+            jax.lax.psum(s & 0x7FFF, ROWS_AXIS),
+        )
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS),
+            P(ROWS_AXIS), P(ROWS_AXIS), P(), P(),
+        ),
+        out_specs=(P(), P()),
+    )(a_ptr, a_idx, a_nnz, f_ptr, f_idx, b_ptr, b_idx)
+
+
+def dist_triangle_count(
+    a: BCSR, mesh: Mesh | None = None, *, balance: str = "flops"
+) -> int:
+    """Multi-chip triangle count of the undirected simple graph with
+    (symmetric, hollow) adjacency A: each shard reduces its row block's
+    wedge sum to one scalar on device — only two int32 limbs ever leave the
+    mesh (compare the reference, which gathers the full result to rank 0).
+    """
+    if a.n_rows != a.n_cols:
+        raise ValueError("triangles need a square matrix")
+    from ..ops.spgemm import require_int32_operands
+
+    require_int32_operands(a)
+    if a.nnz == 0:
+        return 0
+    a = a.sum_duplicates()
+    ops = shard_operands(a, a, mesh, balance=balance)
+    f_ptr, f_idx, _ = _shard_rows_csr(a, ops.bounds, ops.rows_pad, ops.mesh)
+    hi, lo = dist_triangle_sum_sharded(
+        ops.a_ptr, ops.a_idx, ops.a_nnz, f_ptr, f_idx, ops.b_ptr, ops.b_idx,
+        mesh=ops.mesh, n_cols=a.n_cols, flops_pad=ops.flops_pad,
+    )
+    total = (int(hi) << 15) + int(lo)
+    if total % 6:
+        raise ValueError(
+            "edge-incident wedge sum not divisible by 6 — adjacency must be "
+            "symmetric with an empty diagonal"
+        )
+    return total // 6
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "n_cols"))

@@ -164,3 +164,17 @@ def test_counts_nonpackable_paths():
     np.testing.assert_array_equal(cm.indptr, refm.indptr)
     np.testing.assert_array_equal(cm.indices, refm.indices)
     np.testing.assert_array_equal(km, refm.data)
+
+
+def test_dist_triangle_count_matches():
+    from binary_spgemm_tpu.parallel.dist_spgemm import dist_triangle_count
+    from binary_spgemm_tpu.parallel.mesh import make_row_mesh
+
+    mesh = make_row_mesh()
+    for n, d, seed in [(100, 4.0, 0), (40, 6.0, 1), (7, 2.0, 2)]:
+        g = _sym_graph(n, d, seed)
+        want = triangle_count(g, device=False)
+        assert dist_triangle_count(g, mesh) == want, (n, seed)
+    # psum limb split: force a graph with a chunky wedge sum
+    g = _sym_graph(300, 10.0, 3)
+    assert dist_triangle_count(g, mesh) == triangle_count(g, device=False)
