@@ -24,6 +24,7 @@ __all__ = [
     "triangle_count",
     "bfs_levels",
     "reachable",
+    "clustering_coefficients",
 ]
 
 
@@ -181,6 +182,35 @@ def _k_hop_device(a: BCSR, k: int) -> BCSR:
         if k:
             power = _device_product(power, power, step_bound)
     return result.to_host()
+
+
+def clustering_coefficients(
+    a: BCSR, *, chunk_flops: int | None = None
+) -> np.ndarray:
+    """Local clustering coefficient per node of the undirected simple graph
+    with (symmetric, hollow) adjacency A: triangles_at(v) / C(deg(v), 2).
+
+    triangles_at(v) = half the row sum of the per-edge common-neighbor
+    counts (:func:`.counts.masked_spgemm_counts` with F = A = A); nodes of
+    degree < 2 get 0.  Returns float64[n].
+    """
+    if a.n_rows != a.n_cols:
+        raise ValueError("clustering needs a square adjacency matrix")
+    from .counts import masked_spgemm_counts
+
+    a = a.sum_duplicates()
+    c, counts = masked_spgemm_counts(a, a, a, chunk_flops=chunk_flops)
+    rows = np.repeat(
+        np.arange(a.n_rows, dtype=np.int64), np.diff(c.indptr)
+    )
+    tri2 = np.zeros(a.n_rows, np.int64)  # 2 * triangles_at(v)
+    np.add.at(tri2, rows, counts)
+    deg = np.diff(a.indptr).astype(np.int64)
+    pairs = deg * (deg - 1)  # 2 * C(deg, 2)
+    out = np.zeros(a.n_rows, np.float64)
+    nz = pairs > 0
+    out[nz] = tri2[nz] / pairs[nz]
+    return out
 
 
 def bfs_levels(

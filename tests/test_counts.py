@@ -178,3 +178,21 @@ def test_dist_triangle_count_matches():
     # psum limb split: force a graph with a chunky wedge sum
     g = _sym_graph(300, 10.0, 3)
     assert dist_triangle_count(g, mesh) == triangle_count(g, device=False)
+
+
+def test_clustering_coefficients():
+    from binary_spgemm_tpu.ops.graph import clustering_coefficients
+
+    # triangle 0-1-2 plus pendant 3 attached to 2, isolated 4
+    dense = np.zeros((5, 5), bool)
+    for i, j in [(0, 1), (1, 2), (0, 2), (2, 3)]:
+        dense[i, j] = dense[j, i] = True
+    cc = clustering_coefficients(BCSR.from_dense(dense))
+    np.testing.assert_allclose(cc, [1.0, 1.0, 1 / 3, 0.0, 0.0])
+    # random graph vs a direct dense oracle
+    g = _sym_graph(80, 5.0, 9)
+    d = g.to_dense().astype(np.int64)
+    deg = d.sum(1)
+    tri = np.einsum("ij,jk,ki->i", d, d, d)  # 2*triangles_at per node
+    want = np.where(deg > 1, tri / np.maximum(deg * (deg - 1), 1), 0.0)
+    np.testing.assert_allclose(clustering_coefficients(g), want)
