@@ -25,6 +25,7 @@ __all__ = [
     "bfs_levels",
     "reachable",
     "clustering_coefficients",
+    "k_truss",
 ]
 
 
@@ -211,6 +212,36 @@ def clustering_coefficients(
     nz = pairs > 0
     out[nz] = tri2[nz] / pairs[nz]
     return out
+
+
+def k_truss(a: BCSR, k: int, *, chunk_flops: int | None = None) -> BCSR:
+    """The k-truss of the undirected simple graph with (symmetric, hollow)
+    adjacency A: the maximal subgraph whose every edge lies in ≥ k-2
+    triangles within the subgraph.
+
+    Standard peeling: per round, per-edge common-neighbor counts
+    (:func:`.counts.masked_spgemm_counts` with F = G = G) drop every edge
+    with support < k-2; repeat until stable.  k=3 keeps exactly the edges in
+    at least one triangle (≡ the GraphChallenge k-truss kernel).
+    """
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3")
+    if a.n_rows != a.n_cols:
+        raise ValueError("k-truss needs a square adjacency matrix")
+    from .counts import masked_spgemm_counts
+
+    g = a.sum_duplicates()
+    need = k - 2
+    while g.nnz:
+        c, counts = masked_spgemm_counts(g, g, g, chunk_flops=chunk_flops)
+        # edges of g absent from c have support 0; survivors need >= k-2
+        rows, cols = c.to_coo()
+        keep = counts >= need
+        nxt = BCSR.from_coo(rows[keep], cols[keep], g.shape)
+        if nxt.nnz == g.nnz:
+            return g
+        g = nxt
+    return g
 
 
 def bfs_levels(

@@ -196,3 +196,46 @@ def test_clustering_coefficients():
     tri = np.einsum("ij,jk,ki->i", d, d, d)  # 2*triangles_at per node
     want = np.where(deg > 1, tri / np.maximum(deg * (deg - 1), 1), 0.0)
     np.testing.assert_allclose(clustering_coefficients(g), want)
+
+
+def test_k_truss():
+    from binary_spgemm_tpu.ops.graph import k_truss
+
+    # K4 plus a pendant triangle sharing one node, plus a tail edge
+    dense = np.zeros((8, 8), bool)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),  # K4
+             (3, 4), (4, 5), (3, 5),                          # triangle 3-4-5
+             (5, 6), (6, 7)]                                  # tail
+    for i, j in edges:
+        dense[i, j] = dense[j, i] = True
+    g = BCSR.from_dense(dense)
+    t3 = k_truss(g, 3)   # drop tail edges, keep both triangles + K4
+    want3 = dense.copy()
+    for i, j in [(5, 6), (6, 7)]:
+        want3[i, j] = want3[j, i] = False
+    np.testing.assert_array_equal(t3.to_dense(), want3)
+    t4 = k_truss(g, 4)   # only K4 survives (each K4 edge in 2 triangles)
+    want4 = np.zeros_like(dense)
+    for i, j in [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]:
+        want4[i, j] = want4[j, i] = True
+    np.testing.assert_array_equal(t4.to_dense(), want4)
+    assert k_truss(g, 5).nnz == 0  # K4 edges have only 2 triangles each
+
+
+def test_k_truss_peeling_oracle():
+    # brute-force dense peeling oracle on random graphs
+    from binary_spgemm_tpu.ops.graph import k_truss
+
+    for seed in (0, 1):
+        g = _sym_graph(60, 6.0, seed)
+        for k in (3, 4):
+            d = g.to_dense().astype(np.int64)
+            while True:
+                support = (d @ d) * d
+                drop = (support < k - 2) & (d > 0)
+                if not drop.any():
+                    break
+                d[drop] = 0
+            np.testing.assert_array_equal(
+                k_truss(g, k).to_dense(), d > 0, err_msg=f"{seed},{k}"
+            )
