@@ -196,7 +196,7 @@ def cmd_graph(args) -> int:
     triangle-edge structure."""
     from .ops.graph import bfs_levels, k_hop, transitive_closure, triangle_structure
 
-    if args.op in ("triangles", "bfs") and args.device:
+    if args.op in ("triangles", "bfs", "ktruss") and args.device:
         print(f"{args.op} has no device-resident form", file=sys.stderr)
         return 2
     a = _load(args.path, args.transpose)
@@ -233,6 +233,13 @@ def cmd_graph(args) -> int:
         )
     elif args.op == "khop":
         c = k_hop(a, args.k, chunk_flops=args.chunk_flops, device=args.device)
+    elif args.op == "ktruss":
+        from .ops.graph import k_truss
+
+        if args.k < 3:
+            print("ktruss needs --k >= 3", file=sys.stderr)
+            return 2
+        c = k_truss(a, args.k, chunk_flops=args.chunk_flops)
     else:  # triangles
         if args.count:
             from .ops.graph import triangle_count
@@ -339,8 +346,10 @@ def build_parser() -> argparse.ArgumentParser:
         parents=[io_common],
         help="closure / k-hop / triangle structure",
     )
-    gr.add_argument("op", choices=["closure", "khop", "triangles", "bfs"])
-    gr.add_argument("--k", type=int, default=2, help="k for khop")
+    gr.add_argument(
+        "op", choices=["closure", "khop", "triangles", "bfs", "ktruss"]
+    )
+    gr.add_argument("--k", type=int, default=2, help="k for khop/ktruss")
     gr.add_argument("--max-iters", type=int, default=None)
     gr.add_argument(
         "--sources",

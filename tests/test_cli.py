@@ -131,6 +131,25 @@ def test_graph_triangle_count(tmp_path, capsys):
     assert "count=4" in capsys.readouterr().out
 
 
+def test_graph_ktruss(tmp_path, capsys):
+    import numpy as np
+
+    from binary_spgemm_tpu import BCSR, write_pattern
+    from binary_spgemm_tpu.io.mmio import read_pattern
+
+    dense = np.zeros((5, 5), bool)
+    for i, j in [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]:
+        dense[i, j] = dense[j, i] = True
+    p = str(tmp_path / "g.mtx")
+    write_pattern(p, BCSR.from_dense(dense))
+    out = str(tmp_path / "t.mtx")
+    rc = main(["graph", p, "ktruss", "--k", "3", "--no-transpose", "--out", out])
+    assert rc == 0
+    assert read_pattern(out, transpose=False).nnz == 6  # the triangle only
+    assert main(["graph", p, "ktruss", "--k", "2"]) == 2
+    assert main(["graph", p, "ktruss", "--k", "3", "--device"]) == 2
+
+
 def test_graph_bfs_out_file(mtx, tmp_path, capsys):
     import numpy as np
 
