@@ -60,7 +60,16 @@ mh.barrier("pre-local")
 cl = mh.dist_spgemm_from_local(a_local, bounds, a, mesh)
 mh.barrier("post-local")
 assert cl.equals(c), "sharded-ingest pipeline mismatch"
-print(f"proc {pid} OK nnz={c.nnz} masked_nnz={cm.nnz} local_ok=1", flush=True)
+# scalar-reduction SPMD op (dist_triangle_count): psum limbs cross gRPC
+from binary_spgemm_tpu.parallel.dist_spgemm import dist_triangle_count
+sp = a.to_scipy(); sp = ((sp + sp.T) > 0).astype("int64").tolil(); sp.setdiag(0)
+g = BCSR.from_scipy(sp.tocsr())
+mh.barrier("pre-tri")
+t = dist_triangle_count(g, mesh)
+mh.barrier("post-tri")
+from binary_spgemm_tpu.ops.graph import triangle_count as _tc
+assert t == _tc(g, device=False), "multiprocess triangle count mismatch"
+print(f"proc {pid} OK nnz={c.nnz} masked_nnz={cm.nnz} local_ok=1 tri={t}", flush=True)
 """
 
 
