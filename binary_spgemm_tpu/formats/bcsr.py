@@ -314,8 +314,20 @@ class BCSR:
         order = np.lexsort((self.indices, rows))
         return BCSR(self.indptr.copy(), indices[order], self.shape)
 
+    def is_canonical(self) -> bool:
+        """True when every row's columns are strictly ascending (sorted and
+        deduplicated) — the form every op here emits."""
+        if self.nnz <= 1:
+            return True
+        rows, cols = self.to_coo()
+        keys = rows * np.int64(self.n_cols) + cols
+        return bool(np.all(np.diff(keys) > 0))
+
     def sum_duplicates(self) -> "BCSR":
-        """Return a canonical copy: sorted per-row and deduplicated."""
+        """Return a canonical form: sorted per-row and deduplicated (self
+        when already canonical — BCSR arrays are treated as immutable)."""
+        if self.is_canonical():
+            return self
         rows, cols = self.to_coo()
         keys = rows * np.int64(self.n_cols) + cols
         keys = np.unique(keys)

@@ -346,7 +346,10 @@ def masked_spgemm_counts(
     if a.nnz == 0 or b.nnz == 0 or f.nnz == 0:
         empty = BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
         return empty, np.zeros(0, np.int64)
+    # F canonical for the join; A/B canonical so multiplicities aren't
+    # inflated by duplicate operand entries (no-op when already canonical)
     f = f.sum_duplicates()
+    a, b = a.sum_duplicates(), b.sum_duplicates()
 
     chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
     rf = row_flops(a, b)
@@ -418,6 +421,10 @@ def spgemm_counts(
     if a.nnz == 0 or b.nnz == 0:
         empty = BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
         return empty, np.zeros(0, np.int64)
+    # duplicate operand entries would inflate multiplicities (boolean ops
+    # dedup for free in the sort; counts cannot) — canonicalise (no-op copy
+    # when already canonical)
+    a, b = a.sum_duplicates(), b.sum_duplicates()
 
     chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
     rf = row_flops(a, b)

@@ -239,3 +239,15 @@ def test_k_truss_peeling_oracle():
             np.testing.assert_array_equal(
                 k_truss(g, k).to_dense(), d > 0, err_msg=f"{seed},{k}"
             )
+
+
+def test_counts_canonicalise_duplicate_operands():
+    # duplicate entries in A/B must NOT inflate multiplicities
+    dup = BCSR.from_coo(
+        np.array([0, 0, 1, 1, 1]), np.array([1, 1, 0, 2, 2]), (3, 3)
+    )
+    b = BCSR.from_dense(np.eye(3))
+    c, counts = spgemm_counts(dup, b)
+    assert counts.max() == 1  # pattern product of 0/1 matrices
+    ref = _oracle(dup.sum_duplicates(), b)
+    np.testing.assert_array_equal(counts, ref.data)

@@ -142,3 +142,15 @@ def test_torch_explicit_zeros_dropped():
     assert BCSR.from_torch(t).equals(want)
     assert BCSR.from_torch(t.to_sparse_coo()).equals(want)
     assert BCSR.from_torch(t.to_sparse_csc()).equals(want)
+
+
+def test_is_canonical_and_fastpath():
+    m = BCSR.random(50, 50, 3.0, seed=1)
+    assert m.is_canonical()
+    assert m.sum_duplicates() is m  # fast path: no copy when canonical
+    dup = BCSR.from_coo(
+        np.array([0, 0, 0, 2, 1]), np.array([3, 3, 1, 2, 4]), (3, 5)
+    )
+    assert not dup.is_canonical()
+    canon = dup.sum_duplicates()
+    assert canon.is_canonical() and canon.nnz == 4
