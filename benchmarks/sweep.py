@@ -33,6 +33,8 @@ CONFIGS = [
     ("blocked-32k-b128", 1 << 15, 2.0, "blocked"),
     # per-op records (masked multiply + row union) on the headline matrix
     ("ops-64k-d16", 1 << 16, 16.0, "ops"),
+    # triangle counting on a symmetric power-law graph (GraphChallenge-style)
+    ("tri-rmat-s16", 1 << 16, 8.0, "tri"),
 ]
 # The reference's largest grid point.  Compiles take tens of minutes through
 # this environment's mandatory remote-compile tunnel (libtpu version mismatch
@@ -79,6 +81,12 @@ def main() -> None:
             kind = cfg[3] if len(cfg) > 3 else "uniform"
             if kind == "rmat":
                 a = BCSR.rmat(n.bit_length() - 1, d, seed=7)
+            elif kind == "tri":
+                # symmetric hollow power-law adjacency for triangle counting
+                a = BCSR.rmat(n.bit_length() - 1, d, seed=7, symmetric=True)
+                rows, cols = a.to_coo()
+                off = rows != cols
+                a = BCSR.from_coo(rows[off], cols[off], a.shape)
             elif kind == "blocked":
                 a = BCSR.random_blocked(n, 128, d, 0.3, seed=7)
             else:
@@ -169,6 +177,26 @@ def main() -> None:
                     "union_nnz": int(uout[2]),
                     "fused_or_fastest_s": min(ots),
                     "fused_or_nnz": int(oex.assemble(oout).nnz),
+                }
+            if kind == "tri":
+                from binary_spgemm_tpu.ops.counts import triangle_count_device
+
+                tri = triangle_count_device(a)  # warmup/compile
+                tts = []
+                for _ in range(args.times):
+                    t0 = time.perf_counter()
+                    tri = triangle_count_device(a)
+                    tts.append(time.perf_counter() - t0)
+                # serial host baseline: scipy int64 masked value product
+                t0 = time.perf_counter()
+                spi = a.to_scipy().astype(np.int64)
+                tri_host = int((spi @ spi).multiply(spi).sum()) // 6
+                tri_scipy_s = time.perf_counter() - t0
+                assert tri == tri_host, (tri, tri_host)
+                extras = {
+                    "triangles": tri,
+                    "tri_fastest_s": min(tts),
+                    "tri_scipy_s": tri_scipy_s,
                 }
             if kind == "blocked":
                 from binary_spgemm_tpu import BlockedBCSR
