@@ -44,6 +44,8 @@ __all__ = [
     "masked_spgemm_counts",
     "triangle_count_device",
     "sort_compress_counts",
+    "masked_counts_compress",
+    "masked_counts_sum",
 ]
 
 
@@ -223,12 +225,7 @@ def _masked_counts_padded(
     flops_pad,
 ):
     """C = F .* (A·B) structure plus multiplicities (common-neighbor counts
-    over the mask's support).
-
-    Two-stage: the counts compression (one sort + payload compaction sort,
-    :func:`sort_compress_counts`), then a tagged join of the compacted
-    entries against F's pairs (mask sorts first within an equal (row, col)
-    run, ≡ ``sort_compress_masked``) with the counts riding as payload.
+    over the mask's support): ESC expansion + :func:`masked_counts_compress`.
     Returns ``(c_indptr, c_indices, c_counts, nnz_c)`` where the padded
     arrays have ``flops_pad + len(f_indices)`` slots.
     """
@@ -237,6 +234,25 @@ def _masked_counts_padded(
         a_indptr, a_indices, a_nnz, b_indptr, b_indices,
         n_cols=n_cols, flops_pad=flops_pad,
     )
+    return masked_counts_compress(
+        row, col, f_indptr, f_indices, f_nnz, n_rows, n_cols
+    )
+
+
+def masked_counts_compress(
+    row, col, f_indptr, f_indices, f_nnz, n_rows: int, n_cols: int
+):
+    """Masked counts over an expanded candidate stream (engine-agnostic: the
+    ESC and sliced-ELL engines both feed their streams here).
+
+    Two-stage: the counts compression (one sort + payload compaction sort,
+    :func:`sort_compress_counts`), then a tagged join of the compacted
+    entries against F's pairs (mask sorts first within an equal (row, col)
+    run, ≡ ``sort_compress_masked``) with the counts riding as payload.
+    Returns ``(c_indptr, c_indices, c_counts, nnz_c)`` with
+    ``len(row) + len(f_indices)`` padded slots; valid entries never exceed
+    the mask's nnz.
+    """
     pf = f_indices.shape[0]
     f_row = _row_ids(f_indptr, pf)
     f_valid = jnp.arange(pf, dtype=INT) < f_nnz
@@ -351,6 +367,18 @@ def masked_spgemm_counts(
     f = f.sum_duplicates()
     a, b = a.sum_duplicates(), b.sum_duplicates()
 
+    # sliced-ELL route (≡ masked_spgemm's): masked=True keeps the stage-2
+    # join key single-int32 packed; explicit ``chunk_flops`` forces ESC
+    if chunk_flops is None:
+        from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
+
+        try:
+            ex = EllSpGEMMExecutor(a, b, masked=True)
+            if ex.total_slots <= AUTO_ELL_MAX_SLOTS:
+                return ex.assemble_counts(ex.run_masked_counts(f))
+        except OverflowError:
+            pass
+
     chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
     rf = row_flops(a, b)
     chunks, rows_pad, nnz_pad, flops_pad = uniform_chunk_plan(
@@ -426,6 +454,21 @@ def spgemm_counts(
     # when already canonical)
     a, b = a.sum_duplicates(), b.sum_duplicates()
 
+    # Engine choice mirrors spgemm(): the sliced-ELL expansion (row-gather,
+    # packed-key chunk sorts) beats ESC whenever its padded expansion fits
+    # one program; sort_compress_counts is shared so results are bit-exact
+    # either way.  Explicit ``chunk_flops`` forces the chunked ESC path.
+    if chunk_flops is None:
+        from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
+
+        try:
+            ex = EllSpGEMMExecutor(a, b)
+            # two resident output arrays (indices + counts): halve the budget
+            if ex.resident_slots <= AUTO_ELL_MAX_SLOTS // 2:
+                return ex.assemble_counts(ex.run_counts())
+        except OverflowError:
+            pass
+
     chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
     rf = row_flops(a, b)
     chunks, rows_pad, nnz_pad, flops_pad = uniform_chunk_plan(
@@ -483,6 +526,25 @@ def triangle_count_device(a: BCSR, *, chunk_flops: int | None = None) -> int:
         return 0
     a = a.sum_duplicates()
     n = a.n_rows
+
+    # sliced-ELL route: per-chunk scalar wedge sums over the row-gather
+    # expansion (run_counts_sum); explicit ``chunk_flops`` forces ESC
+    if chunk_flops is None:
+        from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
+
+        try:
+            ex = EllSpGEMMExecutor(a, a, masked=True)
+            if ex.total_slots <= AUTO_ELL_MAX_SLOTS:
+                sums = np.asarray(ex.run_counts_sum(a))
+                total = int(sums[: ex.n_chunks].astype(np.int64).sum())
+                if total % 6:
+                    raise ValueError(
+                        "edge-incident wedge sum not divisible by 6 — "
+                        "adjacency must be symmetric with an empty diagonal"
+                    )
+                return total // 6
+        except OverflowError:
+            pass
 
     chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
     rf = row_flops(a, a)

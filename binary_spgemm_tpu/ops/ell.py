@@ -344,6 +344,130 @@ def _chunk_pair_streams(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
+        "out_pad",
+    ),
+)
+def _ell_counts_jit(
+    tables,
+    entry_rows,  # per class, stacked [n_chunks, pad_c]
+    entry_pos,
+    *,
+    n_chunks: int,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+    out_pad: int | None = None,
+):
+    """Counting variant of :func:`_ell_spgemm_jit`: each chunk's candidate
+    stream runs :func:`..counts.sort_compress_counts` (multiplicities ride
+    the compaction sort as a cumsum payload), returning stacked chunk-local
+    ``(c_indptr, c_indices, c_counts, nnz)``.  No embedded separators — the
+    counts payload already pays the extra sort lane, and the indptr
+    histogram is cheap relative to it."""
+    from .counts import sort_compress_counts
+
+    outs = [
+        sort_compress_counts(row, col, rows_pad, n_cols)
+        for row, col in _chunk_pair_streams(
+            tables, entry_rows, entry_pos, n_chunks=n_chunks,
+            rows_pad=rows_pad, n_cols=n_cols,
+            widths=widths, pads=pads, sort_pad=sort_pad,
+        )
+    ]
+    if out_pad is not None and out_pad < sort_pad:
+        outs = [(p, i[:out_pad], c[:out_pad], n) for p, i, c, n in outs]
+    return tuple(jnp.stack([o[i] for o in outs]) for i in range(4))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
+    ),
+)
+def _ell_masked_counts_jit(
+    tables,
+    entry_rows,  # per class, stacked [n_chunks, pad_c]
+    entry_pos,
+    f_ptr,  # [k, rows_pad+1] chunk-local mask row pointers
+    f_idx,  # [k, f_nnz_pad] mask indices (canonical, fill = n_cols)
+    *,
+    n_chunks: int,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+):
+    """Masked counting multiply C = F .* (A·B) with multiplicities over the
+    sliced-ELL candidate stream (:func:`..counts.masked_counts_compress`).
+    Valid entries per chunk never exceed the mask's nnz, so the stacked
+    outputs truncate to the mask pad."""
+    from .counts import masked_counts_compress
+
+    f_pad = f_idx.shape[-1]
+    outs = []
+    for k, (row, col) in enumerate(
+        _chunk_pair_streams(
+            tables, entry_rows, entry_pos, n_chunks=n_chunks,
+            rows_pad=rows_pad, n_cols=n_cols,
+            widths=widths, pads=pads, sort_pad=sort_pad,
+        )
+    ):
+        p, i, c, n = masked_counts_compress(
+            row, col, f_ptr[k], f_idx[k], f_ptr[k][-1], rows_pad, n_cols
+        )
+        outs.append((p, i[:f_pad], c[:f_pad], n))
+    return tuple(jnp.stack([o[i] for o in outs]) for i in range(4))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
+    ),
+)
+def _ell_counts_sum_jit(
+    tables,
+    entry_rows,  # per class, stacked [n_chunks, pad_c]
+    entry_pos,
+    f_ptr,
+    f_idx,
+    *,
+    n_chunks: int,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+):
+    """Σ over mask entries of candidate multiplicity, one int32 scalar per
+    chunk (:func:`..counts.masked_counts_sum` over the sliced-ELL stream) —
+    the triangle-count kernel: nothing but ``n_chunks`` scalars leaves the
+    device."""
+    from .counts import masked_counts_sum
+
+    sums = [
+        masked_counts_sum(
+            row, col, f_ptr[k], f_idx[k], f_ptr[k][-1], rows_pad, n_cols
+        )
+        for k, (row, col) in enumerate(
+            _chunk_pair_streams(
+                tables, entry_rows, entry_pos, n_chunks=n_chunks,
+                rows_pad=rows_pad, n_cols=n_cols,
+                widths=widths, pads=pads, sort_pad=sort_pad,
+            )
+        )
+    ]
+    return jnp.stack(sums)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad"
     ),
 )
@@ -879,6 +1003,114 @@ class EllSpGEMMExecutor:
             jnp.concatenate([o[i] for o in outs]) for i in range(2)
         )
 
+    def run_counts(self):
+        """Counting multiply C = A·B with per-entry multiplicities: stacked
+        per-chunk ``(c_indptr, c_indices, c_counts, nnz)`` device arrays
+        (see :func:`_ell_counts_jit`).  Assemble with
+        :meth:`assemble_counts`.  Requires canonical operands — duplicate
+        operand entries would inflate multiplicities (the boolean ops dedup
+        for free in the sort; counts cannot)."""
+        outs = [
+            _ell_counts_jit(
+                self.tables, er_g, ep_g, n_chunks=self.group_size,
+                rows_pad=self.rows_pad, n_cols=self.n_cols,
+                widths=self.widths, pads=self.pads, sort_pad=self.sort_pad,
+                out_pad=self.out_pad,
+            )
+            for er_g, ep_g in self._groups()
+        ]
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(
+            jnp.concatenate([o[i] for o in outs]) for i in range(4)
+        )
+
+    def run_masked_counts(self, f):
+        """Masked counting multiply C = F .* (A·B) with multiplicities
+        (per-mask-entry common-neighbor counts when f = a = b).  ``f`` is a
+        :class:`BCSR` mask or the result of :meth:`stage_mask`.  Build the
+        executor with ``masked=True`` to keep the join sort packed."""
+        staged = f if isinstance(f, list) else self.stage_mask(f)
+        outs = []
+        for (fp, fi), (er_g, ep_g) in zip(staged, self._groups()):
+            outs.append(
+                _ell_masked_counts_jit(
+                    self.tables, er_g, ep_g, fp, fi,
+                    n_chunks=self.group_size,
+                    rows_pad=self.rows_pad, n_cols=self.n_cols,
+                    widths=self.widths, pads=self.pads,
+                    sort_pad=self.sort_pad,
+                )
+            )
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(
+            jnp.concatenate([o[i] for o in outs]) for i in range(4)
+        )
+
+    def run_counts_sum(self, f):
+        """Σ over mask entries (i, j) of the multiplicity of (A·B)[i, j] —
+        ONE int32 scalar per chunk leaves the device (stacked; trailing
+        dummy group-fill chunks contribute 0).  With ``f`` = A = B = a
+        symmetric hollow adjacency this is 6× the triangle count."""
+        staged = f if isinstance(f, list) else self.stage_mask(f)
+        outs = []
+        for (fp, fi), (er_g, ep_g) in zip(staged, self._groups()):
+            outs.append(
+                _ell_counts_sum_jit(
+                    self.tables, er_g, ep_g, fp, fi,
+                    n_chunks=self.group_size,
+                    rows_pad=self.rows_pad, n_cols=self.n_cols,
+                    widths=self.widths, pads=self.pads,
+                    sort_pad=self.sort_pad,
+                )
+            )
+        if len(outs) == 1:
+            return outs[0]
+        return jnp.concatenate(outs)
+
+    def assemble_counts(self, outputs) -> tuple[BCSR, np.ndarray]:
+        """Host assembly of :meth:`run_counts` / :meth:`run_masked_counts`
+        outputs: ``(BCSR, counts)`` with ``counts[k]`` (int64) the
+        multiplicity of ``indices[k]``."""
+        from .spgemm import pull_chunk_prefixes
+
+        ptr_dev, idx_dev, cnt_dev, nnz_dev = outputs
+        c_ptr, nnz_c = np.asarray(ptr_dev), np.asarray(nnz_dev)
+        valid = nnz_c.astype(np.int64)
+        valid[self.n_chunks :] = 0  # trailing dummy group-fill chunks
+        chunk_idx = pull_chunk_prefixes(idx_dev, valid)
+        chunk_cnt = pull_chunk_prefixes(cnt_dev, valid)
+        parts = [
+            (c_ptr[i], chunk_idx[i], chunk_cnt[i], nnz_c[i])
+            for i in range(self.n_chunks)
+        ]
+        if self.row_sets is not None:
+            return _stitch_sets(self.row_sets, self.shape[0], self.shape, parts)
+        indptr_parts = [np.zeros(1, np.int64)]
+        index_parts, count_parts = [], []
+        base = 0
+        for (r0, r1), (ptr_i, idx_i, cnt_i, n_i) in zip(self.chunks, parts):
+            k = int(n_i)
+            index_parts.append(np.asarray(idx_i[:k]))
+            count_parts.append(np.asarray(cnt_i[:k]))
+            indptr_parts.append(
+                np.asarray(ptr_i[1 : r1 - r0 + 1], dtype=np.int64) + base
+            )
+            base += k
+        indptr = np.concatenate(indptr_parts)
+        indices = (
+            np.concatenate(index_parts)
+            if index_parts
+            else np.zeros(0, np.int32)
+        )
+        counts = (
+            np.concatenate(count_parts).astype(np.int64)
+            if count_parts
+            else np.zeros(0, np.int64)
+        )
+        return BCSR(indptr, indices, self.shape), counts
+
     def run_or(self, d, mask=None):
         """Fused union-product C = D OR (A·B), optionally D OR (F .* (A·B)),
         with this executor's staged A/B — ≡ ``SpGEMM_dor`` /
@@ -1018,24 +1250,29 @@ def _pad_rowset_csr(
     return ptr, idx, total
 
 
-def _stitch_sets(row_sets, n_rows: int, shape, parts) -> BCSR:
+def _stitch_sets(row_sets, n_rows: int, shape, parts):
     """Host assembly for the dealt plan: scatter each chunk's row segments
     back to their global rows (the non-contiguous analogue of ``_stitch``'s
     memcpy+prefix-fix, final/SpGEMM_mpi_omp.c:117-141).  ``parts`` is one
-    ``(c_ptr, c_idx, nnz_c)`` triple per chunk; chunk-local row ids were
-    assigned in ascending global-row order, so each chunk's compacted index
-    stream is already segment-ordered."""
+    ``(c_ptr, c_idx, nnz_c)`` triple per chunk — or, for the counting
+    engine, ``(c_ptr, c_idx, c_cnt, nnz_c)``, whose counts payload scatters
+    to the same segment targets and is returned as a second (int64) array.
+    Chunk-local row ids were assigned in ascending global-row order, so each
+    chunk's compacted index stream is already segment-ordered."""
+    has_payload = bool(parts) and len(parts[0]) == 4
     lengths = np.zeros(n_rows, np.int64)
-    for rows, (c_ptr, _, _) in zip(row_sets, parts):
+    for rows, part in zip(row_sets, parts):
         if len(rows):
-            cp = np.asarray(c_ptr[: len(rows) + 1], dtype=np.int64)
+            cp = np.asarray(part[0][: len(rows) + 1], dtype=np.int64)
             lengths[rows] = np.diff(cp)
     indptr = np.concatenate([[0], np.cumsum(lengths)])
     total = int(indptr[-1])
     # int64 scatter targets; BCSR demotes the pointers to int32 when they fit
     indices = np.empty(total, np.int32)
-    for rows, (c_ptr, c_idx, nnz_c) in zip(row_sets, parts):
-        nnz_c = int(nnz_c)
+    payload = np.empty(total, np.int64) if has_payload else None
+    for rows, part in zip(row_sets, parts):
+        c_idx = part[1]
+        nnz_c = int(part[-1])
         if not nnz_c:
             continue
         lens = lengths[rows]
@@ -1046,7 +1283,10 @@ def _stitch_sets(row_sets, n_rows: int, shape, parts) -> BCSR:
             - np.repeat(np.cumsum(lens) - lens, lens)
         )
         indices[dst] = np.asarray(c_idx[:nnz_c])
-    return BCSR(indptr, indices, shape)
+        if has_payload:
+            payload[dst] = np.asarray(part[2][:nnz_c])
+    out = BCSR(indptr, indices, shape)
+    return (out, payload) if has_payload else out
 
 
 def _chunk_bounds(rf: np.ndarray, budget: int, max_rows: int) -> list[int]:

@@ -53,6 +53,7 @@ __all__ = [
     "dist_spm_or",
     "dist_spgemm_or",
     "dist_triangle_count",
+    "dist_triangle_sum_ell",
     "dist_spgemm_sharded",
     "dist_spgemm_sharded_b",
     "dist_spgemm_ell",
@@ -372,22 +373,126 @@ def dist_triangle_sum_sharded(
     )(a_ptr, a_idx, a_nnz, f_ptr, f_idx, b_ptr, b_idx)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
+    ),
+)
+def dist_triangle_sum_ell(
+    tables: tuple[jax.Array, ...],  # [nc, w] replicated ELL class tables
+    entry_rows: tuple[jax.Array, ...],  # [S, C, pad_c] (sharded)
+    entry_pos: tuple[jax.Array, ...],
+    f_ptr: jax.Array,  # [S, C, rows_pad+1] chunk-local mask row pointers
+    f_idx: jax.Array,  # [S, C, f_pad] mask indices (canonical, fill n_cols)
+    *,
+    mesh: Mesh,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+) -> tuple[jax.Array, jax.Array]:
+    """SPMD wedge sum with the sliced-ELL expansion: the sub-chunked plan of
+    :func:`dist_spgemm_ell` feeding the tagged counting join
+    (:func:`..ops.counts.masked_counts_sum`) per chunk — the ELL form of
+    :func:`dist_triangle_sum_sharded`.  Each chunk's int32 sum is split into
+    two limbs BEFORE accumulating (a shard's total flops may approach the
+    int32 domain); returns the replicated ``(hi, lo)`` limbs,
+    total = (hi << 15) + lo."""
+    from ..ops.counts import masked_counts_sum
+
+    n_chunks = entry_rows[0].shape[1] if widths else 1
+    fill = sort_pad - sum(p * w for p, w in zip(pads, widths))
+
+    def shard_fn(tables, entry_rows, entry_pos, f_ptr, f_idx):
+        hi = jnp.zeros((), INT)
+        lo = jnp.zeros((), INT)
+        for c in range(n_chunks):
+            row, col = _ell_expand_chunk(
+                tables, entry_rows, entry_pos, c, rows_pad, n_cols, fill
+            )
+            s = masked_counts_sum(
+                row, col, f_ptr[0, c], f_idx[0, c], f_ptr[0, c][-1],
+                rows_pad, n_cols,
+            )
+            hi = hi + (s >> 15)
+            lo = lo + (s & 0x7FFF)
+        return (
+            jax.lax.psum(hi, ROWS_AXIS),
+            jax.lax.psum(lo, ROWS_AXIS),
+        )
+
+    n_classes = len(widths)
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            (P(),) * n_classes,
+            (P(ROWS_AXIS),) * n_classes,
+            (P(ROWS_AXIS),) * n_classes,
+            P(ROWS_AXIS),
+            P(ROWS_AXIS),
+        ),
+        out_specs=(P(), P()),
+    )(tables, entry_rows, entry_pos, f_ptr, f_idx)
+
+
 def dist_triangle_count(
-    a: BCSR, mesh: Mesh | None = None, *, balance: str = "flops"
+    a: BCSR,
+    mesh: Mesh | None = None,
+    *,
+    balance: str = "flops",
+    engine: str = "auto",
 ) -> int:
     """Multi-chip triangle count of the undirected simple graph with
     (symmetric, hollow) adjacency A: each shard reduces its row block's
     wedge sum to one scalar on device — only two int32 limbs ever leave the
     mesh (compare the reference, which gathers the full result to rank 0).
-    """
+
+    ``engine``: like :func:`dist_spgemm` — ``"auto"`` takes the sliced-ELL
+    per-shard expansion when it fits, ``"esc"``/``"ell"`` force."""
     if a.n_rows != a.n_cols:
         raise ValueError("triangles need a square matrix")
+    if engine not in ("auto", "esc", "ell"):
+        raise ValueError(f"unknown engine {engine!r}")
     from ..ops.spgemm import require_int32_operands
 
     require_int32_operands(a)
     if a.nnz == 0:
         return 0
     a = a.sum_duplicates()
+
+    if engine in ("auto", "ell"):
+        from ..ops.ell import AUTO_ELL_MAX_SLOTS
+
+        mesh_ = mesh if mesh is not None else make_row_mesh()
+        rf = row_flops(a, a)
+        bounds = partition_rows(rf, mesh_.devices.size, balance=balance)
+        try:
+            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
+                _shard_ell_operands(a, a, mesh_, bounds, rf, extra_key_bits=1)
+            )
+            fits = sort_pad <= AUTO_ELL_MAX_SLOTS
+        except OverflowError:
+            if engine == "ell":
+                raise
+            fits = False
+        if fits or engine == "ell":
+            f_ptr, f_idx = _shard_ell_csr(a, sub_bounds, rows_pad, mesh_)
+            hi, lo = dist_triangle_sum_ell(
+                tables, er, ep, f_ptr, f_idx,
+                mesh=mesh_, rows_pad=rows_pad, n_cols=a.n_cols,
+                widths=widths, pads=pads, sort_pad=sort_pad,
+            )
+            total = (int(hi) << 15) + int(lo)
+            if total % 6:
+                raise ValueError(
+                    "edge-incident wedge sum not divisible by 6 — adjacency "
+                    "must be symmetric with an empty diagonal"
+                )
+            return total // 6
+
     ops = shard_operands(a, a, mesh, balance=balance)
     f_ptr, f_idx, _ = _shard_rows_csr(a, ops.bounds, ops.rows_pad, ops.mesh)
     hi, lo = dist_triangle_sum_sharded(

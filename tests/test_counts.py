@@ -178,6 +178,10 @@ def test_dist_triangle_count_matches():
     # psum limb split: force a graph with a chunky wedge sum
     g = _sym_graph(300, 10.0, 3)
     assert dist_triangle_count(g, mesh) == triangle_count(g, device=False)
+    # engine equivalence: forced ELL and forced ESC per-shard expansions
+    want = triangle_count(g, device=False)
+    assert dist_triangle_count(g, mesh, engine="ell") == want
+    assert dist_triangle_count(g, mesh, engine="esc") == want
 
 
 def test_clustering_coefficients():
@@ -251,3 +255,50 @@ def test_counts_canonicalise_duplicate_operands():
     assert counts.max() == 1  # pattern product of 0/1 matrices
     ref = _oracle(dup.sum_duplicates(), b)
     np.testing.assert_array_equal(counts, ref.data)
+
+
+def test_counts_ell_executor_plans_match_esc():
+    # the sliced-ELL counting kernels (contiguous AND dealt plans) vs the
+    # forced-ESC path — bit-exact engine equivalence, ≡ the boolean engines'
+    from binary_spgemm_tpu.ops.ell import EllSpGEMMExecutor
+
+    a = BCSR.random(300, 260, 5.0, seed=11)
+    b = BCSR.random(260, 340, 4.0, seed=12)
+    c_esc, k_esc = spgemm_counts(a, b, chunk_flops=8192)
+    for plan in ("contig", "deal"):
+        ex = EllSpGEMMExecutor(a, b, row_chunks=plan)
+        c, k = ex.assemble_counts(ex.run_counts())
+        assert c.equals(c_esc), plan
+        np.testing.assert_array_equal(k, k_esc, err_msg=plan)
+
+
+def test_masked_counts_ell_matches_esc():
+    from binary_spgemm_tpu import masked_spgemm_counts
+    from binary_spgemm_tpu.ops.ell import EllSpGEMMExecutor
+
+    a = BCSR.random(250, 200, 5.0, seed=3)
+    b = BCSR.random(200, 250, 5.0, seed=4)
+    f = BCSR.random(250, 250, 6.0, seed=5)
+    c_esc, k_esc = masked_spgemm_counts(f, a, b, chunk_flops=8192)
+    c_auto, k_auto = masked_spgemm_counts(f, a, b)  # ELL route
+    assert c_auto.equals(c_esc)
+    np.testing.assert_array_equal(k_auto, k_esc)
+    for plan in ("contig", "deal"):
+        ex = EllSpGEMMExecutor(a, b, row_chunks=plan, masked=True)
+        c, k = ex.assemble_counts(ex.run_masked_counts(f))
+        assert c.equals(c_esc), plan
+        np.testing.assert_array_equal(k, k_esc, err_msg=plan)
+
+
+def test_triangle_count_ell_matches_esc():
+    from binary_spgemm_tpu.ops.ell import EllSpGEMMExecutor
+
+    for seed in (0, 1):
+        g = _sym_graph(150, 5.0, seed)
+        t_auto = triangle_count_device(g)  # ELL route
+        t_esc = triangle_count_device(g, chunk_flops=4096)
+        assert t_auto == t_esc, seed
+        # executor-level dealt plan
+        ex = EllSpGEMMExecutor(g, g, row_chunks="deal", masked=True)
+        sums = np.asarray(ex.run_counts_sum(g))
+        assert int(sums[: ex.n_chunks].sum()) // 6 == t_esc, seed
