@@ -54,6 +54,8 @@ __all__ = [
     "dist_spgemm_or",
     "dist_triangle_count",
     "dist_triangle_sum_ell",
+    "dist_spgemm_counts",
+    "dist_masked_spgemm_counts",
     "dist_spgemm_sharded",
     "dist_spgemm_sharded_b",
     "dist_spgemm_ell",
@@ -506,6 +508,321 @@ def dist_triangle_count(
             "symmetric with an empty diagonal"
         )
     return total // 6
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "n_cols", "flops_pad"))
+def dist_spgemm_counts_sharded(
+    a_ptr, a_idx, a_nnz, b_ptr, b_idx, *, mesh: Mesh, n_cols: int,
+    flops_pad: int,
+):
+    """SPMD counting multiply C = A·B with per-entry multiplicities: per-shard
+    ESC expansion + :func:`..ops.counts.sort_compress_counts`, shared
+    assembly with the counts riding as a fifth (sharded) output."""
+    from ..ops.counts import sort_compress_counts
+
+    rows_pad = a_ptr.shape[-1] - 1
+
+    def shard_fn(a_ptr, a_idx, a_nnz, b_ptr, b_idx):
+        row, col = expand_pairs(
+            a_ptr[0], a_idx[0], a_nnz[0, 0], b_ptr, b_idx,
+            n_cols=n_cols, flops_pad=flops_pad,
+        )
+        c_ptr, c_idx, c_cnt, nnz_c = sort_compress_counts(
+            row, col, rows_pad, n_cols
+        )
+        ptr, idx, nnz, total = _assembly_epilogue(c_ptr, c_idx, nnz_c)
+        return ptr, idx, c_cnt[None], nnz, total
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(), P()),
+        out_specs=(
+            P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(),
+        ),
+    )(a_ptr, a_idx, a_nnz, b_ptr, b_idx)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "n_cols", "flops_pad"))
+def dist_masked_spgemm_counts_sharded(
+    a_ptr, a_idx, a_nnz, f_ptr, f_idx, b_ptr, b_idx,
+    *, mesh: Mesh, n_cols: int, flops_pad: int,
+):
+    """SPMD masked counting multiply C = F .* (A·B) with multiplicities:
+    per-shard ESC expansion + :func:`..ops.counts.masked_counts_compress`
+    (F row-sharded with A), shared assembly with a counts payload."""
+    from ..ops.counts import masked_counts_compress
+
+    rows_pad = a_ptr.shape[-1] - 1
+
+    def shard_fn(a_ptr, a_idx, a_nnz, f_ptr, f_idx, b_ptr, b_idx):
+        row, col = expand_pairs(
+            a_ptr[0], a_idx[0], a_nnz[0, 0], b_ptr, b_idx,
+            n_cols=n_cols, flops_pad=flops_pad,
+        )
+        f_pad = f_idx.shape[-1]
+        c_ptr, c_idx, c_cnt, nnz_c = masked_counts_compress(
+            row, col, f_ptr[0], f_idx[0], f_ptr[0][-1], rows_pad, n_cols
+        )
+        # valid entries never exceed the mask's nnz — truncate the padded
+        # (flops_pad + f_pad)-slot outputs to the mask pad
+        ptr, idx, nnz, total = _assembly_epilogue(
+            c_ptr, c_idx[:f_pad], nnz_c
+        )
+        return ptr, idx, c_cnt[:f_pad][None], nnz, total
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS),
+            P(ROWS_AXIS), P(ROWS_AXIS), P(), P(),
+        ),
+        out_specs=(
+            P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(),
+        ),
+    )(a_ptr, a_idx, a_nnz, f_ptr, f_idx, b_ptr, b_idx)
+
+
+def _two_level_ptr_fix_counts(outs):
+    """:func:`_two_level_ptr_fix` for per-chunk ``(ptr, idx, cnt, nnz)``
+    quadruples: the counts stack rides along unfixed (it is positional
+    payload, not pointers)."""
+    ptr, idx, nnzs, total = _two_level_ptr_fix(
+        [(p, i, n) for p, i, _, n in outs]
+    )
+    cnt = jnp.stack([o[2] for o in outs])
+    return ptr, idx, cnt[None], nnzs, total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "rows_pad", "n_cols", "widths", "pads", "sort_pad"),
+)
+def dist_spgemm_counts_ell(
+    tables: tuple[jax.Array, ...],
+    entry_rows: tuple[jax.Array, ...],  # [S, C, pad_c] (sharded)
+    entry_pos: tuple[jax.Array, ...],
+    *,
+    mesh: Mesh,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+):
+    """Counting SPMD step with the sliced-ELL expansion: the sub-chunked
+    plan of :func:`dist_spgemm_ell` with
+    :func:`..ops.counts.sort_compress_counts` replacing the plain compress."""
+    from ..ops.counts import sort_compress_counts
+
+    n_chunks = entry_rows[0].shape[1] if widths else 1
+    fill = sort_pad - sum(p * w for p, w in zip(pads, widths))
+
+    def shard_fn(tables, entry_rows, entry_pos):
+        outs = []
+        for c in range(n_chunks):
+            row, col = _ell_expand_chunk(
+                tables, entry_rows, entry_pos, c, rows_pad, n_cols, fill
+            )
+            outs.append(sort_compress_counts(row, col, rows_pad, n_cols))
+        return _two_level_ptr_fix_counts(outs)
+
+    n_classes = len(widths)
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            (P(),) * n_classes,
+            (P(ROWS_AXIS),) * n_classes,
+            (P(ROWS_AXIS),) * n_classes,
+        ),
+        out_specs=(
+            P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(),
+        ),
+    )(tables, entry_rows, entry_pos)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "rows_pad", "n_cols", "widths", "pads", "sort_pad"),
+)
+def dist_masked_spgemm_counts_ell(
+    tables: tuple[jax.Array, ...],
+    entry_rows: tuple[jax.Array, ...],  # [S, C, pad_c] (sharded)
+    entry_pos: tuple[jax.Array, ...],
+    f_ptr: jax.Array,  # [S, C, rows_pad+1] chunk-local mask row pointers
+    f_idx: jax.Array,  # [S, C, f_pad] mask indices (canonical, fill n_cols)
+    *,
+    mesh: Mesh,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+):
+    """Masked counting SPMD step with the sliced-ELL expansion — the ELL
+    form of :func:`dist_masked_spgemm_counts_sharded` (per-mask-entry
+    common-neighbor counts when F = A = B, SPMD)."""
+    from ..ops.counts import masked_counts_compress
+
+    n_chunks = entry_rows[0].shape[1] if widths else 1
+    fill = sort_pad - sum(p * w for p, w in zip(pads, widths))
+
+    def shard_fn(tables, entry_rows, entry_pos, f_ptr, f_idx):
+        f_pad = f_idx.shape[-1]
+        outs = []
+        for c in range(n_chunks):
+            row, col = _ell_expand_chunk(
+                tables, entry_rows, entry_pos, c, rows_pad, n_cols, fill
+            )
+            p, i, k, n = masked_counts_compress(
+                row, col, f_ptr[0, c], f_idx[0, c], f_ptr[0, c][-1],
+                rows_pad, n_cols,
+            )
+            outs.append((p, i[:f_pad], k[:f_pad], n))
+        return _two_level_ptr_fix_counts(outs)
+
+    n_classes = len(widths)
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            (P(),) * n_classes,
+            (P(ROWS_AXIS),) * n_classes,
+            (P(ROWS_AXIS),) * n_classes,
+            P(ROWS_AXIS),
+            P(ROWS_AXIS),
+        ),
+        out_specs=(
+            P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(ROWS_AXIS), P(),
+        ),
+    )(tables, entry_rows, entry_pos, f_ptr, f_idx)
+
+
+def dist_spgemm_counts(
+    a: BCSR,
+    b: BCSR,
+    mesh: Mesh | None = None,
+    *,
+    balance: str = "flops",
+    engine: str = "auto",
+) -> tuple[BCSR, np.ndarray]:
+    """Multi-chip counting multiply C = A·B with per-entry multiplicities
+    (the integer product of 0/1 matrices, SPMD): the counting form of
+    :func:`dist_spgemm` (B replicated — the reference's semantics).
+    Returns ``(c, counts)``; ``engine`` as in :func:`dist_spgemm`."""
+    if a.n_cols != b.n_rows:
+        raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+    if engine not in ("auto", "esc", "ell"):
+        raise ValueError(f"unknown engine {engine!r}")
+    from ..ops.spgemm import require_int32_operands
+
+    require_int32_operands(a, b)
+    n, m = a.n_rows, b.n_cols
+    if a.nnz == 0 or b.nnz == 0:
+        empty = BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
+        return empty, np.zeros(0, np.int64)
+    # duplicate operand entries would inflate multiplicities
+    a, b = a.sum_duplicates(), b.sum_duplicates()
+
+    if engine in ("auto", "ell"):
+        from ..ops.ell import AUTO_ELL_MAX_SLOTS
+
+        mesh_ = mesh if mesh is not None else make_row_mesh()
+        rf = row_flops(a, b)
+        bounds = partition_rows(rf, mesh_.devices.size, balance=balance)
+        try:
+            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
+                _shard_ell_operands(a, b, mesh_, bounds, rf)
+            )
+            fits = sort_pad <= AUTO_ELL_MAX_SLOTS
+        except OverflowError:
+            if engine == "ell":
+                raise
+            fits = False
+        if fits or engine == "ell":
+            c_ptr, c_idx, c_cnt, nnz_sc, total = dist_spgemm_counts_ell(
+                tables, er, ep,
+                mesh=mesh_, rows_pad=rows_pad, n_cols=m,
+                widths=widths, pads=pads, sort_pad=sort_pad,
+            )
+            return _assemble_subchunked(
+                c_ptr, c_idx, nnz_sc, total, sub_bounds, (n, m), c_cnt=c_cnt
+            )
+
+    ops = shard_operands(a, b, mesh, balance=balance)
+    c_ptr, c_idx, c_cnt, nnz_sh, total = dist_spgemm_counts_sharded(
+        ops.a_ptr, ops.a_idx, ops.a_nnz, ops.b_ptr, ops.b_idx,
+        mesh=ops.mesh, n_cols=m, flops_pad=ops.flops_pad,
+    )
+    return _assemble_sharded(
+        c_ptr, c_idx, nnz_sh, total, ops.bounds, (n, m), c_cnt=c_cnt
+    )
+
+
+def dist_masked_spgemm_counts(
+    f: BCSR,
+    a: BCSR,
+    b: BCSR,
+    mesh: Mesh | None = None,
+    *,
+    balance: str = "flops",
+    engine: str = "auto",
+) -> tuple[BCSR, np.ndarray]:
+    """Multi-chip masked counting multiply C = F .* (A·B) with
+    multiplicities — the SPMD form of
+    :func:`..ops.counts.masked_spgemm_counts` (per-edge common-neighbor
+    counts when f = a = b).  MASK FIRST; returns ``(c, counts)``."""
+    if a.n_cols != b.n_rows or tuple(f.shape) != (a.n_rows, b.n_cols):
+        raise ValueError(f"shape mismatch: F{f.shape} vs {a.shape} @ {b.shape}")
+    if engine not in ("auto", "esc", "ell"):
+        raise ValueError(f"unknown engine {engine!r}")
+    from ..ops.spgemm import require_int32_operands
+
+    require_int32_operands(f, a, b)
+    n, m = a.n_rows, b.n_cols
+    if a.nnz == 0 or b.nnz == 0 or f.nnz == 0:
+        empty = BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
+        return empty, np.zeros(0, np.int64)
+    f = f.sum_duplicates()
+    a, b = a.sum_duplicates(), b.sum_duplicates()
+
+    if engine in ("auto", "ell"):
+        from ..ops.ell import AUTO_ELL_MAX_SLOTS
+
+        mesh_ = mesh if mesh is not None else make_row_mesh()
+        rf = row_flops(a, b)
+        bounds = partition_rows(rf, mesh_.devices.size, balance=balance)
+        try:
+            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
+                _shard_ell_operands(a, b, mesh_, bounds, rf, extra_key_bits=1)
+            )
+            fits = sort_pad <= AUTO_ELL_MAX_SLOTS
+        except OverflowError:
+            if engine == "ell":
+                raise
+            fits = False
+        if fits or engine == "ell":
+            f_ptr, f_idx = _shard_ell_csr(f, sub_bounds, rows_pad, mesh_)
+            c_ptr, c_idx, c_cnt, nnz_sc, total = dist_masked_spgemm_counts_ell(
+                tables, er, ep, f_ptr, f_idx,
+                mesh=mesh_, rows_pad=rows_pad, n_cols=m,
+                widths=widths, pads=pads, sort_pad=sort_pad,
+            )
+            return _assemble_subchunked(
+                c_ptr, c_idx, nnz_sc, total, sub_bounds, (n, m), c_cnt=c_cnt
+            )
+
+    ops = shard_operands(a, b, mesh, balance=balance)
+    f_ptr, f_idx, _ = _shard_rows_csr(f, ops.bounds, ops.rows_pad, ops.mesh)
+    c_ptr, c_idx, c_cnt, nnz_sh, total = dist_masked_spgemm_counts_sharded(
+        ops.a_ptr, ops.a_idx, ops.a_nnz, f_ptr, f_idx, ops.b_ptr, ops.b_idx,
+        mesh=ops.mesh, n_cols=m, flops_pad=ops.flops_pad,
+    )
+    return _assemble_sharded(
+        c_ptr, c_idx, nnz_sh, total, ops.bounds, (n, m), c_cnt=c_cnt
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "n_cols"))
@@ -1626,18 +1943,24 @@ def _pull_valid_chunks(c_idx, valid: np.ndarray):
 
 
 def _assemble_subchunked(
-    c_ptr, c_idx, nnz_sc, total, sub_bounds, shape
-) -> BCSR:
+    c_ptr, c_idx, nnz_sc, total, sub_bounds, shape, c_cnt=None
+):
     """Host assembly of sub-chunked SPMD outputs (row pointers already global
-    across chunks and shards)."""
+    across chunks and shards).  With ``c_cnt`` (a counts stack laid out like
+    ``c_idx``) returns ``(BCSR, counts)`` — the counting ops' contract."""
     c_ptr = _fetch_global(c_ptr)
     nnz_sc = _fetch_global(nnz_sc)
     C = sub_bounds.shape[1] - 1
     parts = _pull_valid_chunks(c_idx, nnz_sc.astype(np.int64))
     if parts is None:
         c_idx = _fetch_global(c_idx)
+    if c_cnt is not None:
+        cnt_parts = _pull_valid_chunks(c_cnt, nnz_sc.astype(np.int64))
+        if cnt_parts is None:
+            c_cnt = _fetch_global(c_cnt)
     indptr_parts = [np.zeros(1, np.int64)]
     index_parts = []
+    count_parts = []
     base = 0
     for s in range(sub_bounds.shape[0]):
         for c in range(C):
@@ -1648,6 +1971,11 @@ def _assemble_subchunked(
                 parts[s * C + c] if parts is not None
                 else c_idx[s, c, : nnz_sc[s, c]]
             )
+            if c_cnt is not None:
+                count_parts.append(
+                    cnt_parts[s * C + c] if cnt_parts is not None
+                    else c_cnt[s, c, : nnz_sc[s, c]]
+                )
             # shard/chunk-local diffs + int64 host base — the device int32
             # prefix fix wraps past 2^31 total nnz (see _assemble_sharded)
             ptr = c_ptr[s, c].view(np.uint32)
@@ -1661,23 +1989,43 @@ def _assemble_subchunked(
     assert indptr[-1] == base and (base - int(total)) % (1 << 32) == 0, (
         indptr[-1], base, int(total),
     )
-    return BCSR(indptr, indices, shape)
+    out = BCSR(indptr, indices, shape)
+    if c_cnt is None:
+        return out
+    counts = (
+        np.concatenate(count_parts).astype(np.int64)
+        if count_parts
+        else np.zeros(0, np.int64)
+    )
+    return out, counts
 
 
-def _assemble_sharded(c_ptr, c_idx, nnz_sh, total, bounds, shape) -> BCSR:
-    """Host assembly of sharded SPMD outputs (already globally prefix-fixed)."""
+def _assemble_sharded(c_ptr, c_idx, nnz_sh, total, bounds, shape, c_cnt=None):
+    """Host assembly of sharded SPMD outputs (already globally prefix-fixed).
+    With ``c_cnt`` (a counts stack laid out like ``c_idx``) returns
+    ``(BCSR, counts)`` — the counting ops' contract."""
     c_ptr = _fetch_global(c_ptr)
     nnz_sh = _fetch_global(nnz_sh)[:, 0]
     parts = _pull_valid_chunks(c_idx, nnz_sh.astype(np.int64))
     if parts is None:
         c_idx = _fetch_global(c_idx)
+    if c_cnt is not None:
+        cnt_parts = _pull_valid_chunks(c_cnt, nnz_sh.astype(np.int64))
+        if cnt_parts is None:
+            c_cnt = _fetch_global(c_cnt)
     indptr_parts = [np.zeros(1, np.int64)]
     index_parts = []
+    count_parts = []
     base = 0
     for s, (r0, r1) in enumerate(zip(bounds, bounds[1:])):
         index_parts.append(
             parts[s] if parts is not None else c_idx[s, : nnz_sh[s]]
         )
+        if c_cnt is not None:
+            count_parts.append(
+                cnt_parts[s] if cnt_parts is not None
+                else c_cnt[s, : nnz_sh[s]]
+            )
         # Rebuild global pointers from shard-LOCAL diffs + an int64 host
         # base: the device prefix fix is int32 and wraps past 2^31 total
         # output nnz; within-shard diffs recover exactly (mod-2^32 in
@@ -1693,4 +2041,12 @@ def _assemble_sharded(c_ptr, c_idx, nnz_sh, total, bounds, shape) -> BCSR:
     assert indptr[-1] == base and (base - int(total)) % (1 << 32) == 0, (
         indptr[-1], base, int(total),
     )
-    return BCSR(indptr, indices, shape)
+    out = BCSR(indptr, indices, shape)
+    if c_cnt is None:
+        return out
+    counts = (
+        np.concatenate(count_parts).astype(np.int64)
+        if count_parts
+        else np.zeros(0, np.int64)
+    )
+    return out, counts

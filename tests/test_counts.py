@@ -302,3 +302,35 @@ def test_triangle_count_ell_matches_esc():
         ex = EllSpGEMMExecutor(g, g, row_chunks="deal", masked=True)
         sums = np.asarray(ex.run_counts_sum(g))
         assert int(sums[: ex.n_chunks].sum()) // 6 == t_esc, seed
+
+
+def test_dist_spgemm_counts_matches():
+    import scipy.sparse as ssp
+
+    from binary_spgemm_tpu.parallel.dist_spgemm import (
+        dist_masked_spgemm_counts,
+        dist_spgemm_counts,
+    )
+    from binary_spgemm_tpu.parallel.mesh import make_row_mesh
+
+    mesh = make_row_mesh()
+    a = BCSR.random(600, 500, 4.0, seed=1)
+    b = BCSR.random(500, 700, 4.0, seed=2)
+    ref = _oracle(a, b)
+    for eng in ("auto", "ell", "esc"):
+        c, k = dist_spgemm_counts(a, b, mesh, engine=eng)
+        got = ssp.csr_matrix((k, c.indices, c.indptr), shape=c.shape)
+        assert (got != ref).nnz == 0, eng
+    f = BCSR.random(600, 700, 5.0, seed=3)
+    refm = ref.multiply(f.to_scipy().astype(bool)).tocsr()
+    refm.sort_indices()
+    refm.eliminate_zeros()
+    for eng in ("auto", "ell", "esc"):
+        c, k = dist_masked_spgemm_counts(f, a, b, mesh, engine=eng)
+        got = ssp.csr_matrix((k, c.indices, c.indptr), shape=c.shape)
+        got.eliminate_zeros()
+        assert (got != refm).nnz == 0, eng
+    # empty operand early-out
+    e = BCSR(np.zeros(5, np.int32), np.zeros(0, np.int32), (4, 500))
+    c, k = dist_spgemm_counts(e, b, mesh)
+    assert c.nnz == 0 and k.size == 0
