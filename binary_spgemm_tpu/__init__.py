@@ -14,7 +14,7 @@ primitives and Pallas kernels with static padded shapes.  See ARCHITECTURE.md.
 """
 from .formats.bcsr import BCSR, coo_to_csr_stable
 from .formats.bbcsr import BlockedBCSR
-from .io.mmio import read_pattern, write_pattern
+from .io.mmio import read_pattern, write_integer, write_pattern
 from .ops.spgemm import SpGEMMExecutor, spgemm, spgemm_flops
 from .ops.masked import masked_spgemm
 from .ops.union import spm_or
@@ -40,6 +40,7 @@ __all__ = [
     "coo_to_csr_stable",
     "read_pattern",
     "write_pattern",
+    "write_integer",
     "spgemm",
     "spgemm_counts",
     "spgemm_flops",

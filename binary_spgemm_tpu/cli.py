@@ -170,6 +170,30 @@ def cmd_multiply(args) -> int:
     if args.engine == "esc" and kw["chunk_flops"] is None:
         kw["chunk_flops"] = DEFAULT_CHUNK_FLOPS
     mask = _load(args.mask, args.transpose) if args.mask else None
+    if getattr(args, "counts", False):
+        if args.fuse_or:
+            print("--counts cannot combine with --fuse-or", file=sys.stderr)
+            return 2
+        from .ops.counts import masked_spgemm_counts, spgemm_counts
+
+        if mask is not None:
+            c, counts = masked_spgemm_counts(mask, a, b, **kw)
+        else:
+            c, counts = spgemm_counts(a, b, **kw)
+        if args.out:
+            from .io.mmio import write_integer
+
+            write_integer(
+                args.out, c, counts,
+                comment=f"integer product from {args.path}"
+                + (f" * {args.b}" if args.b else " squared"),
+            )
+        total = int(counts.sum()) if counts.size else 0
+        print(
+            f"C: shape={c.shape} nnz={c.nnz} sum(counts)={total}"
+            + (f" -> {args.out}" if args.out else "")
+        )
+        return 0
     if args.fuse_or:
         from .ops.fused import spgemm_or
 
@@ -196,7 +220,7 @@ def cmd_graph(args) -> int:
     triangle-edge structure."""
     from .ops.graph import bfs_levels, k_hop, transitive_closure, triangle_structure
 
-    if args.op in ("triangles", "bfs", "ktruss") and args.device:
+    if args.op in ("triangles", "bfs", "ktruss", "clustering") and args.device:
         print(f"{args.op} has no device-resident form", file=sys.stderr)
         return 2
     a = _load(args.path, args.transpose)
@@ -223,6 +247,22 @@ def cmd_graph(args) -> int:
             with open(args.out, "w") as fh:
                 fh.write(csv + "\n")
             print(f"levels -> {args.out}")
+        else:
+            print(csv)
+        return 0
+    if args.op == "clustering":
+        from .ops.graph import clustering_coefficients
+
+        cc = clustering_coefficients(a, chunk_flops=args.chunk_flops)
+        csv = ",".join(f"{x:.6g}" for x in cc)
+        print(
+            f"clustering: n={a.n_rows} mean={float(cc.mean()):.6g} "
+            f"max={float(cc.max()):.6g}"
+        )
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(csv + "\n")
+            print(f"coefficients -> {args.out}")
         else:
             print(csv)
         return 0
@@ -339,6 +379,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--fuse-or", default=None, help="D operand: C = D OR (F.*?(A*B))"
     )
     m.add_argument("--out", default=None, help="write C as a pattern .mtx")
+    m.add_argument(
+        "--counts",
+        action="store_true",
+        help="counting multiply: per-entry multiplicities (the integer "
+        "product of 0/1 matrices); --out writes coordinate integer .mtx",
+    )
     m.set_defaults(fn=cmd_multiply)
 
     gr = sub.add_parser(
@@ -347,7 +393,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="closure / k-hop / triangle structure",
     )
     gr.add_argument(
-        "op", choices=["closure", "khop", "triangles", "bfs", "ktruss"]
+        "op",
+        choices=[
+            "closure", "khop", "triangles", "bfs", "ktruss", "clustering",
+        ],
     )
     gr.add_argument("--k", type=int, default=2, help="k for khop/ktruss")
     gr.add_argument("--max-iters", type=int, default=None)

@@ -199,6 +199,44 @@ def read_pattern(
     return BCSR.from_coo(rows, cols, (n_rows, n_cols), transpose=transpose)
 
 
+def write_integer(
+    path, mat: BCSR, values, *, comment: str | None = None
+) -> None:
+    """Write a matrix with per-entry integer values as
+    ``coordinate integer general`` — the value-file write path of the
+    reference's vendored NIST mmio that its binaries never wired up
+    (``mm_write_mtx_crd``, final/mmio.c:399).  Used for counting-SpGEMM
+    results (``spgemm_counts``' multiplicities); transparent gzip on the
+    ``.gz`` suffix like :func:`write_pattern`.  A file written here reads
+    back through :func:`read_pattern` as its support (value columns are
+    skipped, ≡ the reference's ``fscanf("%u %u")``)."""
+    values = np.asarray(values)
+    if values.shape != (mat.nnz,):
+        raise ValueError(
+            f"values shape {values.shape} != (nnz,) = ({mat.nnz},)"
+        )
+    rows, cols = mat.to_coo()
+    if str(path).endswith(".gz"):
+        import gzip
+
+        opener = gzip.open
+    else:
+        opener = open
+    with opener(path, "wb") as f:
+        f.write(b"%%MatrixMarket matrix coordinate integer general\n")
+        if comment:
+            for line in comment.splitlines():
+                f.write(f"% {line}\n".encode())
+        f.write(f"{mat.n_rows} {mat.n_cols} {mat.nnz}\n".encode())
+        np.savetxt(
+            f,
+            np.column_stack(
+                [rows.astype(np.int64) + 1, cols.astype(np.int64) + 1, values]
+            ),
+            fmt="%d %d %d",
+        )
+
+
 def write_pattern(path, mat: BCSR, *, comment: str | None = None) -> None:
     """Write a boolean pattern matrix as ``coordinate pattern general``.
 

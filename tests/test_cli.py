@@ -161,3 +161,58 @@ def test_graph_bfs_out_file(mtx, tmp_path, capsys):
     assert out in capsys.readouterr().out
     lv = np.array([int(x) for x in open(out).read().strip().split(",")])
     np.testing.assert_array_equal(lv, bfs_levels(read_pattern(mtx), 2))
+
+
+def test_multiply_counts_writes_integer_mtx(mtx, tmp_path, capsys):
+    import numpy as np
+
+    from binary_spgemm_tpu import read_pattern
+
+    out = str(tmp_path / "counts.mtx")
+    assert main(["multiply", mtx, "--counts", "--out", out]) == 0
+    msg = capsys.readouterr().out
+    assert "sum(counts)=" in msg
+    with open(out) as fh:
+        banner = fh.readline()
+        assert banner.strip() == (
+            "%%MatrixMarket matrix coordinate integer general"
+        )
+    # values: re-read with numpy and compare against the library
+    a = read_pattern(mtx)
+    from binary_spgemm_tpu import spgemm_counts
+
+    c, counts = spgemm_counts(a, a)
+    body = np.loadtxt(out, comments="%", skiprows=1, ndmin=2, dtype=np.int64)
+    assert body.shape == (c.nnz + 1, 3)  # size line + entries
+    np.testing.assert_array_equal(np.sort(body[1:, 2]), np.sort(counts))
+    # support reads back through the pattern reader (values skipped)
+    sup = read_pattern(out, transpose=False)
+    assert sup.equals(c)
+
+
+def test_multiply_counts_rejects_fuse_or(mtx, tmp_path):
+    assert (
+        main(["multiply", mtx, "--counts", "--fuse-or", mtx]) == 2
+    )
+
+
+def test_graph_clustering_command(tmp_path, capsys):
+    import numpy as np
+
+    from binary_spgemm_tpu import write_pattern as wp
+    from binary_spgemm_tpu.ops.graph import clustering_coefficients
+
+    # symmetric hollow graph fixture
+    a = BCSR.random(80, 80, 3.0, seed=4)
+    sp = a.to_scipy()
+    sp = ((sp + sp.T) > 0).astype(np.int64).tolil()
+    sp.setdiag(0)
+    g = BCSR.from_scipy(sp.tocsr())
+    p = str(tmp_path / "g.mtx")
+    wp(p, g)
+    out = str(tmp_path / "cc.csv")
+    assert main(["graph", p, "clustering", "--out", out]) == 0
+    msg = capsys.readouterr().out
+    assert "clustering: n=80" in msg
+    got = np.loadtxt(out, delimiter=",")
+    np.testing.assert_allclose(got, clustering_coefficients(g), rtol=1e-5)
