@@ -21,6 +21,9 @@ __all__ = [
     "spm_or_device",
     "spgemm_or_device",
     "masked_spgemm_device",
+    "spgemm_counts_device",
+    "masked_spgemm_counts_device",
+    "counts_sum_device",
     "flops_bound_device",
 ]
 
@@ -99,6 +102,73 @@ def spgemm_or_device(
         *args, n_cols=b.shape[1], flops_pad=flops_pad
     )
     return DeviceBCSR(c_ptr, c_idx, nnz_c, tuple(d.shape))
+
+
+def spgemm_counts_device(
+    a: DeviceBCSR, b: DeviceBCSR, *, flops_pad: int
+) -> tuple[DeviceBCSR, jax.Array]:
+    """C = A·B structure + per-entry multiplicities entirely on device.
+
+    Returns ``(c, counts)`` with ``counts`` padded like ``c.indices``
+    (slots past ``c.nnz`` are 0).  Operands must be canonical — duplicate
+    entries would inflate multiplicities (the host API canonicalises;
+    device-resident pipelines must guarantee it themselves).
+    """
+    from .counts import sort_compress_counts
+    from .spgemm import expand_pairs
+
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+    row, col = expand_pairs(
+        a.indptr, a.indices, a.nnz, b.indptr, b.indices,
+        n_cols=b.shape[1], flops_pad=flops_pad,
+    )
+    c_ptr, c_idx, c_cnt, nnz_c = sort_compress_counts(
+        row, col, a.shape[0], b.shape[1]
+    )
+    return DeviceBCSR(c_ptr, c_idx, nnz_c, (a.shape[0], b.shape[1])), c_cnt
+
+
+def masked_spgemm_counts_device(
+    f: DeviceBCSR, a: DeviceBCSR, b: DeviceBCSR, *, flops_pad: int
+) -> tuple[DeviceBCSR, jax.Array]:
+    """C = F .* (A·B) structure + multiplicities entirely on device (mask
+    FIRST).  ``f`` and the operands must be canonical."""
+    from .counts import masked_counts_compress
+    from .spgemm import expand_pairs
+
+    if a.shape[1] != b.shape[0] or tuple(f.shape) != (a.shape[0], b.shape[1]):
+        raise ValueError(f"shape mismatch: F{f.shape} vs {a.shape} @ {b.shape}")
+    row, col = expand_pairs(
+        a.indptr, a.indices, a.nnz, b.indptr, b.indices,
+        n_cols=b.shape[1], flops_pad=flops_pad,
+    )
+    c_ptr, c_idx, c_cnt, nnz_c = masked_counts_compress(
+        row, col, f.indptr, f.indices, f.nnz, a.shape[0], b.shape[1]
+    )
+    return DeviceBCSR(c_ptr, c_idx, nnz_c, tuple(f.shape)), c_cnt
+
+
+def counts_sum_device(
+    f: DeviceBCSR, a: DeviceBCSR, b: DeviceBCSR, *, flops_pad: int
+) -> jax.Array:
+    """Σ over mask entries (i, j) of the multiplicity of (A·B)[i, j] — one
+    traced int32 scalar, nothing syncs to the host.  With f = a = b = a
+    symmetric hollow adjacency this is 6× the triangle count (the
+    device-resident form of :func:`..counts.triangle_count_device`'s
+    per-chunk kernel)."""
+    from .counts import masked_counts_sum
+    from .spgemm import expand_pairs
+
+    if a.shape[1] != b.shape[0] or tuple(f.shape) != (a.shape[0], b.shape[1]):
+        raise ValueError(f"shape mismatch: F{f.shape} vs {a.shape} @ {b.shape}")
+    row, col = expand_pairs(
+        a.indptr, a.indices, a.nnz, b.indptr, b.indices,
+        n_cols=b.shape[1], flops_pad=flops_pad,
+    )
+    return masked_counts_sum(
+        row, col, f.indptr, f.indices, f.nnz, a.shape[0], b.shape[1]
+    )
 
 
 def masked_spgemm_device(

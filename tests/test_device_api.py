@@ -106,3 +106,60 @@ def test_device_compact_truncation_raises():
     d = DeviceBCSR.from_host(a)
     with pytest.raises(ValueError):
         d.compact(pad_to=8)
+
+
+def test_spgemm_counts_device_matches_oracle():
+    import numpy as np
+
+    from binary_spgemm_tpu.ops.device_api import spgemm_counts_device
+
+    a = BCSR.random(150, 120, 4.0, seed=8).sum_duplicates()
+    b = BCSR.random(120, 160, 4.0, seed=9).sum_duplicates()
+    da, db = DeviceBCSR.from_host(a), DeviceBCSR.from_host(b)
+    fp = pad_bucket(spgemm_flops(a, b))
+    dc, cnt = spgemm_counts_device(da, db, flops_pad=fp)
+    c = dc.to_host()
+    ref = (a.to_scipy().astype(np.int64) @ b.to_scipy().astype(np.int64)).tocsr()
+    ref.sort_indices()
+    np.testing.assert_array_equal(c.indptr, ref.indptr)
+    np.testing.assert_array_equal(c.indices, ref.indices)
+    np.testing.assert_array_equal(np.asarray(cnt)[: c.nnz], ref.data)
+
+
+def test_counts_sum_device_is_wedge_sum():
+    import numpy as np
+
+    from binary_spgemm_tpu.ops.device_api import counts_sum_device
+
+    a = BCSR.random(100, 100, 4.0, seed=3)
+    sp = a.to_scipy()
+    sp = ((sp + sp.T) > 0).astype(np.int64).tolil()
+    sp.setdiag(0)
+    g = BCSR.from_scipy(sp.tocsr())
+    dg = DeviceBCSR.from_host(g)
+    fp = pad_bucket(spgemm_flops(g, g))
+    s = int(counts_sum_device(dg, dg, dg, flops_pad=fp))
+    gi = g.to_scipy().astype(np.int64)
+    assert s == int((gi @ gi).multiply(gi).sum())
+    assert s % 6 == 0
+
+
+def test_masked_spgemm_counts_device_matches_oracle():
+    import numpy as np
+
+    from binary_spgemm_tpu.ops.device_api import masked_spgemm_counts_device
+
+    a = BCSR.random(90, 80, 4.0, seed=5).sum_duplicates()
+    b = BCSR.random(80, 110, 4.0, seed=6).sum_duplicates()
+    f = BCSR.random(90, 110, 6.0, seed=7).sum_duplicates()
+    da, db, df = (DeviceBCSR.from_host(x) for x in (a, b, f))
+    fp = pad_bucket(spgemm_flops(a, b))
+    dc, cnt = masked_spgemm_counts_device(df, da, db, flops_pad=fp)
+    c = dc.to_host()
+    ref = (a.to_scipy().astype(np.int64) @ b.to_scipy().astype(np.int64))
+    ref = ref.multiply(f.to_scipy().astype(bool)).tocsr()
+    ref.sort_indices()
+    ref.eliminate_zeros()
+    np.testing.assert_array_equal(c.indptr, ref.indptr)
+    np.testing.assert_array_equal(c.indices, ref.indices)
+    np.testing.assert_array_equal(np.asarray(cnt)[: c.nnz], ref.data)
