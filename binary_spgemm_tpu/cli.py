@@ -140,8 +140,10 @@ def cmd_validate(args) -> int:
         return 0
     if not ok:
         print("MISMATCH between serial and multi-device results", file=sys.stderr)
+        print(c_par.diff(c_ser), file=sys.stderr)
     if not oracle_ok:
         print("MISMATCH vs scipy oracle", file=sys.stderr)
+        print(c_ser.diff(spgemm_oracle(a, a)), file=sys.stderr)
     return 1
 
 
@@ -176,10 +178,14 @@ def cmd_multiply(args) -> int:
             return 2
         from .ops.counts import masked_spgemm_counts, spgemm_counts
 
+        # --engine esc was already lowered to a forced chunk_flops above;
+        # pass "ell" through so spgemm_counts forces-or-raises like the
+        # dist counts ops (a plain "ell" choice used to be silently ignored)
+        ckw = dict(kw, engine="ell") if args.engine == "ell" else kw
         if mask is not None:
-            c, counts = masked_spgemm_counts(mask, a, b, **kw)
+            c, counts = masked_spgemm_counts(mask, a, b, **ckw)
         else:
-            c, counts = spgemm_counts(a, b, **kw)
+            c, counts = spgemm_counts(a, b, **ckw)
         if args.out:
             from .io.mmio import write_integer
 

@@ -29,7 +29,7 @@ INDPTR_INT32_MAX = int(np.iinfo(np.int32).max)
 
 
 def coo_to_csr_stable(
-    rows: np.ndarray, cols: np.ndarray, n_rows: int
+    rows: np.ndarray, cols: np.ndarray, n_rows: int, n_cols: int | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Group COO entries by row with a *stable* (input-order-preserving) scatter.
 
@@ -37,9 +37,21 @@ def coo_to_csr_stable(
     (final/coo2csc.c:33-62): entries that share a row keep their input order, and
     duplicates are *not* merged — both properties the reference relies on for
     bit-exactness of its ingest path.
+
+    When ``n_cols`` is given, column indices are range-checked too: a column
+    ≥ ``n_cols`` would collide with the device kernels' sentinel values and
+    corrupt results silently (rows have always raised; cols must as well).
     """
     rows = np.asarray(rows, dtype=np.int64)
-    cols = np.asarray(cols, dtype=INDEX_DTYPE)
+    raw_cols = np.asarray(cols)
+    if len(raw_cols) and n_cols is not None:
+        cmin, cmax = raw_cols.min(), raw_cols.max()
+        if cmin < 0 or cmax >= n_cols:
+            raise ValueError(
+                f"column index out of range in COO->CSR: "
+                f"[{cmin}, {cmax}] outside [0, {n_cols})"
+            )
+    cols = raw_cols.astype(INDEX_DTYPE, copy=False)
     if len(rows) and (rows.min() < 0 or rows.max() >= n_rows):
         raise ValueError("row index out of range in COO->CSR")
     ptr_dtype = np.int64 if len(rows) > INDPTR_INT32_MAX else INDEX_DTYPE
@@ -124,7 +136,7 @@ class BCSR:
         if transpose:
             rows, cols = cols, rows
             shape = (shape[1], shape[0])
-        indptr, indices = coo_to_csr_stable(rows, cols, shape[0])
+        indptr, indices = coo_to_csr_stable(rows, cols, shape[0], shape[1])
         return cls(indptr, indices, shape)
 
     @classmethod
@@ -342,6 +354,50 @@ class BCSR:
             and np.array_equal(self.indptr, other.indptr)
             and np.array_equal(self.indices, other.indices)
         )
+
+    def diff(self, other: "BCSR", *, max_rows: int = 10) -> str:
+        """Verbose mismatch report (≡ ``compare_CSR``'s verbose mode,
+        old/csrXcsc.c:1043-1059): where two results diverge, row by row.
+
+        Returns ``""`` when equal; otherwise a multi-line human-readable
+        summary naming the first ``max_rows`` differing rows with their
+        column sets — the debugging tool for a dist path miscompare."""
+        if self.equals(other):
+            return ""
+        lines = []
+        if self.shape != tuple(other.shape):
+            lines.append(f"shape mismatch: {self.shape} vs {tuple(other.shape)}")
+            return "\n".join(lines)
+        if self.nnz != other.nnz:
+            lines.append(f"nnz mismatch: {self.nnz} vs {other.nnz}")
+        a_len = np.diff(self.indptr)
+        b_len = np.diff(other.indptr)
+        # rows differing either in length or in content
+        bad_len = np.flatnonzero(a_len != b_len)
+        same_len = np.flatnonzero(a_len == b_len)
+        bad_rows = list(bad_len[:max_rows])
+        if len(bad_rows) < max_rows and same_len.size:
+            for i in same_len:
+                s0, s1 = int(self.indptr[i]), int(self.indptr[i + 1])
+                o0 = int(other.indptr[i])
+                if not np.array_equal(
+                    self.indices[s0:s1], other.indices[o0 : o0 + (s1 - s0)]
+                ):
+                    bad_rows.append(int(i))
+                    if len(bad_rows) >= max_rows:
+                        break
+        bad_rows.sort()
+        n_bad = int((a_len != b_len).sum())
+        lines.append(
+            f"{max(n_bad, len(bad_rows))}+ differing rows; first {len(bad_rows)}:"
+        )
+        for i in bad_rows[:max_rows]:
+            i = int(i)
+            lines.append(
+                f"  row {i}: self({a_len[i]}) {self.row(i)[:16].tolist()}"
+                f" vs other({b_len[i]}) {other.row(i)[:16].tolist()}"
+            )
+        return "\n".join(lines)
 
     def flops(self, other: "BCSR") -> int:
         """Gustavson flop count of self @ other: Σ_{(i,j)∈self} nnz(other row j)."""

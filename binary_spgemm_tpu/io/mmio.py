@@ -215,6 +215,11 @@ def write_integer(
         raise ValueError(
             f"values shape {values.shape} != (nnz,) = ({mat.nnz},)"
         )
+    if not np.issubdtype(values.dtype, np.integer):
+        raise ValueError(
+            f"write_integer requires integer values, got dtype {values.dtype}"
+            " (cast explicitly if truncation is intended)"
+        )
     rows, cols = mat.to_coo()
     if str(path).endswith(".gz"):
         import gzip

@@ -342,8 +342,19 @@ def masked_counts_compress(
     return c_indptr, c_indices, c_counts, nnz_c
 
 
+def _check_counts_engine(engine: str, chunk_flops: int | None) -> None:
+    if engine not in ("auto", "esc", "ell"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "ell" and chunk_flops is not None:
+        raise ValueError(
+            "engine='ell' is mutually exclusive with chunk_flops "
+            "(explicit chunk_flops forces the ESC engine)"
+        )
+
+
 def masked_spgemm_counts(
-    f: BCSR, a: BCSR, b: BCSR, *, chunk_flops: int | None = None
+    f: BCSR, a: BCSR, b: BCSR, *, chunk_flops: int | None = None,
+    engine: str = "auto",
 ) -> tuple[BCSR, np.ndarray]:
     """C = F .* (A·B) structure plus per-entry multiplicities.
 
@@ -353,6 +364,7 @@ def masked_spgemm_counts(
     these counts plus row degrees on the host).  MASK FIRST, like
     :func:`..masked.masked_spgemm`.
     """
+    _check_counts_engine(engine, chunk_flops)
     if a.n_cols != b.n_rows or tuple(f.shape) != (a.n_rows, b.n_cols):
         raise ValueError(f"shape mismatch: F{f.shape} vs {a.shape} @ {b.shape}")
     from .spgemm import require_int32_operands
@@ -369,15 +381,19 @@ def masked_spgemm_counts(
 
     # sliced-ELL route (≡ masked_spgemm's): masked=True keeps the stage-2
     # join key single-int32 packed; explicit ``chunk_flops`` forces ESC
-    if chunk_flops is None:
+    if chunk_flops is None and engine in ("auto", "ell"):
         from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
 
         try:
             ex = EllSpGEMMExecutor(a, b, masked=True)
-            if ex.total_slots <= AUTO_ELL_MAX_SLOTS:
-                return ex.assemble_counts(ex.run_masked_counts(f))
+            fits = ex.total_slots <= AUTO_ELL_MAX_SLOTS
         except OverflowError:
-            pass
+            if engine == "ell":
+                raise
+            fits = False
+            ex = None
+        if fits or engine == "ell":
+            return ex.assemble_counts(ex.run_masked_counts(f))
 
     chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
     rf = row_flops(a, b)
@@ -430,16 +446,21 @@ def masked_spgemm_counts(
 
 
 def spgemm_counts(
-    a: BCSR, b: BCSR, *, chunk_flops: int | None = None
+    a: BCSR, b: BCSR, *, chunk_flops: int | None = None, engine: str = "auto"
 ) -> tuple[BCSR, np.ndarray]:
     """C = A·B structure plus per-entry multiplicities (the numeric values of
     the integer product of 0/1 matrices).
 
     Returns ``(c, counts)`` with ``counts[k]`` = multiplicity of
-    ``c.indices[k]`` (int64 on host).  Flop-chunked ESC engine — a
-    capability op (the reference has no numeric path), not the tuned
-    boolean fast path.
+    ``c.indices[k]`` (int64 on host).
+
+    ``engine``: ``"auto"`` takes sliced-ELL when the padded expansion fits
+    the resident budget, else chunked ESC; ``"ell"`` forces ELL (raises
+    OverflowError when it cannot fit); ``"esc"`` forces the chunked ESC
+    path.  Explicit ``chunk_flops`` also forces ESC (mutually exclusive
+    with ``engine="ell"``).
     """
+    _check_counts_engine(engine, chunk_flops)
     if a.n_cols != b.n_rows:
         raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
     from .spgemm import require_int32_operands
@@ -458,16 +479,20 @@ def spgemm_counts(
     # packed-key chunk sorts) beats ESC whenever its padded expansion fits
     # one program; sort_compress_counts is shared so results are bit-exact
     # either way.  Explicit ``chunk_flops`` forces the chunked ESC path.
-    if chunk_flops is None:
+    if chunk_flops is None and engine in ("auto", "ell"):
         from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
 
         try:
             ex = EllSpGEMMExecutor(a, b)
             # two resident output arrays (indices + counts): halve the budget
-            if ex.resident_slots <= AUTO_ELL_MAX_SLOTS // 2:
-                return ex.assemble_counts(ex.run_counts())
+            fits = ex.resident_slots <= AUTO_ELL_MAX_SLOTS // 2
         except OverflowError:
-            pass
+            if engine == "ell":
+                raise
+            fits = False
+            ex = None
+        if fits or engine == "ell":
+            return ex.assemble_counts(ex.run_counts())
 
     chunk_flops = chunk_flops or DEFAULT_CHUNK_FLOPS
     rf = row_flops(a, b)

@@ -112,7 +112,8 @@ def spgemm_counts_device(
     Returns ``(c, counts)`` with ``counts`` padded like ``c.indices``
     (slots past ``c.nnz`` are 0).  Operands must be canonical — duplicate
     entries would inflate multiplicities (the host API canonicalises;
-    device-resident pipelines must guarantee it themselves).
+    device-resident pipelines must guarantee it themselves — stage inputs
+    with ``DeviceBCSR.from_host(mat, require_canonical=True)``).
     """
     from .counts import sort_compress_counts
     from .spgemm import expand_pairs

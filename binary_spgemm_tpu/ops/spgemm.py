@@ -109,7 +109,26 @@ class DeviceBCSR:
         return cls(*children, shape=tuple(shape))
 
     @classmethod
-    def from_host(cls, mat: BCSR, *, pad_to: int | None = None) -> "DeviceBCSR":
+    def from_host(
+        cls,
+        mat: BCSR,
+        *,
+        pad_to: int | None = None,
+        require_canonical: bool = False,
+    ) -> "DeviceBCSR":
+        """Stage a host BCSR into HBM.
+
+        Pass ``require_canonical=True`` when the matrix feeds the counting
+        family (``spgemm_counts_device`` / ``masked_spgemm_counts_device`` /
+        ``counts_sum_device``) or is used as a mask: duplicate operand
+        entries silently inflate multiplicities there (the boolean device
+        ops are immune — dedup is free in their sort)."""
+        if require_canonical and not mat.is_canonical():
+            raise ValueError(
+                "operand is not canonical (per-row sorted, deduplicated); "
+                "call .sum_duplicates() before staging — duplicate entries "
+                "inflate counting-family multiplicities silently"
+            )
         pad = pad_to if pad_to is not None else pad_bucket(mat.nnz)
         idx = np.zeros(pad, dtype=np.int32)
         idx[: mat.nnz] = mat.indices
@@ -283,7 +302,11 @@ def split_seps(
     compacted index stream into ``(indptr [n_rows+1], indices, real_nnz)``."""
     valid = indices[:nnz]
     bpos = np.flatnonzero(valid == n_cols)
-    assert len(bpos) == n_rows, (len(bpos), n_rows)
+    if len(bpos) != n_rows:
+        raise RuntimeError(
+            f"separator-count invariant violated: found {len(bpos)} row "
+            f"separators in the compacted stream, expected {n_rows}"
+        )
     ptr = np.empty(n_rows + 1, np.int64)
     ptr[0] = 0
     ptr[1:] = bpos - np.arange(n_rows, dtype=np.int64)

@@ -21,7 +21,8 @@ def format_csr(mat: BCSR, block: int | None = None) -> str:
     out = io.StringIO()
     for i in range(n):
         if block and i % block == 0 and i > 0:
-            out.write("-" * (2 * m + (2 * (m // block - (m % block == 0)) if block else 0)) + "\n")
+            n_seps = (m - 1) // block  # column rulers inserted below
+            out.write("-" * (2 * (m + n_seps) - 1) + "\n")
         cells = []
         for j in range(m):
             if block and j % block == 0 and j > 0:

@@ -2,7 +2,7 @@
 import numpy as np
 import pytest
 
-from binary_spgemm_tpu import BCSR, spgemm_counts
+from binary_spgemm_tpu import BCSR, masked_spgemm_counts, spgemm_counts
 from binary_spgemm_tpu.ops.counts import triangle_count_device
 from binary_spgemm_tpu.ops.graph import triangle_count
 
@@ -334,3 +334,21 @@ def test_dist_spgemm_counts_matches():
     e = BCSR(np.zeros(5, np.int32), np.zeros(0, np.int32), (4, 500))
     c, k = dist_spgemm_counts(e, b, mesh)
     assert c.nnz == 0 and k.size == 0
+
+
+def test_counts_engine_kwarg():
+    a = BCSR.random(60, 60, 3.0, seed=11)
+    auto_c, auto_v = spgemm_counts(a, a)
+    ell_c, ell_v = spgemm_counts(a, a, engine="ell")
+    esc_c, esc_v = spgemm_counts(a, a, engine="esc", chunk_flops=200)
+    assert ell_c.equals(auto_c) and np.array_equal(ell_v, auto_v)
+    assert esc_c.equals(auto_c) and np.array_equal(esc_v, auto_v)
+    m_auto, mv_auto = masked_spgemm_counts(a, a, a)
+    m_ell, mv_ell = masked_spgemm_counts(a, a, a, engine="ell")
+    assert m_ell.equals(m_auto) and np.array_equal(mv_ell, mv_auto)
+    with pytest.raises(ValueError, match="unknown engine"):
+        spgemm_counts(a, a, engine="bogus")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        spgemm_counts(a, a, engine="ell", chunk_flops=100)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        masked_spgemm_counts(a, a, a, engine="ell", chunk_flops=100)

@@ -19,6 +19,17 @@ def test_format_csr_blocked_rulers():
     assert "|" in s and "-" in s
 
 
+def test_format_csr_ruler_width_matches_rows():
+    # the horizontal rule must span exactly the printed row width
+    for n, block in [(4, 2), (5, 2), (6, 3), (9, 4)]:
+        mat = BCSR.from_dense(np.eye(n))
+        lines = format_csr(mat, block=block).splitlines()
+        rulers = [ln for ln in lines if set(ln) == {"-"}]
+        rows = [ln for ln in lines if "-" not in ln]
+        assert rulers, (n, block)
+        assert all(len(r) == len(rows[0]) for r in rulers), (n, block)
+
+
 def test_format_csr_too_large():
     mat = BCSR.random(2000, 2000, 1.0, seed=0)
     with pytest.raises(ValueError):

@@ -163,3 +163,16 @@ def test_masked_spgemm_counts_device_matches_oracle():
     np.testing.assert_array_equal(c.indptr, ref.indptr)
     np.testing.assert_array_equal(c.indices, ref.indices)
     np.testing.assert_array_equal(np.asarray(cnt)[: c.nnz], ref.data)
+
+
+def test_from_host_require_canonical():
+    import numpy as np
+    import pytest
+
+    dup = BCSR.from_coo(
+        np.array([0, 0, 1]), np.array([2, 2, 1]), (2, 3)
+    )  # duplicate (0,2)
+    DeviceBCSR.from_host(dup)  # boolean family: fine
+    with pytest.raises(ValueError, match="canonical"):
+        DeviceBCSR.from_host(dup, require_canonical=True)
+    DeviceBCSR.from_host(dup.sum_duplicates(), require_canonical=True)

@@ -154,3 +154,32 @@ def test_is_canonical_and_fastpath():
     assert not dup.is_canonical()
     canon = dup.sum_duplicates()
     assert canon.is_canonical() and canon.nnz == 4
+
+
+def test_coo_col_range_check():
+    # cols out of range must raise, like rows always have (a col >= n_cols
+    # would collide with the device kernels' sentinels)
+    with pytest.raises(ValueError, match="column index out of range"):
+        BCSR.from_coo(np.array([0, 1]), np.array([0, 5]), (2, 5))
+    with pytest.raises(ValueError, match="column index out of range"):
+        BCSR.from_coo(np.array([0, 1]), np.array([0, -1]), (2, 5))
+    with pytest.raises(ValueError):
+        BCSR.from_coo(np.array([0, 2]), np.array([0, 1]), (2, 5))  # row OOR
+    # transpose=True swaps the roles: the check must follow the swap
+    with pytest.raises(ValueError, match="column index out of range"):
+        BCSR.from_coo(np.array([7, 1]), np.array([0, 1]), (5, 2), transpose=True)
+
+
+def test_diff_verbose_report():
+    a = BCSR.from_dense(np.array([[1, 0, 1], [0, 1, 0], [1, 1, 1]]))
+    assert a.diff(a) == ""
+    b = BCSR.from_dense(np.array([[1, 0, 1], [0, 0, 1], [1, 1, 1]]))
+    rep = a.diff(b)
+    assert "row 1" in rep and "row 0" not in rep
+    c = BCSR.from_dense(np.array([[1, 0], [0, 1]]))
+    assert "shape mismatch" in a.diff(c)
+    # same lengths, different columns
+    d = BCSR.from_dense(np.array([[1, 0, 1], [0, 0, 1], [1, 1, 1]]))
+    e = BCSR.from_dense(np.array([[1, 1, 0], [0, 0, 1], [1, 1, 1]]))
+    rep = d.diff(e)
+    assert "row 0" in rep and "row 1" not in rep

@@ -184,3 +184,15 @@ def test_chunk_rows_matches_greedy_loop():
         mr = None if trial % 2 else int(rng.integers(1, 20))
         assert _chunk_rows(rf, budget, mr) == loop_ref(rf, budget, mr), trial
     assert _chunk_rows(np.zeros(0, np.int64), 10) == [(0, 0)]
+
+
+def test_split_seps_bad_separator_count_raises():
+    import numpy as np
+    import pytest
+
+    from binary_spgemm_tpu.ops.spgemm import split_seps
+
+    # stream claims 3 rows but carries only 2 separators (sentinel = n_cols)
+    stream = np.array([0, 1, 5, 2, 5, 0], dtype=np.int32)
+    with pytest.raises(RuntimeError, match="separator-count invariant"):
+        split_seps(stream, nnz=6, n_rows=3, n_cols=5)
