@@ -28,6 +28,10 @@ CONFIGS = [
     ("mid-256k-d16", 1 << 18, 16.0),
     ("large-1m-d8", 1 << 20, 8.0),
     ("rmat-s18-e8", 1 << 18, 8.0, "rmat"),
+    # cage12 structural stand-in (banded, ~16 nnz/row at cage12's scale);
+    # the real SuiteSparse files are unreachable here — BASELINE.md records
+    # the no-egress environment and these structure-matched generators
+    ("cage-class-128k-d16", 1 << 17, 16.0, "banded"),
     # block-clustered: the blocked-MXU path's home turf (old/BSpGEMM.c class);
     # record both the general engine and bsr_spgemm on the same matrix
     ("blocked-32k-b128", 1 << 15, 2.0, "blocked"),
@@ -87,12 +91,53 @@ def main() -> None:
                 rows, cols = a.to_coo()
                 off = rows != cols
                 a = BCSR.from_coo(rows[off], cols[off], a.shape)
+            elif kind == "banded":
+                a = BCSR.banded(n, d, 512, seed=7)
             elif kind == "blocked":
                 a = BCSR.random_blocked(n, 128, d, 0.3, seed=7)
             else:
                 a = BCSR.random(n, n, d, seed=7)
             flops = spgemm_flops(a, a)
             from binary_spgemm_tpu.ops.ell import EllSpGEMMExecutor
+            from binary_spgemm_tpu.ops.host import HOST_MAX_FLOPS, host_spgemm
+
+            if kind == "uniform" and flops <= HOST_MAX_FLOPS:
+                # what the auto-router does for this input: the host engine
+                # (device dispatch floor ~27 ms loses below ~2e6 flops)
+                c = host_spgemm(a, a)
+                ts = []
+                for _ in range(max(args.times, 3)):
+                    t0 = time.perf_counter()
+                    c = host_spgemm(a, a)
+                    ts.append(time.perf_counter() - t0)
+                sp = a.to_scipy()
+                sp_ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    csp = sp @ sp
+                    sp_ts.append(time.perf_counter() - t0)
+                scipy_s = min(sp_ts)
+                assert csp.nnz == c.nnz, (name, csp.nnz, c.nnz)
+                rec = {
+                    "config": name,
+                    "n": n,
+                    "d": d,
+                    "platform": "host",
+                    "input_nnz": a.nnz,
+                    "output_nnz": c.nnz,
+                    "flops": flops,
+                    "engine": "host",
+                    "fastest_s": min(ts),
+                    "mean_s": sum(ts) / len(ts),
+                    "scipy_s": scipy_s,
+                    "speedup_vs_scipy": scipy_s / min(ts),
+                    "output_nnz_per_s": c.nnz / min(ts),
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                }
+                line = json.dumps(rec)
+                print(line, flush=True)
+                f.write(line + "\n")
+                continue
 
             ex = auto_executor(a, a)
             is_ell = isinstance(ex, EllSpGEMMExecutor)
@@ -213,10 +258,18 @@ def main() -> None:
                     np.asarray(counts[:1, :1, :1])
                     bts.append(time.perf_counter() - t0)
                 cb = bex.assemble(counts)
+                from binary_spgemm_tpu.utils.trace import bsr_roofline
+
                 extras = {
                     "bsr_fastest_s": min(bts),
                     "bsr_nnz": cb.to_bcsr().nnz,
                     "bsr_pairs": int(bex.seg.shape[0]),
+                    # the MXU path gets its OWN roofline model — the sort
+                    # model in the main record is meaningless for it
+                    "bsr_roofline": bsr_roofline(
+                        int(bex.seg.shape[0]), bex.n_out, blk.block_size,
+                        min(bts), dev,
+                    ),
                 }
 
             rec = {

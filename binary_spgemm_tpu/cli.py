@@ -66,6 +66,21 @@ def cmd_bench(args) -> int:
         print("bench computes C = A*A; matrix must be square", file=sys.stderr)
         return 2
 
+    if getattr(args, "scaling_report", False):
+        from .parallel.scaling import format_scaling_report, scaling_report
+
+        counts = None
+        if args.devices:
+            counts = [d for d in (1, 2, 4, 8, 16, 32) if d < args.devices]
+            counts.append(args.devices)
+        rep = scaling_report(a, device_counts=counts, balance=args.balance,
+                             times=args.times)
+        if args.json:
+            print(json.dumps(rep))
+        else:
+            print(format_scaling_report(rep))
+        return 0
+
     n_devices = args.devices or 1
     if n_devices > 1:
         from .parallel.dist_spgemm import dist_spgemm
@@ -358,6 +373,13 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bench", parents=[common], help="time C = A*A")
     b.add_argument("--times", type=int, default=5, help="repeat count")
     b.add_argument("--json", action="store_true", help="also print a JSON record")
+    b.add_argument(
+        "--scaling-report",
+        action="store_true",
+        help="measure the SPMD step at 1..N devices (N = --devices or all), "
+        "separating per-shard compute from collective time; prints the "
+        ">=80%%-efficiency report (BASELINE config 5)",
+    )
     b.add_argument(
         "--sweep",
         default=None,

@@ -179,6 +179,40 @@ class BCSR:
         return cls.from_coo(rows, cols, (n_rows, n_cols))
 
     @classmethod
+    def banded(
+        cls,
+        n: int,
+        nnz_per_row: float,
+        bandwidth: int,
+        *,
+        seed: int = 0,
+        diagonal: bool = True,
+    ) -> "BCSR":
+        """Banded random pattern: the cage-class structural stand-in.
+
+        BASELINE.json configs 3/5 name SuiteSparse matrices (cage12,
+        web-Google, com-Orkut); this environment has no network egress
+        (recorded in BASELINE.md), so the sweep runs structure-matched
+        generators instead.  cage-class matrices (DNA electrophoresis /
+        mesh-like) are *banded* — entries cluster within ``bandwidth`` of
+        the diagonal — which neither the uniform ``random`` nor the
+        power-law ``rmat`` generator reproduces.  ~``nnz_per_row`` entries
+        per row: the unit diagonal (when ``diagonal``) plus Poisson-drawn
+        in-band offsets, deduplicated.
+        """
+        rng = np.random.default_rng(seed)
+        extra = max(nnz_per_row - (1 if diagonal else 0), 0.0)
+        counts = rng.poisson(extra, n)
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+        off = rng.integers(-bandwidth, bandwidth + 1, len(rows))
+        cols = np.clip(rows + off, 0, n - 1)
+        if diagonal:
+            diag = np.arange(n, dtype=np.int64)
+            rows = np.concatenate([rows, diag])
+            cols = np.concatenate([cols, diag])
+        return cls.from_coo(rows, cols, (n, n)).sum_duplicates()
+
+    @classmethod
     def random_blocked(
         cls,
         n: int,

@@ -163,6 +163,27 @@ def lib():
                 ctypes.c_int32,  # sentinel
                 ctypes.c_int,  # nthreads
             ]
+        _u32p = ctypes.POINTER(ctypes.c_uint32)
+        _i32p = ctypes.POINTER(ctypes.c_int32)
+        _i64p = ctypes.POINTER(ctypes.c_int64)
+        if hasattr(l, "spgemm_host"):
+            l.spgemm_host.restype = ctypes.c_long
+            l.spgemm_host.argtypes = [
+                _u32p, _i32p, ctypes.c_long, ctypes.c_long,
+                _u32p, _i32p, _u32p, _i32p, ctypes.c_long,
+            ]
+        if hasattr(l, "masked_spgemm_host"):
+            l.masked_spgemm_host.restype = ctypes.c_long
+            l.masked_spgemm_host.argtypes = [
+                _u32p, _i32p, _u32p, _i32p, ctypes.c_long, ctypes.c_long,
+                _u32p, _i32p, _u32p, _i32p, ctypes.c_long,
+            ]
+        if hasattr(l, "spgemm_counts_host"):
+            l.spgemm_counts_host.restype = ctypes.c_long
+            l.spgemm_counts_host.argtypes = [
+                _u32p, _i32p, ctypes.c_long, ctypes.c_long,
+                _u32p, _i32p, _u32p, _i32p, _i64p, ctypes.c_long,
+            ]
         _lib = l
         return _lib
 
@@ -409,3 +430,88 @@ def table_fill(indptr, indices, class_of_row, pos_in_class, tables, sentinel):
         os.cpu_count() or 1,
     )
     return True
+
+
+def _csr_args(indptr: np.ndarray, indices: np.ndarray):
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    ptr = np.ascontiguousarray(indptr, dtype=np.uint32)
+    idx = np.ascontiguousarray(indices, dtype=np.int32)
+    return (ptr, idx,
+            ptr.ctypes.data_as(u32p), idx.ctypes.data_as(i32p))
+
+
+def spgemm_host(a_indptr, a_indices, n_rows, n_cols,
+                b_indptr, b_indices, cap: int):
+    """Boolean Gustavson SpGEMM on the host (stamp-SPA C kernel); returns
+    ``(indptr_u32, indices_i32, nnz)`` or None when native is unavailable."""
+    l = lib()
+    if l is None or not hasattr(l, "spgemm_host"):
+        return None
+    _a0, _a1, ap, ai = _csr_args(a_indptr, a_indices)
+    _b0, _b1, bp, bi = _csr_args(b_indptr, b_indices)
+    c_ptr = np.empty(n_rows + 1, dtype=np.uint32)
+    c_idx = np.empty(max(cap, 1), dtype=np.int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    out = l.spgemm_host(
+        ap, ai, n_rows, n_cols, bp, bi,
+        c_ptr.ctypes.data_as(u32p), c_idx.ctypes.data_as(i32p), cap,
+    )
+    if out == -1:
+        raise ValueError(f"host SpGEMM output exceeded cap={cap}")
+    if out < 0:
+        return None  # allocation failure: numpy fallback decides
+    return c_ptr, c_idx[:out], int(out)
+
+
+def masked_spgemm_host(f_indptr, f_indices, a_indptr, a_indices,
+                       n_rows, n_cols, b_indptr, b_indices, cap: int):
+    """C = F .* (A*B) on the host (single allow-stamp C kernel); returns
+    ``(indptr_u32, indices_i32, nnz)`` or None when native is unavailable."""
+    l = lib()
+    if l is None or not hasattr(l, "masked_spgemm_host"):
+        return None
+    _f0, _f1, fp, fi = _csr_args(f_indptr, f_indices)
+    _a0, _a1, ap, ai = _csr_args(a_indptr, a_indices)
+    _b0, _b1, bp, bi = _csr_args(b_indptr, b_indices)
+    c_ptr = np.empty(n_rows + 1, dtype=np.uint32)
+    c_idx = np.empty(max(cap, 1), dtype=np.int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    out = l.masked_spgemm_host(
+        fp, fi, ap, ai, n_rows, n_cols, bp, bi,
+        c_ptr.ctypes.data_as(u32p), c_idx.ctypes.data_as(i32p), cap,
+    )
+    if out == -1:
+        raise ValueError(f"host masked SpGEMM output exceeded cap={cap}")
+    if out < 0:
+        return None
+    return c_ptr, c_idx[:out], int(out)
+
+
+def spgemm_counts_host(a_indptr, a_indices, n_rows, n_cols,
+                       b_indptr, b_indices, cap: int):
+    """Counting SpGEMM on the host; returns
+    ``(indptr_u32, indices_i32, counts_i64, nnz)`` or None."""
+    l = lib()
+    if l is None or not hasattr(l, "spgemm_counts_host"):
+        return None
+    _a0, _a1, ap, ai = _csr_args(a_indptr, a_indices)
+    _b0, _b1, bp, bi = _csr_args(b_indptr, b_indices)
+    c_ptr = np.empty(n_rows + 1, dtype=np.uint32)
+    c_idx = np.empty(max(cap, 1), dtype=np.int32)
+    c_cnt = np.empty(max(cap, 1), dtype=np.int64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    out = l.spgemm_counts_host(
+        ap, ai, n_rows, n_cols, bp, bi,
+        c_ptr.ctypes.data_as(u32p), c_idx.ctypes.data_as(i32p),
+        c_cnt.ctypes.data_as(i64p), cap,
+    )
+    if out == -1:
+        raise ValueError(f"host counts SpGEMM output exceeded cap={cap}")
+    if out < 0:
+        return None
+    return c_ptr, c_idx[:out], c_cnt[:out], int(out)

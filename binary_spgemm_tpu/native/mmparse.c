@@ -492,3 +492,159 @@ long ell_table_fill(const uint32_t *indptr, long n_rows,
     }
     return 0;
 }
+
+/* ------------------------------------------------------------------------
+ * Host boolean SpGEMM for the small-flop regime (the auto-router's fast
+ * path below the device dispatch floor; ops/host.py).
+ *
+ * Gustavson row loop with a STAMP sparse accumulator: stamp[col] == i+1
+ * marks col already emitted for output row i, so rows invalidate each
+ * other's marks implicitly — no per-row reset walk and no bool array
+ * (contrast the reference's calloc'd `bool xb` + reset loop,
+ * final/SpGEMM_mpi_omp.c:36-50; same output contract: per-row ascending
+ * deduplicated columns, exclusive row pointers).
+ *
+ * Returns nnz(C) (>= 0); -1 when `cap` slots are insufficient (caller
+ * passes the Gustavson flop bound so this cannot happen from the router);
+ * -2 on allocation failure.
+ * ---------------------------------------------------------------------- */
+
+static int spgemm_cmp_i32(const void *x, const void *y) {
+    int32_t a = *(const int32_t *)x, b = *(const int32_t *)y;
+    return (a > b) - (a < b);
+}
+
+/* ascending insertion sort: beats qsort for the short rows this path sees */
+static void sort_row_i32(int32_t *v, long w) {
+    if (w > 48) { qsort(v, (size_t)w, sizeof(int32_t), spgemm_cmp_i32); return; }
+    for (long s = 1; s < w; s++) {
+        int32_t key = v[s];
+        long t = s - 1;
+        while (t >= 0 && v[t] > key) { v[t + 1] = v[t]; t--; }
+        v[t + 1] = key;
+    }
+}
+
+long spgemm_host(const uint32_t *a_ptr, const int32_t *a_idx,
+                 long n_rows, long n_cols,
+                 const uint32_t *b_ptr, const int32_t *b_idx,
+                 uint32_t *c_ptr, int32_t *c_idx, long cap) {
+    uint32_t *stamp = (uint32_t *)calloc((size_t)n_cols, sizeof(uint32_t));
+    if (!stamp) return -2;
+    long out = 0;
+    c_ptr[0] = 0;
+    for (long i = 0; i < n_rows; i++) {
+        const uint32_t tag = (uint32_t)i + 1u;
+        const long row_start = out;
+        for (uint32_t p = a_ptr[i]; p < a_ptr[i + 1]; p++) {
+            const int32_t j = a_idx[p];
+            const uint32_t q1 = b_ptr[j + 1];
+            for (uint32_t q = b_ptr[j]; q < q1; q++) {
+                const int32_t k = b_idx[q];
+                if (stamp[k] != tag) {
+                    stamp[k] = tag;
+                    if (out >= cap) { free(stamp); return -1; }
+                    c_idx[out++] = k;
+                }
+            }
+        }
+        sort_row_i32(c_idx + row_start, out - row_start);
+        c_ptr[i + 1] = (uint32_t)out;
+    }
+    free(stamp);
+    return out;
+}
+
+/* Masked variant C = F .* (A*B): one stamp array doubles as the allow set.
+ * allow[k] == tag     -> k is in F's row i and not yet emitted;
+ * allow[k] == tag + 1 -> already emitted.  Tags advance by 2 per row. */
+long masked_spgemm_host(const uint32_t *f_ptr, const int32_t *f_idx,
+                        const uint32_t *a_ptr, const int32_t *a_idx,
+                        long n_rows, long n_cols,
+                        const uint32_t *b_ptr, const int32_t *b_idx,
+                        uint32_t *c_ptr, int32_t *c_idx, long cap) {
+    uint32_t *allow = (uint32_t *)calloc((size_t)n_cols, sizeof(uint32_t));
+    if (!allow) return -2;
+    long out = 0;
+    c_ptr[0] = 0;
+    for (long i = 0; i < n_rows; i++) {
+        const uint32_t tag = 2u * (uint32_t)i + 1u;
+        const long row_start = out;
+        for (uint32_t p = f_ptr[i]; p < f_ptr[i + 1]; p++)
+            allow[f_idx[p]] = tag;
+        for (uint32_t p = a_ptr[i]; p < a_ptr[i + 1]; p++) {
+            const int32_t j = a_idx[p];
+            const uint32_t q1 = b_ptr[j + 1];
+            for (uint32_t q = b_ptr[j]; q < q1; q++) {
+                const int32_t k = b_idx[q];
+                if (allow[k] == tag) {
+                    allow[k] = tag + 1u;
+                    if (out >= cap) { free(allow); return -1; }
+                    c_idx[out++] = k;
+                }
+            }
+        }
+        sort_row_i32(c_idx + row_start, out - row_start);
+        c_ptr[i + 1] = (uint32_t)out;
+    }
+    free(allow);
+    return out;
+}
+
+/* Counting variant: multiplicities of the 0/1 integer product.  `slot[k]`
+ * remembers where col k was emitted for the current row (valid only while
+ * stamp[k] == tag), so duplicates bump the count in place; counts are
+ * permuted alongside the column sort. */
+long spgemm_counts_host(const uint32_t *a_ptr, const int32_t *a_idx,
+                        long n_rows, long n_cols,
+                        const uint32_t *b_ptr, const int32_t *b_idx,
+                        uint32_t *c_ptr, int32_t *c_idx, int64_t *c_cnt,
+                        long cap) {
+    uint32_t *stamp = (uint32_t *)calloc((size_t)n_cols, sizeof(uint32_t));
+    int64_t *slot = (int64_t *)malloc((size_t)n_cols * sizeof(int64_t));
+    int64_t *cnt_tmp = NULL;
+    long tmp_cap = 0;
+    if (!stamp || !slot) { free(stamp); free(slot); return -2; }
+    long out = 0;
+    c_ptr[0] = 0;
+    for (long i = 0; i < n_rows; i++) {
+        const uint32_t tag = (uint32_t)i + 1u;
+        const long row_start = out;
+        for (uint32_t p = a_ptr[i]; p < a_ptr[i + 1]; p++) {
+            const int32_t j = a_idx[p];
+            const uint32_t q1 = b_ptr[j + 1];
+            for (uint32_t q = b_ptr[j]; q < q1; q++) {
+                const int32_t k = b_idx[q];
+                if (stamp[k] != tag) {
+                    stamp[k] = tag;
+                    if (out >= cap) { free(stamp); free(slot); free(cnt_tmp); return -1; }
+                    slot[k] = out;
+                    c_idx[out] = k;
+                    c_cnt[out++] = 1;
+                } else {
+                    c_cnt[slot[k]]++;
+                }
+            }
+        }
+        const long w = out - row_start;
+        if (w > 1) {
+            /* sort the columns, then move each count to its column's sorted
+             * position via the (still-valid) slot[] emission index */
+            if (w > tmp_cap) {
+                free(cnt_tmp);
+                tmp_cap = w * 2;
+                cnt_tmp = (int64_t *)malloc((size_t)tmp_cap * sizeof(int64_t));
+                if (!cnt_tmp) { free(stamp); free(slot); return -2; }
+            }
+            for (long s = 0; s < w; s++) cnt_tmp[s] = c_cnt[row_start + s];
+            sort_row_i32(c_idx + row_start, w);
+            for (long s = 0; s < w; s++) {
+                const int32_t col = c_idx[row_start + s];
+                c_cnt[row_start + s] = cnt_tmp[slot[col] - row_start];
+            }
+        }
+        c_ptr[i + 1] = (uint32_t)out;
+    }
+    free(stamp); free(slot); free(cnt_tmp);
+    return out;
+}

@@ -479,6 +479,14 @@ def spgemm_counts(
     # packed-key chunk sorts) beats ESC whenever its padded expansion fits
     # one program; sort_compress_counts is shared so results are bit-exact
     # either way.  Explicit ``chunk_flops`` forces the chunked ESC path.
+    if chunk_flops is None and engine == "auto":
+        # small-flop inputs beat the device dispatch floor on the host
+        from .host import HOST_MAX_FLOPS, host_spgemm_counts
+        from .spgemm import spgemm_flops
+
+        if spgemm_flops(a, b) <= HOST_MAX_FLOPS:
+            return host_spgemm_counts(a, b)
+
     if chunk_flops is None and engine in ("auto", "ell"):
         from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
 

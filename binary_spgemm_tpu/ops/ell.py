@@ -79,7 +79,14 @@ class EllB:
     shape: tuple[int, int]
 
     @classmethod
-    def build(cls, b: BCSR) -> "EllB":
+    def build(
+        cls, b: BCSR, group_widths: tuple[int, ...] | None = None
+    ) -> "EllB":
+        """Sliced-ELL layout of B.  ``group_widths`` (ascending) forces each
+        row into the smallest listed width ≥ its own — the batched planner's
+        DP class merge passes this to trade per-row width padding for fewer,
+        fuller classes (per-chunk class pads are maxima, so many small
+        classes inflate badly at high chunk counts)."""
         m = b.n_rows
         w = np.diff(b.indptr).astype(np.int64)
         nz = w > 0
@@ -92,6 +99,14 @@ class EllB:
             )  # smallest power of two >= wn
             step = np.maximum(p // 8, 1)
             wb[nz] = ((wn + step - 1) // step) * step
+        if group_widths is not None and nz.any():
+            gw = np.asarray(sorted(group_widths), np.int64)
+            if wb[nz].max() > gw[-1]:
+                raise ValueError(
+                    f"group_widths {group_widths} do not cover width "
+                    f"{int(wb[nz].max())}"
+                )
+            wb[nz] = gw[np.searchsorted(gw, wb[nz])]
         classes = np.unique(wb[nz]) if nz.any() else np.zeros(0, np.int64)
         class_of_row = np.full(m, -1, np.int32)
         pos_in_class = np.zeros(m, np.int32)
@@ -307,6 +322,82 @@ def _ell_spgemm_sep_jit(
     if out_pad is not None and out_pad < sort_pad:
         outs = [(i[:out_pad], n) for i, n in outs]
     return tuple(jnp.stack([o[i] for o in outs]) for i in range(2))
+
+
+def _expand_class_2d(
+    table: jax.Array,  # [nc, w] int32, sentinel-padded with n_cols
+    entry_rows: jax.Array,  # [k, ec_pad] int32, sentinel rows_pad beyond valid
+    entry_pos: jax.Array,  # [k, ec_pad] int32 (0 beyond valid)
+    rows_pad: int,
+    n_cols: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched :func:`_expand_class`: all k chunks' gathers in one op."""
+    cols = table[entry_pos]  # [k, ec_pad, w] — THE row-gather, batched
+    rows = jnp.broadcast_to(entry_rows[..., None], cols.shape)
+    valid = (cols < n_cols) & (rows < rows_pad)
+    rows = jnp.where(valid, rows, rows_pad)
+    cols = jnp.where(valid, cols, n_cols)
+    k = entry_rows.shape[0]
+    return rows.reshape(k, -1), cols.reshape(k, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
+        "out_pad",
+    ),
+)
+def _ell_spgemm_sep2d_jit(
+    tables: tuple[jax.Array, ...],
+    entry_rows: tuple[jax.Array, ...],  # per class, stacked [n_chunks, pad_c]
+    entry_pos: tuple[jax.Array, ...],
+    *,
+    n_chunks: int,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+    out_pad: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched form of :func:`_ell_spgemm_sep_jit`: ALL chunks ride ONE
+    ``[n_chunks, sort_pad]`` array and the sorts run along axis -1
+    (``sort_compress_seps_2d``).
+
+    Two structural wins over the unrolled 1-D form (benchmarks/micro.jsonl,
+    bench "sort2d"): per-element sort cost drops with the row length
+    (1.11 ns at L=4096 vs 2.15 at 2^25), and chunk-local row ids stay small
+    enough for packed single-int32 keys at any matrix size (the unrolled
+    engine went 2-key above ~2^14 rows because more chunks meant more
+    compiled program).  Chunk count is no longer a compile-size concern —
+    it is one stacked tensor op regardless of k.
+    """
+    from .spgemm import sort_compress_seps_2d
+
+    k = n_chunks
+    parts_r, parts_c = [], []
+    for t, er, ep in zip(tables, entry_rows, entry_pos):
+        r, c = _expand_class_2d(t, er, ep, rows_pad, n_cols)
+        parts_r.append(r)
+        parts_c.append(c)
+    parts_r.append(
+        jnp.broadcast_to(
+            jnp.arange(rows_pad, dtype=INT)[None, :], (k, rows_pad)
+        )
+    )
+    parts_c.append(jnp.full((k, rows_pad), n_cols, INT))
+    total = sum(p * w for p, w in zip(pads, widths)) + rows_pad
+    fill = sort_pad - total
+    if fill:
+        parts_r.append(jnp.full((k, fill), rows_pad, INT))
+        parts_c.append(jnp.full((k, fill), n_cols, INT))
+    row = jnp.concatenate(parts_r, axis=1)
+    col = jnp.concatenate(parts_c, axis=1)
+    idx, nnz = sort_compress_seps_2d(row, col, rows_pad, n_cols)
+    if out_pad is not None and out_pad < sort_pad:
+        idx = idx[:, :out_pad]
+    return idx, nnz
 
 
 def _chunk_pair_streams(
@@ -629,6 +720,184 @@ def _ell_or_masked_jit(
     return tuple(jnp.stack([o[i] for o in outs]) for i in range(3))
 
 
+def _sort_rate_ns(L: int, packed: bool) -> float:
+    """Measured v5e per-element 2-D sort rates by row length
+    (benchmarks/micro.jsonl, bench "sort2d"), log-linear interpolation."""
+    import math
+
+    pts = [(12, 1.11), (15, 1.38), (20, 1.68), (25, 2.15)]
+    x = math.log2(max(L, 2))
+    if x <= pts[0][0]:
+        r = pts[0][1]
+    elif x >= pts[-1][0]:
+        r = pts[-1][1]
+    else:
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            if x0 <= x <= x1:
+                r = y0 + (y1 - y0) * (x - x0) / (x1 - x0)
+                break
+    return r * (1.0 if packed else 1.37)  # 2-key penalty (3.25/2.15 ≈ 1.5 at
+    # long L, 1.9/1.38 ≈ 1.37 in the batched regime)
+
+
+def _batched_deal_plan(
+    a: BCSR,
+    b: BCSR,
+    rf: np.ndarray,
+    cap: int,
+    deal_k: int | None,
+    key_cols: int,
+):
+    """Plan the batched 2-D engine: pick the bin count k by the measured
+    sort-rate model, snake-deal rows in dominant-class order, and DP-merge
+    width classes so per-bin class pads stop inflating at high k.
+
+    Works entirely from B's row widths — the ELL tables are built ONCE at
+    the end with the merged class widths (building fine tables first and
+    rebuilding merged ones measured 4.3 s of a 14 s plan at n=5M).
+
+    Returns ``None`` when the input is degenerate (no flops), else
+    ``(ell, rows_pc, pos_pc, assign, k, pads, slots, rows_pad)``.
+    """
+    from .spgemm import packable
+
+    n = a.n_rows
+    w = np.diff(b.indptr).astype(np.int64)
+    nz = w > 0
+    if not nz.any() or a.nnz == 0:
+        return None
+    # fine eighth-octave width classes (≡ EllB.build's bucketing), no tables
+    wb = np.zeros(b.n_rows, np.int64)
+    wn = w[nz]
+    p2 = np.left_shift(1, np.frexp(wn.astype(np.float64) * 2 - 1)[1] - 1)
+    step = np.maximum(p2 // 8, 1)
+    wb[nz] = ((wn + step - 1) // step) * step
+    classes = np.unique(wb[nz])
+    C = len(classes)
+    cls_of_row = np.full(b.n_rows, -1, np.int32)
+    cls_of_row[nz] = np.searchsorted(classes, wb[nz]).astype(np.int32)
+
+    ecls = cls_of_row[a.indices]
+    live = ecls >= 0
+    rr = np.repeat(
+        np.arange(n, dtype=np.int32), np.diff(a.indptr).astype(np.int64)
+    )
+    ew_full = np.where(live, classes[np.clip(ecls, 0, None)], 0)
+    cum = np.zeros(a.nnz + 1, np.int64)
+    np.cumsum(ew_full, out=cum[1:])
+    rfp = cum[a.indptr[1:]] - cum[a.indptr[:-1]]
+    if not int(rfp.sum()):
+        return None
+    if not live.all():
+        ecls = ecls[live]
+        rr = rr[live]
+
+    # dominant class per row = class of its widest entry (groups rows with
+    # similar class profiles into adjacent snake lanes, evening per-bin
+    # per-class counts: ~4% fewer padded slots than the plain -rfp snake)
+    dom = np.zeros(n, np.int64)
+    nonempty = np.diff(a.indptr) > 0
+    if nonempty.any():
+        starts = a.indptr[:-1][nonempty]
+        maxw = np.maximum.reduceat(ew_full, starts.astype(np.int64))
+        dom[nonempty] = np.searchsorted(classes, maxw)
+    # one argsort on a composite key ≡ lexsort((-rfp, dom)) at half the cost
+    # (rfp < 2^48 always: it is bounded by the int32 slot domain)
+    order = np.argsort((dom << 48) - rfp, kind="stable")
+
+    def snake(k):
+        pos = np.arange(n, dtype=np.int64)
+        if k & (k - 1) == 0:  # power of two: bit ops beat div/mod 3x
+            lane = (pos & (k - 1)).astype(np.int32)
+            fwd = (pos >> k.bit_length() - 1) & 1 == 0
+        else:
+            lane = (pos % k).astype(np.int32)
+            fwd = (pos // k) % 2 == 0
+        asg = np.empty(n, np.int32)
+        asg[order] = np.where(fwd, lane, k - 1 - lane)
+        return asg
+
+    def dp_merge(cnt_pref, k):
+        """Optimal contiguous class grouping: min Σ pad(max-bin count) × w."""
+        best = [float("inf")] * (C + 1)
+        best[0] = 0.0
+        choice = [0] * (C + 1)
+        for i in range(1, C + 1):
+            for j in range(i):
+                gmax = int((cnt_pref[i] - cnt_pref[j]).max())
+                cost = best[j] + pad_bucket(max(gmax, 8), div=32) * int(
+                    classes[i - 1]
+                )
+                if cost < best[i]:
+                    best[i] = cost
+                    choice[i] = j
+        groups = []
+        i = C
+        while i:
+            groups.append((choice[i], i))
+            i = choice[i]
+        groups.reverse()
+        return best[C], groups
+
+    if deal_k:
+        ks = [int(deal_k)]
+    else:
+        # candidates around the smallest packable bin count: larger k keeps
+        # shortening the sorts (log² row length) until per-bin class padding
+        # wins; smaller (2-key) k occasionally wins when padding dominates
+        k_pack = 1 << max(int(n / max(cap, 1) - 1e-9).bit_length(), 6)
+        ks = sorted(
+            {
+                min(max(k, 64), 1 << 16)
+                for k in (
+                    k_pack // 4, k_pack // 2, k_pack,
+                    2 * k_pack, 4 * k_pack, 8 * k_pack,
+                )
+            }
+        )
+    ecls64 = ecls.astype(np.int64)
+
+    def eval_k(k, sample_step=1):
+        asg = snake(k)
+        e, r = (ecls64, rr) if sample_step == 1 else (
+            ecls64[::sample_step], rr[::sample_step]
+        )
+        cnt = np.bincount(e * k + asg[r], minlength=C * k).reshape(C, k)
+        pref = np.zeros((C + 1, k), np.int64)
+        np.cumsum(cnt, axis=0, out=pref[1:])
+        per_bin, groups = dp_merge(pref, k)
+        rows_pad = pad_bucket(
+            int(np.bincount(asg, minlength=k).max()) or 1, minimum=1, div=32
+        )
+        L = int(per_bin) * sample_step + rows_pad
+        packed = packable(rows_pad, key_cols)
+        cost = 2.0 * _sort_rate_ns(L, packed) * L * k
+        return cost, k, asg, groups, rows_pad, pref
+
+    if len(ks) == 1:
+        plans = [eval_k(ks[0])]
+    else:
+        # rank candidates on a 1/8 entry sample (padded-slot statistics are
+        # smooth in k), then evaluate only the winner at full resolution
+        step = 8 if len(rr) > (1 << 22) else 1
+        ranked = min((eval_k(k, step) for k in ks), key=lambda t: t[0])
+        plans = [ranked if step == 1 else eval_k(ranked[1])]
+    cost, k, assign, groups, rows_pad, pref = plans[0]
+
+    group_widths = tuple(int(classes[i - 1]) for _, i in groups)
+    ell = EllB.build(b, group_widths if len(groups) < C else None)
+    rows_pc, pos_pc = _build_class_entries(a, ell)
+    pads = tuple(
+        pad_bucket(
+            int((pref[i] - pref[j]).max()), minimum=8, div=32
+        )
+        for j, i in groups
+    )
+    assert len(pads) == len(ell.widths), (pads, ell.widths)
+    slots = sum(p * wd for p, wd in zip(pads, ell.widths))
+    return ell, rows_pc, pos_pc, assign, k, pads, slots, rows_pad
+
+
 class EllSpGEMMExecutor:
     """Pre-staged repeated C = A·B via the sliced-ELL engine.
 
@@ -651,6 +920,8 @@ class EllSpGEMMExecutor:
         *,
         row_chunks: int | str = "auto",
         masked: bool = False,
+        deal_k: int | None = None,
+        batched: bool = False,
     ):
         if a.n_cols != b.n_rows:
             raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
@@ -660,7 +931,37 @@ class EllSpGEMMExecutor:
         self.shape = (a.n_rows, b.n_cols)
         self.n_rows, self.n_cols = a.n_rows, b.n_cols
         rf = row_flops(a, b)
-        ell = EllB.build(b)
+        # Chunk rows so the packed sort key fits one positive int32.  A
+        # mask-serving executor packs (row, col, tag) — one extra low bit
+        # (sort_compress_masked) — so ``masked=True`` halves the cap to keep
+        # run_masked's sorts single-key packed as well.
+        shift = int(self.n_cols).bit_length() + (1 if masked else 0)
+        cap = 1 << max(0, 30 - shift)
+        n = self.n_rows
+        key_cols = 2 * self.n_cols + 1 if masked else self.n_cols
+        self.batched = bool(batched)
+        dealt = None
+        if batched:
+            # batched 2-D engine: model-chosen bin count, dominant-class
+            # snake deal, DP width-class merge (builds the ELL tables once,
+            # with the merged widths)
+            planned = _batched_deal_plan(a, b, rf, cap, deal_k, key_cols)
+            if planned is None:
+                self.batched = False  # degenerate input: unrolled is fine
+            else:
+                (ell, rows_pc, pos_pc, assign, k_d, pads_d, slots_d,
+                 rows_pad_d) = planned
+                if slots_d > np.iinfo(np.int32).max:
+                    raise OverflowError(
+                        f"batched ELL expansion {slots_d} slots/bin "
+                        "exceeds int32"
+                    )
+                dealt = (assign, k_d, pads_d, slots_d, rows_pad_d)
+                self.widths = tuple(ell.widths)
+        if dealt is None:
+            ell = EllB.build(b)
+            rows_pc, pos_pc = _build_class_entries(a, ell)
+            self.widths = tuple(ell.widths)
         # Balance chunks on PADDED expansion slots, not raw flops: per-class
         # pads are max-over-chunks, so skewed class mixes (power-law graphs)
         # inflate sort_pad when chunks are merely flop-balanced.  Per-row
@@ -675,15 +976,6 @@ class EllSpGEMMExecutor:
             np.cumsum(entry_w, out=cum[1:])
             rfp = cum[a.indptr[1:]] - cum[a.indptr[:-1]]
         total_flops = int(rfp.sum())
-        # Chunk rows so the packed sort key fits one positive int32.  A
-        # mask-serving executor packs (row, col, tag) — one extra low bit
-        # (sort_compress_masked) — so ``masked=True`` halves the cap to keep
-        # run_masked's sorts single-key packed as well.
-        shift = int(self.n_cols).bit_length() + (1 if masked else 0)
-        cap = 1 << max(0, 30 - shift)
-        n = self.n_rows
-        rows_pc, pos_pc = _build_class_entries(a, ell)
-        self.widths = tuple(ell.widths)
 
         def plan(bounds):
             """Evaluate a chunk plan: per-class cuts/pads and total padded
@@ -743,11 +1035,14 @@ class EllSpGEMMExecutor:
         # chunk-local row ids fit the packed sort key (rows_pad 45056 → 4096).
         from .spgemm import packable
 
-        key_cols = 2 * self.n_cols + 1 if masked else self.n_cols
-        dealt = None
-        if force in ("auto", "deal") and n > 0 and self.widths and total_flops:
-            m_pack = -(-n // cap) if cap >= 512 else 257
-            k_d = max(32, m_pack) if m_pack <= 256 else 48
+        if dealt is None and (
+            force in ("auto", "deal") or deal_k
+        ) and n > 0 and self.widths and total_flops:
+            if deal_k:
+                k_d = int(deal_k)
+            else:
+                m_pack = -(-n // cap) if cap >= 512 else 257
+                k_d = max(32, m_pack) if m_pack <= 256 else 48
             order = np.argsort(-rfp, kind="stable")
             pos = np.arange(n)
             lane = (pos % k_d).astype(np.int32)
@@ -786,8 +1081,12 @@ class EllSpGEMMExecutor:
             rate = 1.0 if packable(rows_pad, key_cols) else 1.36
             return pad_bucket(max(slots, 8)) * k * rate
 
-        use_dealt = force == "deal" and dealt is not None
-        if force == "auto" and dealt is not None:
+        use_dealt = (
+            self.batched or force == "deal" or deal_k is not None
+        ) and dealt is not None
+        if (
+            force == "auto" and deal_k is None and not self.batched
+        ) and dealt is not None:
             assign, k_d, pads_d, slots_d, rows_pad_d = dealt
             use_dealt = sort_cost(slots_d, k_d, rows_pad_d) < 0.9 * sort_cost(
                 slots_c, len(chunks_c), rows_pad_c
@@ -871,10 +1170,14 @@ class EllSpGEMMExecutor:
                 cnt = np.bincount(ch, minlength=k)
                 cst = np.concatenate([[0], np.cumsum(cnt)])
                 rs, ps = rcls[ordc], pcls[ordc]
-                for kk in range(k):
-                    lo, hi = cst[kk], cst[kk + 1]
-                    er_cls[ci][kk, : hi - lo] = local_id[rs[lo:hi]]
-                    ep_cls[ci][kk, : hi - lo] = ps[lo:hi]
+                # vectorised bin fill (a python loop over k bins dominates
+                # staging at the batched engine's k of thousands)
+                rank = np.arange(len(rs), dtype=np.int64) - np.repeat(
+                    cst[:-1], cnt
+                )
+                flat = ch[ordc].astype(np.int64) * self.pads[ci] + rank
+                er_cls[ci].reshape(-1)[flat] = local_id[rs]
+                ep_cls[ci].reshape(-1)[flat] = ps
         else:
             for ci, (rcls, pcls) in enumerate(zip(rows_pc, pos_pc)):
                 cuts = cuts_pc[ci]
@@ -907,8 +1210,9 @@ class EllSpGEMMExecutor:
         group outputs are concatenated on device.  Trailing dummy-chunk rows
         (sentinel-only) may follow the real chunks — assemble() ignores them.
         """
+        kernel = _ell_spgemm_sep2d_jit if self.batched else _ell_spgemm_sep_jit
         outs = [
-            _ell_spgemm_sep_jit(
+            kernel(
                 self.tables, er_g, ep_g, n_chunks=self.group_size,
                 rows_pad=self.rows_pad, n_cols=self.n_cols,
                 widths=self.widths, pads=self.pads, sort_pad=self.sort_pad,
@@ -940,12 +1244,22 @@ class EllSpGEMMExecutor:
             max(int(mat.indptr[r1] - mat.indptr[r0]) for r0, r1 in self.chunks)
         )
 
+
+    def _require_unrolled(self, what: str) -> None:
+        if self.batched:
+            raise ValueError(
+                f"{what} runs on the unrolled engine; construct "
+                "EllSpGEMMExecutor(..., batched=False) for it (the batched "
+                "2-D plan's chunk count would explode the unrolled compile)"
+            )
+
     def stage_mask(self, f: "BCSR"):
         """Canonicalise, chunk-slice, and device-stage a mask for
         :meth:`run_masked`.  Returns an opaque list of per-group
         ``(f_ptr, f_idx)`` device arrays; staging once and reusing it keeps
         repeated masked products free of per-call host prep (~50 ms of a
         127 ms masked multiply at n=64K)."""
+        self._require_unrolled("stage_mask")
         from .spgemm import pad_chunk_csr
 
         if f.shape != self.shape:
@@ -985,6 +1299,7 @@ class EllSpGEMMExecutor:
         ``f`` is a :class:`BCSR` mask (staged per call) or the result of
         :meth:`stage_mask` (no per-call host work).
         """
+        self._require_unrolled("run_masked")
         staged = f if isinstance(f, list) else self.stage_mask(f)
         outs = []
         for (fp, fi), (er_g, ep_g) in zip(staged, self._groups()):
@@ -1010,6 +1325,7 @@ class EllSpGEMMExecutor:
         :meth:`assemble_counts`.  Requires canonical operands — duplicate
         operand entries would inflate multiplicities (the boolean ops dedup
         for free in the sort; counts cannot)."""
+        self._require_unrolled("run_counts")
         outs = [
             _ell_counts_jit(
                 self.tables, er_g, ep_g, n_chunks=self.group_size,
@@ -1030,6 +1346,7 @@ class EllSpGEMMExecutor:
         (per-mask-entry common-neighbor counts when f = a = b).  ``f`` is a
         :class:`BCSR` mask or the result of :meth:`stage_mask`.  Build the
         executor with ``masked=True`` to keep the join sort packed."""
+        self._require_unrolled("run_masked_counts")
         staged = f if isinstance(f, list) else self.stage_mask(f)
         outs = []
         for (fp, fi), (er_g, ep_g) in zip(staged, self._groups()):
@@ -1053,6 +1370,7 @@ class EllSpGEMMExecutor:
         ONE int32 scalar per chunk leaves the device (stacked; trailing
         dummy group-fill chunks contribute 0).  With ``f`` = A = B = a
         symmetric hollow adjacency this is 6× the triangle count."""
+        self._require_unrolled("run_counts_sum")
         staged = f if isinstance(f, list) else self.stage_mask(f)
         outs = []
         for (fp, fi), (er_g, ep_g) in zip(staged, self._groups()):
@@ -1119,6 +1437,7 @@ class EllSpGEMMExecutor:
 
         ``d`` and ``mask`` are :class:`BCSR` operands (staged per call) or
         results of :meth:`stage_mask` (no per-call host work)."""
+        self._require_unrolled("run_or")
         staged_d = d if isinstance(d, list) else self.stage_mask(d)
         staged_f = (
             None
@@ -1173,6 +1492,10 @@ class EllSpGEMMExecutor:
             valid = nnz_c.astype(np.int64)
             valid[self.n_chunks :] = 0  # trailing dummy group-fill chunks
             chunk_idx = pull_chunk_prefixes(idx_dev, valid)
+            if self.n_chunks >= 256:
+                # per-chunk python splitting/stitching costs seconds at the
+                # batched engine's chunk counts — one vectorised pass instead
+                return self._assemble_seps_batch(chunk_idx, valid)
             parts = [
                 split_seps(
                     chunk_idx[i], int(nnz_c[i]), self.rows_pad, self.n_cols
@@ -1189,6 +1512,61 @@ class EllSpGEMMExecutor:
             (c_ptr[i], chunk_idx[i], nnz_c[i]) for i in range(self.n_chunks)
         ]
         return self._assemble_parts(parts)
+
+    def _assemble_seps_batch(self, chunk_idx, valid: np.ndarray) -> BCSR:
+        """Vectorised host assembly of separator-embedded chunk streams:
+        ONE pass over the concatenation instead of per-chunk
+        ``split_seps`` + stitch (which cost ~29 s at k=2048 / 67M nnz;
+        this path measures sub-second there)."""
+        k = self.n_chunks
+        n_rows = self.shape[0]
+        big = (
+            np.concatenate([chunk_idx[i] for i in range(k)])
+            if k
+            else np.zeros(0, np.int32)
+        )
+        nnz_k = valid[:k]
+        starts = np.cumsum(nnz_k) - nnz_k
+        sep_mask = big == self.n_cols
+        bpos = np.flatnonzero(sep_mask)
+        if len(bpos) != k * self.rows_pad:
+            raise RuntimeError(
+                f"separator-count invariant violated: {len(bpos)} separators "
+                f"for {k} chunks x rows_pad {self.rows_pad}"
+            )
+        # per-chunk exclusive row pointers off the separator positions
+        bpos_k = bpos.reshape(k, self.rows_pad) - starts[:, None]
+        ptr_tail = bpos_k - np.arange(self.rows_pad, dtype=np.int64)[None, :]
+        lens_kl = np.diff(
+            np.concatenate([np.zeros((k, 1), np.int64), ptr_tail], axis=1),
+            axis=1,
+        )  # [k, rows_pad] per-(chunk, local-row) entry counts
+        indices_all = big[~sep_mask]  # (chunk, ascending local row) order
+        if self.row_sets is not None:
+            rows_concat = np.concatenate(self.row_sets)
+            binsz = np.array([len(r) for r in self.row_sets], np.int64)
+        else:
+            rows_concat = np.concatenate(
+                [np.arange(r0, r1, dtype=np.int64) for r0, r1 in self.chunks]
+            )
+            binsz = np.array([r1 - r0 for r0, r1 in self.chunks], np.int64)
+        real = (
+            np.arange(self.rows_pad, dtype=np.int64)[None, :] < binsz[:, None]
+        )
+        lens_real = lens_kl[real]  # aligned with rows_concat
+        lengths = np.zeros(n_rows, np.int64)
+        lengths[rows_concat] = lens_real
+        indptr = np.concatenate([[0], np.cumsum(lengths)])
+        total = int(indptr[-1])
+        indices = np.empty(total, np.int32)
+        nzm = lens_real > 0
+        lr = lens_real[nzm]
+        dst = np.repeat(indptr[rows_concat[nzm]], lr) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lr) - lr, lr)
+        )
+        indices[dst] = indices_all
+        return BCSR(indptr, indices, self.shape)
 
     def _assemble_parts(self, parts) -> BCSR:
         if self.row_sets is not None:
@@ -1211,8 +1589,9 @@ class EllSpGEMMExecutor:
         from .spgemm import pull_chunk_prefixes, split_seps
 
         host_parts = []
+        kernel = _ell_spgemm_sep2d_jit if self.batched else _ell_spgemm_sep_jit
         for er_g, ep_g in self._groups():
-            idx_dev, nnz_dev = _ell_spgemm_sep_jit(
+            idx_dev, nnz_dev = kernel(
                 self.tables, er_g, ep_g, n_chunks=self.group_size,
                 rows_pad=self.rows_pad, n_cols=self.n_cols,
                 widths=self.widths, pads=self.pads, sort_pad=self.sort_pad,
@@ -1316,18 +1695,36 @@ DISPATCH_SLOT_BUDGET = 1 << 27
 AUTO_ELL_MAX_SLOTS = 1 << 30
 
 
+def prefer_batched(a: BCSR, b: BCSR) -> bool:
+    """Should the plain product use the batched 2-D engine on this input?
+
+    The unrolled engine's packed-key plan needs ≤ ``cap`` rows per chunk and
+    tops out around 160 chunks (compile size is linear in chunks); above
+    that it falls back to 2-key sorts (3.25 vs 2.15 ns/elem at 2^25 — and
+    the batched 2-D sorts run 1.1-1.9 ns, benchmarks/micro.jsonl "sort2d").
+    Measured: 1M-row d=8 0.340 s unrolled → 0.198 batched; 5M-row d=2
+    0.173 → 0.144 (benchmarks/results.jsonl "ab": "batched2d"); 64K/256K
+    inputs stay packed unrolled and measured at parity or better there.
+    """
+    shift = int(b.n_cols).bit_length()
+    cap = 1 << max(0, 30 - shift)
+    return a.n_rows > 160 * cap
+
+
 def auto_executor(a: BCSR, b: BCSR, *, chunk_flops: int | None = None):
     """Pick the faster engine for C = A·B on this input.
 
     Sliced-ELL wins whenever its (padded) expansion fits one program — the
     row-gather expansion is ~6x cheaper than ESC's element gather (measured
-    1.7 vs 10.4 ns/elem, benchmarks/micro.jsonl) at ~1.2x slot padding.  The
-    flop-chunked ESC executor covers everything larger.
+    1.7 vs 10.4 ns/elem, benchmarks/micro.jsonl) at ~1.2x slot padding; the
+    batched 2-D variant serves the many-rows regime where the unrolled
+    plan's sorts go unpacked (see :func:`prefer_batched`).  The flop-chunked
+    ESC executor covers everything larger.
     """
     from .spgemm import SpGEMMExecutor
 
     try:
-        ex = EllSpGEMMExecutor(a, b)
+        ex = EllSpGEMMExecutor(a, b, batched=prefer_batched(a, b))
         if ex.resident_slots <= AUTO_ELL_MAX_SLOTS:
             return ex
     except OverflowError:

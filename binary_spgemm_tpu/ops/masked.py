@@ -94,6 +94,13 @@ def masked_spgemm(
     # the chunked ESC path below (the documented contract — previously the
     # ELL route ignored it).
     if chunk_flops is None:
+        # small-flop inputs beat the device dispatch floor on the host
+        from .host import HOST_MAX_FLOPS, host_masked_spgemm
+        from .spgemm import spgemm_flops
+
+        if spgemm_flops(a, b) <= HOST_MAX_FLOPS:
+            return host_masked_spgemm(f, a, b)
+
         from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
 
         # masked=True halves the chunk row cap so the (row, col, tag) sort

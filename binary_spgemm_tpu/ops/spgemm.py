@@ -295,6 +295,50 @@ def sort_compress_seps(
     return c_indices, nnz_c
 
 
+def sort_compress_seps_2d(
+    row: jax.Array, col: jax.Array, n_rows: int, n_cols: int
+) -> tuple[jax.Array, jax.Array]:
+    """Batched :func:`sort_compress_seps`: ``row``/``col`` are ``[k, L]``
+    with each row an independent chunk stream; sorts run along axis -1.
+
+    Measured on v5e (benchmarks/micro.jsonl, bench "sort2d"): one 2-D sort
+    of k short rows beats k unrolled 1-D sorts AND one long 1-D sort —
+    1-key 2.15 ns/elem at L=2^25 vs 1.11 at [8192, 4096] (bitonic work per
+    element scales with log² of the row length).  Batching also keeps
+    chunk-local row ids small enough to pack at ANY matrix size, where the
+    1-D engine fell back to 2-key sorts (3.25 ns) for n ≳ 2^14 rows.
+    """
+    k = row.shape[0]
+    if packable(n_rows, n_cols):
+        shift = int(n_cols).bit_length()
+        key = (row << shift) | col
+        key_s = jax.lax.sort(key, dimension=1, is_stable=False)
+        prev = jnp.concatenate(
+            [jnp.full((k, 1), -1, INT), key_s[:, :-1]], axis=1
+        )
+        keep = (key_s != prev) & (key_s < (n_rows << shift))
+        nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+        c_keys = jax.lax.sort(demoted, dimension=1, is_stable=False)
+        return c_keys & ((1 << shift) - 1), nnz_c
+
+    row_s, col_s = jax.lax.sort(
+        (row, col), dimension=1, num_keys=2, is_stable=False
+    )
+    pad = jnp.full((k, 1), -1, INT)
+    new = (row_s != jnp.concatenate([pad, row_s[:, :-1]], axis=1)) | (
+        col_s != jnp.concatenate([pad, col_s[:, :-1]], axis=1)
+    )
+    keep = new & (row_s < n_rows)
+    nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+    demoted_r = jnp.where(keep, row_s, n_rows)
+    demoted_c = jnp.where(keep, col_s, n_cols)
+    _, c_indices = jax.lax.sort(
+        (demoted_r, demoted_c), dimension=1, num_keys=2, is_stable=False
+    )
+    return c_indices, nnz_c
+
+
 def split_seps(
     indices: np.ndarray, nnz: int, n_rows: int, n_cols: int
 ) -> tuple[np.ndarray, np.ndarray, int]:
@@ -1141,6 +1185,91 @@ class SpGEMMExecutor:
         )
 
 
+# A single output row whose Gustavson flop count exceeds this is computed by
+# the column-windowed fallback (``_spgemm_giant``) instead of the chunked
+# engines, whose per-chunk prefix sums live in the int32 domain.  Module-level
+# so tests can lower it (exercising the real 2^30 takes minutes of expansion).
+GIANT_ROW_FLOPS = 1 << 30
+
+
+def _spgemm_giant(a: BCSR, b: BCSR, rf: np.ndarray, chunk_flops) -> BCSR:
+    """C = A·B when some single rows exceed the per-chunk int32 flop domain.
+
+    The reference grows its output with realloc so any row size works
+    (final/SpGEMM_mpi_omp.c:28-31); the static-shape engines here cannot.
+    Instead each giant row's A-entries are split into flop-bounded windows,
+    every window runs as a 1-row product through the normal engines, and the
+    window results are unioned on the host (a window partitions B's rows, so
+    the same output column can surface in several windows).  Non-giant rows
+    take the standard path untouched.
+    """
+    budget = GIANT_ROW_FLOPS
+    giant = np.flatnonzero(rf > budget)
+    # rest-matrix: giant rows emptied, everything else verbatim
+    lens = np.diff(a.indptr).astype(np.int64)
+    lens_rest = lens.copy()
+    lens_rest[giant] = 0
+    keep = np.ones(a.nnz, bool)
+    for i in giant:
+        keep[a.indptr[i] : a.indptr[i + 1]] = False
+    indptr_rest = np.zeros(a.n_rows + 1, np.int64)
+    np.cumsum(lens_rest, out=indptr_rest[1:])
+    a_rest = BCSR(indptr_rest, a.indices[keep], a.shape)
+    c_rest = spgemm(a_rest, b, chunk_flops=chunk_flops)
+
+    blen = np.diff(b.indptr).astype(np.int64)
+    giant_rows: dict[int, np.ndarray] = {}
+    for i in giant:
+        entries = a.indices[a.indptr[i] : a.indptr[i + 1]]
+        w = blen[entries]
+        csum = np.cumsum(w)
+        parts = []
+        lo = 0
+        while lo < len(entries):
+            # largest window starting at lo with total flops <= budget
+            hi = int(np.searchsorted(csum, (csum[lo - 1] if lo else 0) + budget, side="right"))
+            if hi <= lo:  # one entry alone exceeds the budget: its result is
+                # exactly that B row's distinct columns — host set-union
+                parts.append(np.unique(b.indices[b.indptr[entries[lo]] : b.indptr[entries[lo] + 1]]))
+                lo += 1
+                continue
+            sub = BCSR(
+                np.array([0, hi - lo], np.int64),
+                entries[lo:hi],
+                (1, b.n_rows),
+            )
+            parts.append(spgemm(sub, b, chunk_flops=chunk_flops).indices)
+            lo = hi
+        giant_rows[int(i)] = (
+            np.unique(np.concatenate(parts)) if len(parts) > 1 else parts[0]
+        )
+
+    # splice the giant rows into the rest-result
+    out_lens = np.diff(c_rest.indptr).astype(np.int64)
+    for i, cols in giant_rows.items():
+        out_lens[i] = len(cols)
+    indptr = np.zeros(a.n_rows + 1, np.int64)
+    np.cumsum(out_lens, out=indptr[1:])
+    indices = np.empty(int(indptr[-1]), np.int32)
+    # bulk-copy the untouched span structure row by row is O(n) python for
+    # many giants, but giants are pathological and few; copy contiguous runs
+    prev_end = 0
+    src_pos = 0
+    cursor = 0
+    bounds = sorted(giant_rows)
+    for i in bounds:
+        run = int(c_rest.indptr[i]) - src_pos
+        indices[cursor : cursor + run] = c_rest.indices[src_pos : src_pos + run]
+        cursor += run
+        src_pos = int(c_rest.indptr[i + 1])  # skip the (empty) giant row
+        cols = giant_rows[i]
+        indices[cursor : cursor + len(cols)] = cols
+        cursor += len(cols)
+    run = c_rest.nnz - src_pos
+    indices[cursor : cursor + run] = c_rest.indices[src_pos:]
+    return BCSR(indptr, indices, (a.n_rows, b.n_cols))
+
+
 def spgemm(
     a: BCSR,
     b: BCSR,
@@ -1162,7 +1291,24 @@ def spgemm(
     if a.nnz == 0 or b.nnz == 0:
         return BCSR(np.zeros(n + 1, np.int32), np.zeros(0, np.int32), (n, m))
 
+    rf_total = row_flops(a, b)
+    if len(rf_total) and int(rf_total.max()) > GIANT_ROW_FLOPS:
+        return _spgemm_giant(a, b, rf_total, chunk_flops)
+
     if chunk_flops is None:
+        # Small-flop inputs (e.g. the reference's own validity fixture,
+        # final/Makefile:11-12) lose to any host CPU under the ~27 ms
+        # device dispatch floor — run them on the host engine instead.
+        from .host import HOST_MAX_FLOPS, host_spgemm
+
+        if int(rf_total.sum()) <= HOST_MAX_FLOPS:
+            return host_spgemm(a, b)
+
+        # One-shot calls stay on the unrolled plan: the batched 2-D engine's
+        # run() gain (0.17->0.14 s at n=5M) is dwarfed by its bigger host
+        # plan cost (~7 s vs ~3 s there) — batched pays off for STAGED use
+        # (auto_executor / EllSpGEMMExecutor(batched=True)), where the plan
+        # amortises over repeated run() calls.
         from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
 
         try:

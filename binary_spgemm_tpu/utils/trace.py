@@ -20,7 +20,7 @@ import time
 
 import jax
 
-__all__ = ["phase_timer", "trace", "roofline", "PhaseRecord"]
+__all__ = ["phase_timer", "trace", "roofline", "bsr_roofline", "PhaseRecord"]
 
 
 @dataclasses.dataclass
@@ -111,9 +111,57 @@ def roofline(
     )
     sol_s = bytes_moved / bw
     return {
+        "model": "sort",
         "model_bytes": bytes_moved,
         "speed_of_light_s": sol_s,
         "achieved_s": seconds,
         "fraction_of_roofline": sol_s / seconds if seconds else 0.0,
         "bandwidth_assumed_gbps": bw / 1e9,
+    }
+
+
+# Per-chip dense peak for the MXU roofline (bf16 multiply, f32 accumulate).
+# v5e ≈ 197 TFLOP/s bf16; v4 ≈ 275.
+MXU_FLOPS_PER_S = {
+    "tpu v5 lite": 197e12,
+    "tpu v4": 275e12,
+    "cpu": 1e11,
+}
+
+
+def bsr_roofline(
+    n_pairs: int,
+    n_out_blocks: int,
+    block_size: int,
+    seconds: float,
+    device=None,
+) -> dict:
+    """Speed-of-light audit of one blocked (MXU) SpGEMM call — the
+    dense-tile engine's own model (the sort model above is meaningless for
+    it: no sorts run, the cost is tile matmuls + tile traffic).
+
+    Compute: each (A-block, B-block) pair is one b×b×b bf16 matmul
+    (2·b³ flops).  Traffic: both operand tiles stream in per pair
+    (2·b²·2 B, bf16) and each output block writes once (b²·4 B, f32 counts).
+    SOL = max(compute-bound, bandwidth-bound).
+    """
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "cpu").lower()
+    bw = next((v for k, v in HBM_BYTES_PER_S.items() if k in kind), 100e9)
+    mxu = next((v for k, v in MXU_FLOPS_PER_S.items() if k in kind), 1e12)
+    b = block_size
+    flops = 2 * n_pairs * b**3
+    bytes_moved = n_pairs * 2 * b * b * 2 + n_out_blocks * b * b * 4
+    sol_s = max(flops / mxu, bytes_moved / bw)
+    return {
+        "model": "bsr-mxu",
+        "model_flops": flops,
+        "model_bytes": bytes_moved,
+        "speed_of_light_s": sol_s,
+        "achieved_s": seconds,
+        "fraction_of_roofline": sol_s / seconds if seconds else 0.0,
+        "bandwidth_assumed_gbps": bw / 1e9,
+        "mxu_assumed_tflops": mxu / 1e12,
+        "bound": "compute" if flops / mxu >= bytes_moved / bw else "bandwidth",
     }

@@ -1,0 +1,105 @@
+"""Batched 2-D ELL engine: one [k, L] array, sorts along axis -1.
+
+Covers the planner (model-chosen k, dominant-class snake deal, DP width-class
+merge), the 2-D kernel, the vectorised batch assembly, and the auto route
+(``prefer_batched``/``auto_executor``).
+"""
+import numpy as np
+import pytest
+
+from binary_spgemm_tpu import BCSR
+from binary_spgemm_tpu.ops.ell import (
+    EllB,
+    EllSpGEMMExecutor,
+    auto_executor,
+    prefer_batched,
+)
+from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+
+@pytest.mark.parametrize(
+    "n,d,seed",
+    [
+        (3000, 4.0, 1),
+        (8000, 2.0, 2),   # rows >> flops (hypersparse class)
+        (2000, 8.0, 3),
+        (1000, 1.0, 4),
+        (1, 16.0, 5),
+    ],
+)
+def test_batched_oracle(n, d, seed):
+    a = BCSR.random(n, n, d, seed=seed)
+    ex = EllSpGEMMExecutor(a, a, batched=True)
+    assert ex.assemble(ex.run()).equals(spgemm_oracle(a, a))
+
+
+def test_batched_rectangular_and_skew():
+    a = BCSR.random(4000, 1500, 3.0, seed=6)
+    b = BCSR.random(1500, 2500, 2.0, seed=7)
+    ex = EllSpGEMMExecutor(a, b, batched=True)
+    assert ex.assemble(ex.run()).equals(spgemm_oracle(a, b))
+    r = BCSR.rmat(12, 8.0, seed=8)  # power-law skew
+    ex = EllSpGEMMExecutor(r, r, batched=True)
+    assert ex.assemble(ex.run()).equals(spgemm_oracle(r, r))
+
+
+def test_batched_explicit_k_and_batch_assembly():
+    # force >= 256 chunks so the vectorised batch assembly path runs
+    a = BCSR.random(20000, 20000, 3.0, seed=3)
+    ex = EllSpGEMMExecutor(a, a, deal_k=512, batched=True)
+    assert ex.n_chunks == 512
+    assert ex.assemble(ex.run()).equals(spgemm_oracle(a, a))
+    # streaming assembly agrees
+    assert ex.run_assemble_streaming().equals(spgemm_oracle(a, a))
+
+
+def test_batched_guards_non_run_methods():
+    a = BCSR.random(500, 500, 3.0, seed=5)
+    ex = EllSpGEMMExecutor(a, a, batched=True)
+    with pytest.raises(ValueError, match="unrolled"):
+        ex.run_counts()
+    with pytest.raises(ValueError, match="unrolled"):
+        ex.stage_mask(a)
+
+
+def test_batched_matches_unrolled_bit_exact():
+    a = BCSR.random(5000, 5000, 4.0, seed=9)
+    unrolled = EllSpGEMMExecutor(a, a, batched=False)
+    batched = EllSpGEMMExecutor(a, a, batched=True)
+    assert batched.assemble(batched.run()).equals(
+        unrolled.assemble(unrolled.run())
+    )
+
+
+def test_prefer_batched_rule():
+    # small n_cols: packed unrolled plans exist -> no batching
+    small = BCSR.random(100, 100, 1.0, seed=0)
+    assert not prefer_batched(small, small)
+    # the rule is shape-only: a (rows > 160 * cap) shape must flip it
+    wide = BCSR(
+        np.zeros(3_000_001, np.int32), np.zeros(0, np.int32),
+        (3_000_000, 3_000_000),
+    )
+    assert prefer_batched(wide, wide)
+
+
+def test_auto_executor_picks_batched_for_many_rows(monkeypatch):
+    # monkeypatch the threshold instead of building a 3M-row matrix
+    from binary_spgemm_tpu.ops import ell as ell_mod
+
+    a = BCSR.random(9000, 9000, 2.0, seed=11)
+    monkeypatch.setattr(ell_mod, "prefer_batched", lambda a, b: True)
+    ex = auto_executor(a, a)
+    assert isinstance(ex, EllSpGEMMExecutor) and ex.batched
+    assert ex.assemble(ex.run()).equals(spgemm_oracle(a, a))
+
+
+def test_ellb_group_widths():
+    b = BCSR.random(300, 300, 4.0, seed=12)
+    fine = EllB.build(b)
+    coarse = EllB.build(b, (4, 16, 64))
+    assert set(coarse.widths) <= {4, 16, 64}
+    # same rows represented: every nonempty row belongs to a class
+    assert (coarse.class_of_row >= 0).sum() == (fine.class_of_row >= 0).sum()
+    with pytest.raises(ValueError, match="do not cover"):
+        EllB.build(b, (2,))

@@ -183,3 +183,20 @@ def test_diff_verbose_report():
     e = BCSR.from_dense(np.array([[1, 1, 0], [0, 0, 1], [1, 1, 1]]))
     rep = d.diff(e)
     assert "row 0" in rep and "row 1" not in rep
+
+
+def test_banded_generator_structure():
+    m = BCSR.banded(2000, 8.0, 64, seed=1)
+    assert m.is_canonical()
+    rows, cols = m.to_coo()
+    assert (np.abs(rows.astype(np.int64) - cols) <= 64).all()
+    # full unit diagonal present
+    diag = rows == cols
+    assert diag.sum() == 2000
+    # density near target
+    assert 6.0 < m.nnz / 2000 < 10.0
+    # oracle parity on the product
+    from binary_spgemm_tpu import spgemm
+    from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+    assert spgemm(m, m).equals(spgemm_oracle(m, m))

@@ -331,3 +331,45 @@ def test_dist_assembly_compact_pull(monkeypatch, engine):
     sc.sort_indices()
     assert np.array_equal(c.indptr, sc.indptr)
     assert np.array_equal(c.indices, sc.indices)
+
+
+def test_scaling_report_harness():
+    """BASELINE config 5 harness: step vs compute phase split, efficiency
+    schema, monotone device counts (virtual mesh — numbers not meaningful,
+    schema and plumbing are)."""
+    from binary_spgemm_tpu.parallel.scaling import (
+        format_scaling_report,
+        scaling_report,
+    )
+
+    a = BCSR.random(2000, 2000, 4.0, seed=3)
+    rep = scaling_report(a, device_counts=[1, 2, 4], times=1)
+    assert rep["kind"] == "scaling_report"
+    assert [r["devices"] for r in rep["rows"]] == [1, 2, 4]
+    for r in rep["rows"]:
+        assert r["step_s"] > 0 and r["compute_s"] > 0
+        assert r["collective_s"] >= 0
+        assert r["efficiency"] > 0
+    assert rep["rows"][0]["efficiency"] == 1.0
+    assert isinstance(rep["meets_target"], bool)
+    txt = format_scaling_report(rep)
+    assert "efficiency" in txt and "target" in txt
+
+
+def test_scaling_report_cli(tmp_path, capsys):
+    import json as _json
+
+    from binary_spgemm_tpu.cli import main
+    from binary_spgemm_tpu.io.mmio import write_pattern
+
+    a = BCSR.random(500, 500, 3.0, seed=4)
+    path = str(tmp_path / "m.mtx")
+    write_pattern(path, a)
+    rc = main(
+        ["bench", path, "--scaling-report", "--devices", "2", "--times", "1",
+         "--json"]
+    )
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["kind"] == "scaling_report"
+    assert [r["devices"] for r in rep["rows"]] == [1, 2]

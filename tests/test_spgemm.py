@@ -196,3 +196,43 @@ def test_split_seps_bad_separator_count_raises():
     stream = np.array([0, 1, 5, 2, 5, 0], dtype=np.int32)
     with pytest.raises(RuntimeError, match="separator-count invariant"):
         split_seps(stream, nnz=6, n_rows=3, n_cols=5)
+
+
+def test_giant_row_windowed_expansion(monkeypatch):
+    """A row whose flop count exceeds the per-chunk int32 domain is computed
+    by the column-windowed fallback (threshold lowered so the test is
+    fast; ≡ the realloc-growth coverage of final/SpGEMM_mpi_omp.c:28-31)."""
+    import numpy as np
+
+    from binary_spgemm_tpu import BCSR, spgemm
+    from binary_spgemm_tpu.ops import spgemm as sp
+    from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+    monkeypatch.setattr(sp, "GIANT_ROW_FLOPS", 300)
+    rng = np.random.default_rng(0)
+    a = BCSR.random(200, 200, 2.0, seed=1)
+    # make rows 3 and 107 giant: reference many B rows
+    rows, cols = a.to_coo()
+    extra_r = np.concatenate([np.full(150, 3), np.full(180, 107)])
+    extra_c = rng.integers(0, 200, size=330)
+    a2 = BCSR.from_coo(
+        np.concatenate([rows, extra_r]), np.concatenate([cols, extra_c]),
+        (200, 200),
+    ).sum_duplicates()
+    from binary_spgemm_tpu.ops.spgemm import row_flops
+
+    assert row_flops(a2, a2).max() > 300
+    assert spgemm(a2, a2).equals(spgemm_oracle(a2, a2))
+    # single B row longer than the budget (the one-entry window case)
+    b_rows = np.concatenate([np.zeros(400, np.int64), np.arange(200)])
+    b_cols = np.concatenate([rng.integers(0, 200, 400), np.arange(200)])
+    b = BCSR.from_coo(b_rows, b_cols, (200, 200)).sum_duplicates()
+    monkeypatch.setattr(sp, "GIANT_ROW_FLOPS", 100)
+    assert spgemm(a2, b).equals(spgemm_oracle(a2, b))
+    # giant row at the matrix edges
+    a3 = BCSR.from_coo(
+        np.concatenate([np.zeros(160, np.int64), np.full(160, 199)]),
+        np.concatenate([rng.integers(0, 200, 160), rng.integers(0, 200, 160)]),
+        (200, 200),
+    ).sum_duplicates()
+    assert spgemm(a3, b).equals(spgemm_oracle(a3, b))
