@@ -382,10 +382,10 @@ def masked_spgemm_counts(
     # sliced-ELL route (≡ masked_spgemm's): masked=True keeps the stage-2
     # join key single-int32 packed; explicit ``chunk_flops`` forces ESC
     if chunk_flops is None and engine in ("auto", "ell"):
-        from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
+        from .ell import AUTO_ELL_MAX_SLOTS, cached_executor
 
         try:
-            ex = EllSpGEMMExecutor(a, b, masked=True)
+            ex = cached_executor(a, b, masked=True)
             fits = ex.total_slots <= AUTO_ELL_MAX_SLOTS
         except OverflowError:
             if engine == "ell":
@@ -488,10 +488,10 @@ def spgemm_counts(
             return host_spgemm_counts(a, b)
 
     if chunk_flops is None and engine in ("auto", "ell"):
-        from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
+        from .ell import AUTO_ELL_MAX_SLOTS, cached_executor
 
         try:
-            ex = EllSpGEMMExecutor(a, b)
+            ex = cached_executor(a, b)
             # two resident output arrays (indices + counts): halve the budget
             fits = ex.resident_slots <= AUTO_ELL_MAX_SLOTS // 2
         except OverflowError:
@@ -563,10 +563,10 @@ def triangle_count_device(a: BCSR, *, chunk_flops: int | None = None) -> int:
     # sliced-ELL route: per-chunk scalar wedge sums over the row-gather
     # expansion (run_counts_sum); explicit ``chunk_flops`` forces ESC
     if chunk_flops is None:
-        from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
+        from .ell import AUTO_ELL_MAX_SLOTS, cached_executor
 
         try:
-            ex = EllSpGEMMExecutor(a, a, masked=True)
+            ex = cached_executor(a, a, masked=True)
             if ex.total_slots <= AUTO_ELL_MAX_SLOTS:
                 sums = np.asarray(ex.run_counts_sum(a))
                 total = int(sums[: ex.n_chunks].astype(np.int64).sum())

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -720,6 +721,70 @@ def _ell_or_masked_jit(
     return tuple(jnp.stack([o[i] for o in outs]) for i in range(3))
 
 
+def _unpack_tables(tables_flat: jax.Array, table_shapes) -> tuple:
+    """Rebuild the per-class ELL tables from their flat concatenation —
+    inside jit, so staging uploads ONE array instead of one per class
+    (each host→device transfer through this environment's tunnel costs
+    ~13-30 ms regardless of size; ~300 staged leaves measured 3.2 s of a
+    3.4 s executor build)."""
+    out, off = [], 0
+    for r, w in table_shapes:
+        out.append(
+            jax.lax.slice(tables_flat, (off,), (off + r * w,)).reshape(r, w)
+        )
+        off += r * w
+    return tuple(out)
+
+
+def _unpack_entries(er_all, ep_all, row0, g: int, pads) -> tuple:
+    """Slice one dispatch group's rows out of the full stacked entry arrays
+    (traced ``row0`` → one compile serves every group) and split the class
+    column spans (static)."""
+    er_g = jax.lax.dynamic_slice(er_all, (row0, 0), (g, er_all.shape[1]))
+    ep_g = jax.lax.dynamic_slice(ep_all, (row0, 0), (g, ep_all.shape[1]))
+    ers, eps, off = [], [], 0
+    for pad in pads:
+        ers.append(jax.lax.slice(er_g, (0, off), (g, off + pad)))
+        eps.append(jax.lax.slice(ep_g, (0, off), (g, off + pad)))
+        off += pad
+    return tuple(ers), tuple(eps)
+
+
+def _make_flat_kernel(inner):
+    """Wrap a tuple-interface ELL kernel as a flat-staging kernel: takes the
+    single concatenated tables/entries arrays plus a traced group offset,
+    unpacks inside the SAME jit, and forwards.  Extra per-group operand
+    arrays (masks, fused-OR D) are sliced by the same traced offset."""
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "table_shapes", "n_chunks", "rows_pad", "n_cols", "widths",
+            "pads", "sort_pad", "extra_kw",
+        ),
+    )
+    def runner(
+        tables_flat, er_all, ep_all, row0, *extra_arrays,
+        table_shapes, n_chunks, rows_pad, n_cols, widths, pads, sort_pad,
+        extra_kw=(),
+    ):
+        tables = _unpack_tables(tables_flat, table_shapes)
+        er, ep = _unpack_entries(er_all, ep_all, row0, n_chunks, pads)
+        extras = tuple(
+            jax.lax.dynamic_slice(
+                m, (row0,) + (0,) * (m.ndim - 1), (n_chunks,) + m.shape[1:]
+            )
+            for m in extra_arrays
+        )
+        return inner(
+            tables, er, ep, *extras,
+            n_chunks=n_chunks, rows_pad=rows_pad, n_cols=n_cols,
+            widths=widths, pads=pads, sort_pad=sort_pad, **dict(extra_kw),
+        )
+
+    return runner
+
+
 def _sort_rate_ns(L: int, packed: bool) -> float:
     """Measured v5e per-element 2-D sort rates by row length
     (benchmarks/micro.jsonl, bench "sort2d"), log-linear interpolation."""
@@ -896,6 +961,16 @@ def _batched_deal_plan(
     assert len(pads) == len(ell.widths), (pads, ell.widths)
     slots = sum(p * wd for p, wd in zip(pads, ell.widths))
     return ell, rows_pc, pos_pc, assign, k, pads, slots, rows_pad
+
+
+_flat_spgemm_sep = _make_flat_kernel(_ell_spgemm_sep_jit)
+_flat_spgemm_sep2d = _make_flat_kernel(_ell_spgemm_sep2d_jit)
+_flat_masked = _make_flat_kernel(_ell_masked_jit)
+_flat_counts = _make_flat_kernel(_ell_counts_jit)
+_flat_masked_counts = _make_flat_kernel(_ell_masked_counts_jit)
+_flat_counts_sum = _make_flat_kernel(_ell_counts_sum_jit)
+_flat_or = _make_flat_kernel(_ell_or_jit)
+_flat_or_masked = _make_flat_kernel(_ell_or_masked_jit)
 
 
 class EllSpGEMMExecutor:
@@ -1150,20 +1225,28 @@ class EllSpGEMMExecutor:
         self.group_size = max(min(k, DISPATCH_SLOT_BUDGET // self.sort_pad), 1)
         self.n_groups = -(-k // self.group_size)
 
-        self.tables = tuple(jnp.asarray(t) for t in ell.tables)
-        # Entries are staged per class as ONE stacked [k_tot, pad_c] array
-        # (k_tot includes trailing all-sentinel dummy chunks padding the last
-        # group), then device_put per (class, group): ~1000 per-(chunk, class)
-        # device_puts measured 0.26 s of a 0.68 s executor build.
+        # FLAT staging: every host→device transfer through this
+        # environment's tunnel costs ~13-30 ms regardless of size, so the
+        # tables concatenate into ONE flat array and the per-(class, group)
+        # entry arrays into ONE [k_tot, Σpads] array each — 3 uploads total
+        # (~300 per-leaf puts measured 3.2 s of a 3.4 s build on rmat-s16).
+        # Kernels unpack inside jit (_make_flat_kernel).
+        self.table_shapes = tuple(t.shape for t in ell.tables)
+        tables_flat = (
+            np.concatenate([t.reshape(-1) for t in ell.tables])
+            if ell.tables
+            else np.zeros(0, np.int32)
+        )
         k_tot = self.n_groups * self.group_size
-        er_cls = [
-            np.full((k_tot, pad), self.rows_pad, np.int32) for pad in self.pads
-        ]
-        ep_cls = [np.zeros((k_tot, pad), np.int32) for pad in self.pads]
+        P = sum(self.pads)
+        offs = np.concatenate([[0], np.cumsum(self.pads)]).astype(np.int64)
+        er_all = np.full((k_tot, P), self.rows_pad, np.int32)
+        ep_all = np.zeros((k_tot, P), np.int32)
         if self.row_sets is not None:
             # per-class partition of A's entries by dealt chunk; within a
             # chunk entries keep ascending global-row order, so chunk-local
             # ids (local_id) match the mask staging and assembly order
+            er_flat, ep_flat = er_all.reshape(-1), ep_all.reshape(-1)
             for ci, (rcls, pcls) in enumerate(zip(rows_pc, pos_pc)):
                 ch = assign[rcls]
                 ordc = np.argsort(ch, kind="stable")
@@ -1175,31 +1258,34 @@ class EllSpGEMMExecutor:
                 rank = np.arange(len(rs), dtype=np.int64) - np.repeat(
                     cst[:-1], cnt
                 )
-                flat = ch[ordc].astype(np.int64) * self.pads[ci] + rank
-                er_cls[ci].reshape(-1)[flat] = local_id[rs]
-                ep_cls[ci].reshape(-1)[flat] = ps
+                flat = ch[ordc].astype(np.int64) * P + offs[ci] + rank
+                er_flat[flat] = local_id[rs]
+                ep_flat[flat] = ps
         else:
             for ci, (rcls, pcls) in enumerate(zip(rows_pc, pos_pc)):
                 cuts = cuts_pc[ci]
+                o = offs[ci]
                 for kk, (r0, r1) in enumerate(self.chunks):
                     lo, hi = cuts[kk], cuts[kk + 1]
                     # chunk-local row ids
-                    er_cls[ci][kk, : hi - lo] = rcls[lo:hi] - r0
-                    ep_cls[ci][kk, : hi - lo] = pcls[lo:hi]
-        g = self.group_size
-        self.er = tuple(
-            tuple(jnp.asarray(e[gi * g : (gi + 1) * g]) for e in er_cls)
-            for gi in range(self.n_groups)
+                    er_all[kk, o : o + hi - lo] = rcls[lo:hi] - r0
+                    ep_all[kk, o : o + hi - lo] = pcls[lo:hi]
+        self.tables_flat, self.er_all, self.ep_all = jax.device_put(
+            (tables_flat, er_all, ep_all)
         )
-        self.ep = tuple(
-            tuple(jnp.asarray(p[gi * g : (gi + 1) * g]) for p in ep_cls)
-            for gi in range(self.n_groups)
+        # mask/operand staging cache, keyed on id() + weakref identity check
+        self._mask_cache: dict = {}
+
+    def _flat_kw(self):
+        return dict(
+            table_shapes=self.table_shapes, n_chunks=self.group_size,
+            rows_pad=self.rows_pad, n_cols=self.n_cols,
+            widths=self.widths, pads=self.pads, sort_pad=self.sort_pad,
         )
 
-    def _groups(self):
-        """Per dispatch group: per-class stacked ``[group_size, pad_c]``
-        entry-row/pos device arrays (trailing dummy chunks are all-sentinel)."""
-        yield from zip(self.er, self.ep)
+    def _row0s(self):
+        for gi in range(self.n_groups):
+            yield gi * self.group_size
 
     def run(self):
         """Stacked per-chunk (c_indices, nnz_c) device arrays — row pointers
@@ -1210,15 +1296,13 @@ class EllSpGEMMExecutor:
         group outputs are concatenated on device.  Trailing dummy-chunk rows
         (sentinel-only) may follow the real chunks — assemble() ignores them.
         """
-        kernel = _ell_spgemm_sep2d_jit if self.batched else _ell_spgemm_sep_jit
+        kernel = _flat_spgemm_sep2d if self.batched else _flat_spgemm_sep
         outs = [
             kernel(
-                self.tables, er_g, ep_g, n_chunks=self.group_size,
-                rows_pad=self.rows_pad, n_cols=self.n_cols,
-                widths=self.widths, pads=self.pads, sort_pad=self.sort_pad,
-                out_pad=self.out_pad,
+                self.tables_flat, self.er_all, self.ep_all, row0,
+                **self._flat_kw(), extra_kw=(("out_pad", self.out_pad),),
             )
-            for er_g, ep_g in self._groups()
+            for row0 in self._row0s()
         ]
         if len(outs) == 1:
             return outs[0]
@@ -1254,14 +1338,24 @@ class EllSpGEMMExecutor:
             )
 
     def stage_mask(self, f: "BCSR"):
-        """Canonicalise, chunk-slice, and device-stage a mask for
-        :meth:`run_masked`.  Returns an opaque list of per-group
-        ``(f_ptr, f_idx)`` device arrays; staging once and reusing it keeps
+        """Canonicalise, chunk-slice, and device-stage a mask (or fused-OR
+        D operand) for :meth:`run_masked` / :meth:`run_or` /
+        :meth:`run_counts_sum`.  Returns an opaque ``(f_ptr, f_idx)`` pair
+        of full stacked device arrays; staging once and reusing it keeps
         repeated masked products free of per-call host prep (~50 ms of a
-        127 ms masked multiply at n=64K)."""
+        127 ms masked multiply at n=64K).  Results are also cached on
+        operand identity (weakref-validated), so graph pipelines that pass
+        the same BCSR mask repeatedly stage it once."""
         self._require_unrolled("stage_mask")
         from .spgemm import pad_chunk_csr
 
+        hit = self._mask_cache.get(id(f))
+        if hit is not None:
+            wf, staged = hit
+            if wf() is f:
+                return staged
+            del self._mask_cache[id(f)]
+        f_in = f
         if f.shape != self.shape:
             raise ValueError(f"mask shape {f.shape} != product {self.shape}")
         f = f.sum_duplicates()
@@ -1285,13 +1379,13 @@ class EllSpGEMMExecutor:
         while len(ptrs) % g:
             ptrs.append(np.zeros(self.rows_pad + 1, np.int32))  # empty mask
             idxs.append(np.full(f_nnz_pad, self.n_cols, np.int32))
-        return [
-            (
-                jnp.asarray(np.stack(ptrs[gi * g : (gi + 1) * g])),
-                jnp.asarray(np.stack(idxs[gi * g : (gi + 1) * g])),
-            )
-            for gi in range(self.n_groups)
-        ]
+        staged = jax.device_put(  # two transfers total (see staging note)
+            (np.stack(ptrs), np.stack(idxs))
+        )
+        while len(self._mask_cache) >= 4:
+            self._mask_cache.pop(next(iter(self._mask_cache)))
+        self._mask_cache[id(f_in)] = (weakref.ref(f_in), staged)
+        return staged
 
     def run_masked(self, f):
         """Masked multiply C = F .* (A·B) with this executor's staged A/B.
@@ -1300,18 +1394,14 @@ class EllSpGEMMExecutor:
         :meth:`stage_mask` (no per-call host work).
         """
         self._require_unrolled("run_masked")
-        staged = f if isinstance(f, list) else self.stage_mask(f)
-        outs = []
-        for (fp, fi), (er_g, ep_g) in zip(staged, self._groups()):
-            outs.append(
-                _ell_masked_jit(
-                    self.tables, er_g, ep_g, fp, fi,
-                    n_chunks=self.group_size,
-                    rows_pad=self.rows_pad, n_cols=self.n_cols,
-                    widths=self.widths, pads=self.pads,
-                    sort_pad=self.sort_pad,
-                )
+        fp_all, fi_all = f if isinstance(f, tuple) else self.stage_mask(f)
+        outs = [
+            _flat_masked(
+                self.tables_flat, self.er_all, self.ep_all, row0,
+                fp_all, fi_all, **self._flat_kw(),
             )
+            for row0 in self._row0s()
+        ]
         if len(outs) == 1:
             return outs[0]
         return tuple(
@@ -1327,13 +1417,11 @@ class EllSpGEMMExecutor:
         for free in the sort; counts cannot)."""
         self._require_unrolled("run_counts")
         outs = [
-            _ell_counts_jit(
-                self.tables, er_g, ep_g, n_chunks=self.group_size,
-                rows_pad=self.rows_pad, n_cols=self.n_cols,
-                widths=self.widths, pads=self.pads, sort_pad=self.sort_pad,
-                out_pad=self.out_pad,
+            _flat_counts(
+                self.tables_flat, self.er_all, self.ep_all, row0,
+                **self._flat_kw(), extra_kw=(("out_pad", self.out_pad),),
             )
-            for er_g, ep_g in self._groups()
+            for row0 in self._row0s()
         ]
         if len(outs) == 1:
             return outs[0]
@@ -1347,18 +1435,14 @@ class EllSpGEMMExecutor:
         :class:`BCSR` mask or the result of :meth:`stage_mask`.  Build the
         executor with ``masked=True`` to keep the join sort packed."""
         self._require_unrolled("run_masked_counts")
-        staged = f if isinstance(f, list) else self.stage_mask(f)
-        outs = []
-        for (fp, fi), (er_g, ep_g) in zip(staged, self._groups()):
-            outs.append(
-                _ell_masked_counts_jit(
-                    self.tables, er_g, ep_g, fp, fi,
-                    n_chunks=self.group_size,
-                    rows_pad=self.rows_pad, n_cols=self.n_cols,
-                    widths=self.widths, pads=self.pads,
-                    sort_pad=self.sort_pad,
-                )
+        fp_all, fi_all = f if isinstance(f, tuple) else self.stage_mask(f)
+        outs = [
+            _flat_masked_counts(
+                self.tables_flat, self.er_all, self.ep_all, row0,
+                fp_all, fi_all, **self._flat_kw(),
             )
+            for row0 in self._row0s()
+        ]
         if len(outs) == 1:
             return outs[0]
         return tuple(
@@ -1371,18 +1455,14 @@ class EllSpGEMMExecutor:
         dummy group-fill chunks contribute 0).  With ``f`` = A = B = a
         symmetric hollow adjacency this is 6× the triangle count."""
         self._require_unrolled("run_counts_sum")
-        staged = f if isinstance(f, list) else self.stage_mask(f)
-        outs = []
-        for (fp, fi), (er_g, ep_g) in zip(staged, self._groups()):
-            outs.append(
-                _ell_counts_sum_jit(
-                    self.tables, er_g, ep_g, fp, fi,
-                    n_chunks=self.group_size,
-                    rows_pad=self.rows_pad, n_cols=self.n_cols,
-                    widths=self.widths, pads=self.pads,
-                    sort_pad=self.sort_pad,
-                )
+        fp_all, fi_all = f if isinstance(f, tuple) else self.stage_mask(f)
+        outs = [
+            _flat_counts_sum(
+                self.tables_flat, self.er_all, self.ep_all, row0,
+                fp_all, fi_all, **self._flat_kw(),
             )
+            for row0 in self._row0s()
+        ]
         if len(outs) == 1:
             return outs[0]
         return jnp.concatenate(outs)
@@ -1438,45 +1518,43 @@ class EllSpGEMMExecutor:
         ``d`` and ``mask`` are :class:`BCSR` operands (staged per call) or
         results of :meth:`stage_mask` (no per-call host work)."""
         self._require_unrolled("run_or")
-        staged_d = d if isinstance(d, list) else self.stage_mask(d)
-        staged_f = (
-            None
-            if mask is None
-            else mask if isinstance(mask, list) else self.stage_mask(mask)
-        )
-        outs = []
-        for gi, ((dp, di), (er_g, ep_g)) in enumerate(
-            zip(staged_d, self._groups())
-        ):
-            if staged_f is None:
-                d_pad = di.shape[-1]
-                # D's pairs extend every chunk's sort; keep the total at a
-                # 32nd-octave bucket (XLA sorts run faster there) and bound
-                # the resident output by out_pad + D's width
-                or_sort_pad = pad_bucket(self.sort_pad + d_pad, div=32)
-                outs.append(
-                    _ell_or_jit(
-                        self.tables, er_g, ep_g, dp, di,
-                        n_chunks=self.group_size,
-                        rows_pad=self.rows_pad, n_cols=self.n_cols,
-                        widths=self.widths, pads=self.pads,
-                        sort_pad=or_sort_pad,
-                        out_pad=min(
-                            pad_bucket(self.out_pad + d_pad), or_sort_pad
+        dp_all, di_all = d if isinstance(d, tuple) else self.stage_mask(d)
+        if mask is None:
+            d_pad = di_all.shape[-1]
+            # D's pairs extend every chunk's sort; keep the total at a
+            # 32nd-octave bucket (XLA sorts run faster there) and bound
+            # the resident output by out_pad + D's width
+            kw = self._flat_kw()
+            kw["sort_pad"] = pad_bucket(self.sort_pad + d_pad, div=32)
+            outs = [
+                _flat_or(
+                    self.tables_flat, self.er_all, self.ep_all, row0,
+                    dp_all, di_all, **kw,
+                    extra_kw=(
+                        (
+                            "out_pad",
+                            min(
+                                pad_bucket(self.out_pad + d_pad),
+                                kw["sort_pad"],
+                            ),
                         ),
-                    )
+                    ),
                 )
-            else:
-                fp, fi = staged_f[gi]
-                outs.append(
-                    _ell_or_masked_jit(
-                        self.tables, er_g, ep_g, dp, di, fp, fi,
-                        n_chunks=self.group_size,
-                        rows_pad=self.rows_pad, n_cols=self.n_cols,
-                        widths=self.widths, pads=self.pads,
-                        sort_pad=self.sort_pad - self.rows_pad,
-                    )
+                for row0 in self._row0s()
+            ]
+        else:
+            fp_all, fi_all = (
+                mask if isinstance(mask, tuple) else self.stage_mask(mask)
+            )
+            kw = self._flat_kw()
+            kw["sort_pad"] = self.sort_pad - self.rows_pad
+            outs = [
+                _flat_or_masked(
+                    self.tables_flat, self.er_all, self.ep_all, row0,
+                    dp_all, di_all, fp_all, fi_all, **kw,
                 )
+                for row0 in self._row0s()
+            ]
         if len(outs) == 1:
             return outs[0]
         return tuple(
@@ -1589,13 +1667,11 @@ class EllSpGEMMExecutor:
         from .spgemm import pull_chunk_prefixes, split_seps
 
         host_parts = []
-        kernel = _ell_spgemm_sep2d_jit if self.batched else _ell_spgemm_sep_jit
-        for er_g, ep_g in self._groups():
+        kernel = _flat_spgemm_sep2d if self.batched else _flat_spgemm_sep
+        for row0 in self._row0s():
             idx_dev, nnz_dev = kernel(
-                self.tables, er_g, ep_g, n_chunks=self.group_size,
-                rows_pad=self.rows_pad, n_cols=self.n_cols,
-                widths=self.widths, pads=self.pads, sort_pad=self.sort_pad,
-                out_pad=self.out_pad,
+                self.tables_flat, self.er_all, self.ep_all, row0,
+                **self._flat_kw(), extra_kw=(("out_pad", self.out_pad),),
             )
             nnz = np.asarray(nnz_dev)
             # pull only the valid prefixes: compact the group on device when
@@ -1685,7 +1761,7 @@ def ell_spgemm(a: BCSR, b: BCSR) -> BCSR:
 # Per-dispatch expansion-slot budget: sorts carry ~24 B of live intermediates
 # per slot, so 2^27 slots ≈ 3 GB per dispatch — comfortable on a 16 GB chip
 # while keeping compile sizes sane.  Larger products run as multiple uniform
-# dispatches sharing one compile (see EllSpGEMMExecutor._groups).
+# dispatches sharing one compile (see EllSpGEMMExecutor._row0s).
 DISPATCH_SLOT_BUDGET = 1 << 27
 
 # Resident-output budget for auto-choosing ELL over chunked ESC: all chunks'
@@ -1693,6 +1769,38 @@ DISPATCH_SLOT_BUDGET = 1 << 27
 # of one dispatch's ~24 B/slot sort intermediates → 2^30 out-slots ≈ 4 GB of
 # outputs + ~3 GB transient, comfortable on a 16 GB chip.
 AUTO_ELL_MAX_SLOTS = 1 << 30
+
+
+_EXEC_CACHE: dict = {}
+_EXEC_CACHE_MAX = 4
+# don't pin staging for huge operands a one-shot caller may never reuse
+_EXEC_CACHE_MAX_NNZ = 64 << 20
+
+
+def cached_executor(a: BCSR, b: BCSR, *, masked: bool = False):
+    """An :class:`EllSpGEMMExecutor` cached on operand IDENTITY.
+
+    One-shot entry points (``spgemm``/``masked_spgemm``/``spgemm_counts``
+    and the graph ops built on them) re-stage operands every call; analytics
+    pipelines that hit the same matrices repeatedly (triangle count then
+    clustering coefficients then k-truss on one graph) waste a full staging
+    per op.  Identity keys are validated through weakrefs (guards id()
+    reuse after GC); entries evict FIFO at {max} executors and oversized
+    operands are never cached.
+    """
+    key = (id(a), id(b), masked)
+    hit = _EXEC_CACHE.get(key)
+    if hit is not None:
+        wa, wb, ex = hit
+        if wa() is a and wb() is b:
+            return ex
+        del _EXEC_CACHE[key]
+    ex = EllSpGEMMExecutor(a, b, masked=masked)
+    if a.nnz + b.nnz <= _EXEC_CACHE_MAX_NNZ:
+        while len(_EXEC_CACHE) >= _EXEC_CACHE_MAX:
+            _EXEC_CACHE.pop(next(iter(_EXEC_CACHE)))
+        _EXEC_CACHE[key] = (weakref.ref(a), weakref.ref(b), ex)
+    return ex
 
 
 def prefer_batched(a: BCSR, b: BCSR) -> bool:

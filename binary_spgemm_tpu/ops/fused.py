@@ -198,10 +198,10 @@ def spgemm_or(
     # the chunk sort / three-way tagged join) whenever the expansion fits;
     # explicit ``chunk_flops`` forces the chunked ESC path below.
     if chunk_flops is None:
-        from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
+        from .ell import AUTO_ELL_MAX_SLOTS, cached_executor
 
         try:
-            ex = EllSpGEMMExecutor(a, b, masked=mask is not None)
+            ex = cached_executor(a, b, masked=mask is not None)
             # budget what run_or actually allocates: every chunk's sort and
             # output widen by the staged D (and mask) pads
             d_pad = ex.staged_nnz_pad(d)

@@ -101,13 +101,13 @@ def masked_spgemm(
         if spgemm_flops(a, b) <= HOST_MAX_FLOPS:
             return host_masked_spgemm(f, a, b)
 
-        from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
+        from .ell import AUTO_ELL_MAX_SLOTS, cached_executor
 
         # masked=True halves the chunk row cap so the (row, col, tag) sort
         # key stays single-int32 packed: measured 0.211 s vs 0.471 s at
         # n=256K d=16 (benchmarks/masked_cap.py); at n<=64K plans coincide.
         try:
-            ex = EllSpGEMMExecutor(a, b, masked=True)
+            ex = cached_executor(a, b, masked=True)
             if ex.total_slots <= AUTO_ELL_MAX_SLOTS:
                 # (masked outputs are not out_pad-truncated; use the
                 # stricter sort-domain budget)

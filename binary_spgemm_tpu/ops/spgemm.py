@@ -1309,10 +1309,10 @@ def spgemm(
         # plan cost (~7 s vs ~3 s there) — batched pays off for STAGED use
         # (auto_executor / EllSpGEMMExecutor(batched=True)), where the plan
         # amortises over repeated run() calls.
-        from .ell import AUTO_ELL_MAX_SLOTS, EllSpGEMMExecutor
+        from .ell import AUTO_ELL_MAX_SLOTS, cached_executor
 
         try:
-            ex = EllSpGEMMExecutor(a, b)
+            ex = cached_executor(a, b)
             if ex.resident_slots <= AUTO_ELL_MAX_SLOTS:
                 return ex.assemble(ex.run())
             # beyond the resident budget the chunked ESC path below wins on

@@ -347,3 +347,58 @@ def test_native_row_weight_bounds_check():
         pytest.skip("native library unavailable")
     with pytest.raises(IndexError):
         row_weight(a.indptr, a.indices, short_weight)
+
+
+def test_cached_executor_identity():
+    import binary_spgemm_tpu.ops.ell as ell_mod
+    from binary_spgemm_tpu.ops.ell import cached_executor
+
+    ell_mod._EXEC_CACHE.clear()
+    a = BCSR.random(300, 300, 3.0, seed=71)
+    b = BCSR.random(300, 300, 3.0, seed=72)
+    ex1 = cached_executor(a, b)
+    assert cached_executor(a, b) is ex1            # identity hit
+    assert cached_executor(a, b, masked=True) is not ex1  # masked keyed apart
+    assert cached_executor(b, a) is not ex1        # order matters
+    assert ex1.assemble(ex1.run()).equals(spgemm_oracle(a, b))
+    # dead-weakref entries are dropped, not returned
+    key = (id(a), id(b), False)
+    assert key in ell_mod._EXEC_CACHE
+    import weakref
+
+    class _Dead:
+        def __call__(self):
+            return None
+
+    wa, wb, ex = ell_mod._EXEC_CACHE[key]
+    ell_mod._EXEC_CACHE[key] = (_Dead(), wb, ex)
+    ex2 = cached_executor(a, b)
+    assert ex2 is not ex1
+    ell_mod._EXEC_CACHE.clear()
+
+
+def test_cached_executor_eviction():
+    import binary_spgemm_tpu.ops.ell as ell_mod
+    from binary_spgemm_tpu.ops.ell import cached_executor
+
+    ell_mod._EXEC_CACHE.clear()
+    mats = [BCSR.random(100, 100, 2.0, seed=80 + i) for i in range(6)]
+    for m in mats:
+        cached_executor(m, m)
+    assert len(ell_mod._EXEC_CACHE) <= ell_mod._EXEC_CACHE_MAX
+    ell_mod._EXEC_CACHE.clear()
+
+
+def test_stage_mask_identity_cache():
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle as mo
+
+    a = BCSR.random(300, 300, 4.0, seed=73)
+    f = BCSR.random(300, 300, 2.0, seed=74)
+    ex = EllSpGEMMExecutor(a, a)
+    s1 = ex.stage_mask(f)
+    assert ex.stage_mask(f) is s1  # identity-cached staging
+    f2 = BCSR.random(300, 300, 2.0, seed=75)
+    s2 = ex.stage_mask(f2)
+    assert s2 is not s1
+    assert ex.assemble(ex.run_masked(s1)).equals(mo(f, a, a))
+    assert ex.assemble(ex.run_masked(s2)).equals(mo(f2, a, a))
