@@ -223,11 +223,15 @@ def _build_class_entries(
 def _expand_class(
     table: jax.Array,  # [nc, w] int32, sentinel-padded with n_cols
     entry_rows: jax.Array,  # [ec_pad] int32, sentinel n_rows beyond n_valid
-    entry_pos: jax.Array,  # [ec_pad] int32 (0 beyond n_valid)
+    entry_pos: jax.Array,  # [ec_pad] or inlined [ec_pad*w] int32
     n_rows: int,
     n_cols: int,
+    w: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
-    cols = table[entry_pos]  # [ec_pad, w] — THE row-gather
+    if table is None:  # inlined class: entry_pos IS B's row values
+        cols = entry_pos.reshape(-1, w)
+    else:
+        cols = table[entry_pos]  # [ec_pad, w] — THE row-gather
     rows = jnp.broadcast_to(entry_rows[:, None], cols.shape)
     valid = (cols < n_cols) & (rows < n_rows)
     rows = jnp.where(valid, rows, n_rows)
@@ -328,12 +332,17 @@ def _ell_spgemm_sep_jit(
 def _expand_class_2d(
     table: jax.Array,  # [nc, w] int32, sentinel-padded with n_cols
     entry_rows: jax.Array,  # [k, ec_pad] int32, sentinel rows_pad beyond valid
-    entry_pos: jax.Array,  # [k, ec_pad] int32 (0 beyond valid)
+    entry_pos: jax.Array,  # [k, ec_pad] or inlined [k, ec_pad*w] int32
     rows_pad: int,
     n_cols: int,
+    w: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched :func:`_expand_class`: all k chunks' gathers in one op."""
-    cols = table[entry_pos]  # [k, ec_pad, w] — THE row-gather, batched
+    if table is None:  # inlined class: entry_pos IS B's row values
+        k = entry_rows.shape[0]
+        cols = entry_pos.reshape(k, -1, w)
+    else:
+        cols = table[entry_pos]  # [k, ec_pad, w] — THE row-gather, batched
     rows = jnp.broadcast_to(entry_rows[..., None], cols.shape)
     valid = (cols < n_cols) & (rows < rows_pad)
     rows = jnp.where(valid, rows, rows_pad)
@@ -378,8 +387,8 @@ def _ell_spgemm_sep2d_jit(
 
     k = n_chunks
     parts_r, parts_c = [], []
-    for t, er, ep in zip(tables, entry_rows, entry_pos):
-        r, c = _expand_class_2d(t, er, ep, rows_pad, n_cols)
+    for t, er, ep, w in zip(tables, entry_rows, entry_pos, widths):
+        r, c = _expand_class_2d(t, er, ep, rows_pad, n_cols, w)
         parts_r.append(r)
         parts_c.append(c)
     parts_r.append(
@@ -422,8 +431,8 @@ def _chunk_pair_streams(
     streams = []
     for k in range(n_chunks):
         parts_r, parts_c = [], []
-        for t, er, ep in zip(tables, entry_rows, entry_pos):
-            r, c = _expand_class(t, er[k], ep[k], rows_pad, n_cols)
+        for t, er, ep, w in zip(tables, entry_rows, entry_pos, widths):
+            r, c = _expand_class(t, er[k], ep[k], rows_pad, n_cols, w)
             parts_r.append(r)
             parts_c.append(c)
         if fill or not parts_r:  # fill == 0 with no classes: keep concat fed
@@ -728,7 +737,11 @@ def _unpack_tables(tables_flat: jax.Array, table_shapes) -> tuple:
     ~13-30 ms regardless of size; ~300 staged leaves measured 3.2 s of a
     3.4 s executor build)."""
     out, off = [], 0
-    for r, w in table_shapes:
+    for shape in table_shapes:
+        if shape is None:  # inlined width-1 class: no table bytes at all
+            out.append(None)
+            continue
+        r, w = shape
         out.append(
             jax.lax.slice(tables_flat, (off,), (off + r * w,)).reshape(r, w)
         )
@@ -736,17 +749,19 @@ def _unpack_tables(tables_flat: jax.Array, table_shapes) -> tuple:
     return tuple(out)
 
 
-def _unpack_entries(er_all, ep_all, row0, g: int, pads) -> tuple:
+def _unpack_entries(er_all, ep_all, row0, g: int, pads, ep_spans) -> tuple:
     """Slice one dispatch group's rows out of the full stacked entry arrays
     (traced ``row0`` → one compile serves every group) and split the class
-    column spans (static)."""
+    column spans (static).  ``ep_spans`` differ from ``pads`` for INLINED
+    classes, whose staged values occupy ``pad*w`` columns."""
     er_g = jax.lax.dynamic_slice(er_all, (row0, 0), (g, er_all.shape[1]))
     ep_g = jax.lax.dynamic_slice(ep_all, (row0, 0), (g, ep_all.shape[1]))
-    ers, eps, off = [], [], 0
-    for pad in pads:
-        ers.append(jax.lax.slice(er_g, (0, off), (g, off + pad)))
-        eps.append(jax.lax.slice(ep_g, (0, off), (g, off + pad)))
-        off += pad
+    ers, eps, off_r, off_p = [], [], 0, 0
+    for pad, span in zip(pads, ep_spans):
+        ers.append(jax.lax.slice(er_g, (0, off_r), (g, off_r + pad)))
+        eps.append(jax.lax.slice(ep_g, (0, off_p), (g, off_p + span)))
+        off_r += pad
+        off_p += span
     return tuple(ers), tuple(eps)
 
 
@@ -769,7 +784,13 @@ def _make_flat_kernel(inner):
         extra_kw=(),
     ):
         tables = _unpack_tables(tables_flat, table_shapes)
-        er, ep = _unpack_entries(er_all, ep_all, row0, n_chunks, pads)
+        ep_spans = tuple(
+            p * w if shape is None else p  # inlined: pad*w staged values
+            for shape, w, p in zip(table_shapes, widths, pads)
+        )
+        er, ep = _unpack_entries(
+            er_all, ep_all, row0, n_chunks, pads, ep_spans
+        )
         extras = tuple(
             jax.lax.dynamic_slice(
                 m, (row0,) + (0,) * (m.ndim - 1), (n_chunks,) + m.shape[1:]
@@ -786,11 +807,16 @@ def _make_flat_kernel(inner):
 
 
 def _sort_rate_ns(L: int, packed: bool) -> float:
-    """Measured v5e per-element 2-D sort rates by row length
-    (benchmarks/micro.jsonl, bench "sort2d"), log-linear interpolation."""
+    """Measured v5e per-element 2-D sort rates by row length, log-linear
+    interpolation.  FLOOR-FREE points from benchmarks/micro.jsonl bench
+    "sort_rate27" (2^27 elems, ~24 ms dispatch floor subtracted — the
+    earlier "sort2d" 2^25 points carried 0.72 ns/elem of pure floor and
+    overstated short-L sorts ~5x, making the planner pick far too few
+    chunks for many-row inputs)."""
     import math
 
-    pts = [(12, 1.11), (15, 1.38), (20, 1.68), (25, 2.15)]
+    pts = [(7, 0.05), (9, 0.11), (11, 0.22), (13, 0.36), (16, 0.67),
+           (25, 1.43)]
     x = math.log2(max(L, 2))
     if x <= pts[0][0]:
         r = pts[0][1]
@@ -805,6 +831,20 @@ def _sort_rate_ns(L: int, packed: bool) -> float:
     # long L, 1.9/1.38 ≈ 1.37 in the batched regime)
 
 
+def _gather_rate_ns(w: int) -> float:
+    """Expansion (class-table row-gather) cost per gathered SLOT by table
+    width: each gathered row costs roughly one fixed-width memory
+    transaction (narrow trailing dims tile-pad to 128 lanes), so the
+    per-slot rate falls ~1/w.  Anchors: w=1 isolated gather 8.8 ns/elem
+    (benchmarks/micro.jsonl "gather_width"); the fused hypersparse-5m-d2
+    expansion mix {1,2,3,4,5,14} averaged 2.7 ns/slot
+    (results.jsonl "batched-decompose").  Classes of width ≤ 2 are INLINED
+    at staging (no gather at all) — callers pass the merged group width."""
+    if w <= 2:
+        return 0.05  # inlined: a reshape + where, no gather
+    return 8.5 / w + 0.3
+
+
 def _batched_deal_plan(
     a: BCSR,
     b: BCSR,
@@ -812,6 +852,7 @@ def _batched_deal_plan(
     cap: int,
     deal_k: int | None,
     key_cols: int,
+    merge_widths: tuple[int, ...] | None = None,
 ):
     """Plan the batched 2-D engine: pick the bin count k by the measured
     sort-rate model, snake-deal rows in dominant-class order, and DP-merge
@@ -882,17 +923,24 @@ def _batched_deal_plan(
         asg[order] = np.where(fwd, lane, k - 1 - lane)
         return asg
 
+    # Per-slot weight for the DP: expansion gather rate by group width plus
+    # a typical per-slot sort cost (2 sorts x ~0.5 ns at the L this engine
+    # lands on).  Makes the merge trade padding (wider groups) against the
+    # narrow-gather penalty — pure slot-minimising merges kept w∈{1,2,3}
+    # groups whose gathers dominated the hypersparse kernel (96 of 124 ms).
+    SORT_W = 1.0
+
     def dp_merge(cnt_pref, k):
-        """Optimal contiguous class grouping: min Σ pad(max-bin count) × w."""
+        """Optimal contiguous class grouping: min Σ slots × per-slot cost."""
         best = [float("inf")] * (C + 1)
         best[0] = 0.0
         choice = [0] * (C + 1)
         for i in range(1, C + 1):
+            w = int(classes[i - 1])
+            weight = _gather_rate_ns(w) + SORT_W
             for j in range(i):
                 gmax = int((cnt_pref[i] - cnt_pref[j]).max())
-                cost = best[j] + pad_bucket(max(gmax, 8), div=32) * int(
-                    classes[i - 1]
-                )
+                cost = best[j] + pad_bucket(max(gmax, 8), div=32) * w * weight
                 if cost < best[i]:
                     best[i] = cost
                     choice[i] = j
@@ -902,7 +950,34 @@ def _batched_deal_plan(
             groups.append((choice[i], i))
             i = choice[i]
         groups.reverse()
-        return best[C], groups
+        return groups
+
+    def forced_groups(gw):
+        """Contiguous class grouping at caller-forced width levels."""
+        gw = sorted(int(x) for x in gw)
+        if gw[-1] < int(classes[-1]):
+            raise ValueError(
+                f"merge_widths {gw} do not cover max class {classes[-1]}"
+            )
+        groups, j = [], 0
+        for lvl in gw:
+            i = int(np.searchsorted(classes, lvl, side="right"))
+            if i > j:
+                groups.append((j, i))
+                j = i
+        return groups
+
+    def groups_stats(cnt_pref, groups):
+        """(padded slots, gather ns/chunk) for a grouping."""
+        slots, gather = 0, 0.0
+        for j, i in groups:
+            w = int(classes[i - 1])
+            s = pad_bucket(
+                max(int((cnt_pref[i] - cnt_pref[j]).max()), 8), div=32
+            ) * w
+            slots += s
+            gather += s * _gather_rate_ns(w)
+        return slots, gather
 
     if deal_k:
         ks = [int(deal_k)]
@@ -913,10 +988,10 @@ def _batched_deal_plan(
         k_pack = 1 << max(int(n / max(cap, 1) - 1e-9).bit_length(), 6)
         ks = sorted(
             {
-                min(max(k, 64), 1 << 16)
+                min(max(k, 64), 1 << 17)
                 for k in (
                     k_pack // 4, k_pack // 2, k_pack,
-                    2 * k_pack, 4 * k_pack, 8 * k_pack,
+                    2 * k_pack, 4 * k_pack, 8 * k_pack, 16 * k_pack,
                 )
             }
         )
@@ -930,21 +1005,31 @@ def _batched_deal_plan(
         cnt = np.bincount(e * k + asg[r], minlength=C * k).reshape(C, k)
         pref = np.zeros((C + 1, k), np.int64)
         np.cumsum(cnt, axis=0, out=pref[1:])
-        per_bin, groups = dp_merge(pref, k)
+        groups = (
+            forced_groups(merge_widths)
+            if merge_widths is not None
+            else dp_merge(pref, k)
+        )
+        slots, gather = groups_stats(pref, groups)
         rows_pad = pad_bucket(
             int(np.bincount(asg, minlength=k).max()) or 1, minimum=1, div=32
         )
-        L = int(per_bin) * sample_step + rows_pad
+        L = int(slots) * sample_step + rows_pad
         packed = packable(rows_pad, key_cols)
-        cost = 2.0 * _sort_rate_ns(L, packed) * L * k
+        cost = (
+            2.0 * _sort_rate_ns(L, packed) * L + gather * sample_step
+        ) * k
         return cost, k, asg, groups, rows_pad, pref
 
     if len(ks) == 1:
         plans = [eval_k(ks[0])]
     else:
-        # rank candidates on a 1/8 entry sample (padded-slot statistics are
-        # smooth in k), then evaluate only the winner at full resolution
-        step = 8 if len(rr) > (1 << 22) else 1
+        # Rank candidates at FULL resolution up to 2^24 entries: sampling
+        # inflates per-bin MAXIMA (extreme values of binomial noise) more at
+        # high k, which inverted the ranking on large-1m-d8 (picked k=512,
+        # 0.237 s, over k=8192, 0.179 s).  Beyond that, a 1/4 sample keeps
+        # the distortion below the candidate gaps.
+        step = 4 if len(rr) > (1 << 24) else 1
         ranked = min((eval_k(k, step) for k in ks), key=lambda t: t[0])
         plans = [ranked if step == 1 else eval_k(ranked[1])]
     cost, k, assign, groups, rows_pad, pref = plans[0]
@@ -997,6 +1082,7 @@ class EllSpGEMMExecutor:
         masked: bool = False,
         deal_k: int | None = None,
         batched: bool = False,
+        merge_widths: tuple[int, ...] | None = None,
     ):
         if a.n_cols != b.n_rows:
             raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
@@ -1020,7 +1106,9 @@ class EllSpGEMMExecutor:
             # batched 2-D engine: model-chosen bin count, dominant-class
             # snake deal, DP width-class merge (builds the ELL tables once,
             # with the merged widths)
-            planned = _batched_deal_plan(a, b, rf, cap, deal_k, key_cols)
+            planned = _batched_deal_plan(
+                a, b, rf, cap, deal_k, key_cols, merge_widths=merge_widths
+            )
             if planned is None:
                 self.batched = False  # degenerate input: unrolled is fine
             else:
@@ -1231,17 +1319,52 @@ class EllSpGEMMExecutor:
         # entry arrays into ONE [k_tot, Σpads] array each — 3 uploads total
         # (~300 per-leaf puts measured 3.2 s of a 3.4 s build on rmat-s16).
         # Kernels unpack inside jit (_make_flat_kernel).
-        self.table_shapes = tuple(t.shape for t in ell.tables)
+        # Narrow classes are INLINED: the staged entry "position" becomes
+        # B's row values themselves (table_shapes slot None, no table
+        # bytes).  Each gathered row costs ~8.5 ns on v5e regardless of
+        # width (narrow trailing dims tile-pad to 128 lanes), so skipping
+        # the gather for a class removes its whole expansion cost — the
+        # hypersparse-5m-d2 expansion was 96 of 124 ms.  Inlining is a pure
+        # operand-LAYOUT choice (like CSR vs ELL), applied only when it
+        # does not grow the staged bytes: w=1 always (the value occupies
+        # exactly the pointer's slot), w=2 when entries*(w-1) <= nc*w
+        # (duplicating rows referenced ~<=2x costs less than keeping the
+        # pointer column plus the shared table).
+        self.inline = tuple(
+            w == 1
+            or (
+                w <= 2
+                and len(pos_pc[ci]) * (w - 1) <= ell.tables[ci].shape[0] * w
+            )
+            for ci, w in enumerate(self.widths)
+        )
+        self.table_shapes = tuple(
+            None if inl else t.shape
+            for inl, t in zip(self.inline, ell.tables)
+        )
+        live_tables = [
+            t for inl, t in zip(self.inline, ell.tables) if not inl
+        ]
         tables_flat = (
-            np.concatenate([t.reshape(-1) for t in ell.tables])
-            if ell.tables
+            np.concatenate([t.reshape(-1) for t in live_tables])
+            if live_tables
             else np.zeros(0, np.int32)
         )
         k_tot = self.n_groups * self.group_size
+        # inlined classes stage pad*w value columns; pointer classes pad
+        ep_spans = np.array(
+            [
+                p * w if inl else p
+                for p, w, inl in zip(self.pads, self.widths, self.inline)
+            ],
+            np.int64,
+        )
         P = sum(self.pads)
+        P_ep = int(ep_spans.sum())
         offs = np.concatenate([[0], np.cumsum(self.pads)]).astype(np.int64)
+        offs_ep = np.concatenate([[0], np.cumsum(ep_spans)]).astype(np.int64)
         er_all = np.full((k_tot, P), self.rows_pad, np.int32)
-        ep_all = np.zeros((k_tot, P), np.int32)
+        ep_all = np.zeros((k_tot, P_ep), np.int32)
         if self.row_sets is not None:
             # per-class partition of A's entries by dealt chunk; within a
             # chunk entries keep ascending global-row order, so chunk-local
@@ -1258,18 +1381,33 @@ class EllSpGEMMExecutor:
                 rank = np.arange(len(rs), dtype=np.int64) - np.repeat(
                     cst[:-1], cnt
                 )
-                flat = ch[ordc].astype(np.int64) * P + offs[ci] + rank
-                er_flat[flat] = local_id[rs]
-                ep_flat[flat] = ps
+                er_flat[
+                    ch[ordc].astype(np.int64) * P + offs[ci] + rank
+                ] = local_id[rs]
+                base_ep = ch[ordc].astype(np.int64) * P_ep + offs_ep[ci]
+                if self.inline[ci]:
+                    w = self.widths[ci]
+                    dst = (base_ep + rank * w)[:, None] + np.arange(w)
+                    ep_flat[dst.reshape(-1)] = ell.tables[ci][ps].reshape(-1)
+                else:
+                    ep_flat[base_ep + rank] = ps
         else:
             for ci, (rcls, pcls) in enumerate(zip(rows_pc, pos_pc)):
                 cuts = cuts_pc[ci]
-                o = offs[ci]
+                o, o_ep = offs[ci], offs_ep[ci]
+                w = self.widths[ci] if self.inline[ci] else 1
+                ps_all = (
+                    ell.tables[ci][pcls].reshape(-1)
+                    if self.inline[ci]
+                    else pcls
+                )
                 for kk, (r0, r1) in enumerate(self.chunks):
                     lo, hi = cuts[kk], cuts[kk + 1]
                     # chunk-local row ids
                     er_all[kk, o : o + hi - lo] = rcls[lo:hi] - r0
-                    ep_all[kk, o : o + hi - lo] = pcls[lo:hi]
+                    ep_all[kk, o_ep : o_ep + (hi - lo) * w] = ps_all[
+                        lo * w : hi * w
+                    ]
         self.tables_flat, self.er_all, self.ep_all = jax.device_put(
             (tables_flat, er_all, ep_all)
         )

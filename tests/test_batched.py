@@ -103,3 +103,29 @@ def test_ellb_group_widths():
     assert (coarse.class_of_row >= 0).sum() == (fine.class_of_row >= 0).sum()
     with pytest.raises(ValueError, match="do not cover"):
         EllB.build(b, (2,))
+
+
+def test_inline_narrow_classes_bit_exact():
+    """Width<=2 B rows inline into the staged entry stream (no class table,
+    no gather); flags must reflect the byte-neutrality rule and results stay
+    bit-exact on width mixes that exercise inlined + gathered classes."""
+    rng = np.random.default_rng(33)
+    # B with many width-1/2 rows each referenced ~once, plus wide rows
+    n = 3000
+    rows, cols = [], []
+    for r in range(n):
+        w = int(rng.choice([1, 1, 2, 2, 3, 8]))
+        cs = rng.choice(n, size=w, replace=False)
+        rows.extend([r] * w)
+        cols.extend(cs.tolist())
+    b = BCSR.from_coo(np.array(rows), np.array(cols), (n, n))
+    a = BCSR.random(n, n, 2.0, seed=34)
+    for batched in (False, True):
+        ex = EllSpGEMMExecutor(a, b, batched=batched)
+        assert any(
+            inl and w <= 2 for inl, w in zip(ex.inline, ex.widths)
+        ), (ex.inline, ex.widths)
+        assert not any(
+            inl and w > 2 for inl, w in zip(ex.inline, ex.widths)
+        )
+        assert ex.assemble(ex.run()).equals(spgemm_oracle(a, b))
