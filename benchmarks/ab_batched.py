@@ -11,6 +11,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from binary_spgemm_tpu import BCSR
 from binary_spgemm_tpu.ops.ell import EllSpGEMMExecutor
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _provenance import emit, sort_fraction
+
 CONFIGS = [
     ("mid-64k-d16", 1 << 16, 16.0, [512, 2048]),
     ("large-1m-d8", 1 << 20, 8.0, [2048, 8192]),
@@ -32,7 +35,7 @@ def real_nnz(ex, out):
     nnz = np.asarray(out[-1], np.int64)[: ex.n_chunks]
     return int(nnz.sum()) - ex.n_chunks * ex.rows_pad
 
-with open("/root/repo/benchmarks/results.jsonl", "a") as f:
+if True:
     for name, n, d, ks in CONFIGS:
         a = BCSR.random(n, n, d, seed=7)
         base = EllSpGEMMExecutor(a, a)
@@ -41,15 +44,16 @@ with open("/root/repo/benchmarks/results.jsonl", "a") as f:
         rec = {"ab": "batched2d", "config": name, "variant": "base",
                "t": tb, "chunks": base.n_chunks, "rows_pad": base.rows_pad,
                "sort_pad": base.sort_pad, "total_slots": base.total_slots,
-               "real_nnz": nnz_ref}
-        print(json.dumps(rec), flush=True); f.write(json.dumps(rec) + "\n")
+               "real_nnz": nnz_ref,
+               "roofline_fraction": sort_fraction(base, tb)}
+        emit(rec)
         del base, out_b
         for k in ks:
             try:
                 ex = EllSpGEMMExecutor(a, a, deal_k=k, batched=True)
             except OverflowError as e:
-                print(json.dumps({"ab": "batched2d", "config": name,
-                                  "variant": f"k{k}", "error": str(e)}), flush=True)
+                emit({"ab": "batched2d", "config": name,
+                      "variant": f"k{k}", "error": str(e)})
                 continue
             t, out = timed(ex)
             nz = real_nnz(ex, out)
@@ -57,6 +61,7 @@ with open("/root/repo/benchmarks/results.jsonl", "a") as f:
                    "t": t, "chunks": ex.n_chunks, "rows_pad": ex.rows_pad,
                    "sort_pad": ex.sort_pad, "total_slots": ex.total_slots,
                    "real_nnz": nz, "nnz_match": nz == nnz_ref,
-                   "speedup_vs_base": tb / t}
-            print(json.dumps(rec), flush=True); f.write(json.dumps(rec) + "\n")
+                   "speedup_vs_base": tb / t,
+                   "roofline_fraction": sort_fraction(ex, t)}
+            emit(rec)
             del ex, out

@@ -117,9 +117,14 @@ def main() -> None:
                     csp = sp @ sp
                     sp_ts.append(time.perf_counter() - t0)
                 scipy_s = min(sp_ts)
-                assert csp.nnz == c.nnz, (name, csp.nnz, c.nnz)
+                csp.sort_indices()
+                exact = np.array_equal(c.indptr, csp.indptr) and np.array_equal(
+                    c.indices, csp.indices
+                )
+                assert exact, (name, csp.nnz, c.nnz)
                 rec = {
                     "config": name,
+                    "bit_exact": bool(exact),
                     "n": n,
                     "d": d,
                     "platform": "host",
@@ -166,7 +171,12 @@ def main() -> None:
                 csp = sp @ sp
                 sp_ts.append(time.perf_counter() - t0)
             scipy_s = min(sp_ts)
-            assert csp.nnz == c.nnz, (name, csp.nnz, c.nnz)
+            # full bit-exact gate vs the scipy oracle, not just an nnz match
+            csp.sort_indices()
+            exact = np.array_equal(c.indptr, csp.indptr) and np.array_equal(
+                c.indices, csp.indices
+            )
+            assert exact, (name, csp.nnz, c.nnz)
             extras = {}
             if kind == "ops":
                 # per-op throughput on this matrix: masked multiply (ELL
@@ -274,6 +284,7 @@ def main() -> None:
 
             rec = {
                 "config": name,
+                "bit_exact": bool(exact),
                 **extras,
                 "n": n,
                 "d": d,
