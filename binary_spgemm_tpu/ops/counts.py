@@ -27,7 +27,6 @@ from ..formats.bcsr import BCSR
 from .spgemm import (
     INT,
     DEFAULT_CHUNK_FLOPS,
-    _forward_fill_last,
     _histogram_indptr_wins,
     _indptr_from_sorted_rows,
     _row_ids,
@@ -44,8 +43,11 @@ __all__ = [
     "masked_spgemm_counts",
     "triangle_count_device",
     "sort_compress_counts",
+    "sort_compress_counts_seps_2d",
     "masked_counts_compress",
+    "masked_counts_compress_seps_2d",
     "masked_counts_sum",
+    "masked_counts_sum_2d",
 ]
 
 
@@ -115,6 +117,246 @@ def sort_compress_counts(
     return c_indptr, c_indices, c_counts, nnz_c
 
 
+def sort_compress_counts_seps_2d(
+    row: jax.Array, col: jax.Array, n_rows: int, n_cols: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched :func:`sort_compress_counts` with **embedded row separators**:
+    ``row``/``col`` are ``[k, L]`` per-chunk candidate streams (one synthetic
+    ``(r, n_cols)`` separator per chunk row appended by the caller); the
+    payload sorts run along axis -1.
+
+    Separators are unique within their chunk, so they survive compaction
+    with a (dropped) multiplicity of 1 — the host splits them off the index
+    stream and deletes the matching count slots
+    (``EllSpGEMMExecutor._assemble_seps_batch``).  Returns stacked
+    ``(c_indices [k, L], c_counts [k, L], nnz [k])`` where nnz includes the
+    separators.
+    """
+    k, L = row.shape
+    mark = jnp.arange(L, dtype=INT)[None, :]
+    if packable(n_rows, n_cols):
+        shift = int(n_cols).bit_length()
+        key = (row << shift) | col
+        key_s = jax.lax.sort(key, dimension=1, is_stable=False)
+        valid = key_s < (n_rows << shift)  # separators valid, padding not
+        q = jnp.cumsum(valid.astype(INT), axis=1) - valid.astype(INT)
+        total = jnp.sum(valid, axis=1, dtype=INT)[:, None]
+        prev = jnp.concatenate(
+            [jnp.full((k, 1), -1, INT), key_s[:, :-1]], axis=1
+        )
+        keep = (key_s != prev) & valid
+        nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+        c_keys, qc = jax.lax.sort(
+            (demoted, q), dimension=1, num_keys=1, is_stable=False
+        )
+        nxt = jnp.where(
+            mark + 1 < nnz_c[:, None], jnp.roll(qc, -1, axis=1), total
+        )
+        c_counts = jnp.where(mark < nnz_c[:, None], nxt - qc, 0)
+        return c_keys & ((1 << shift) - 1), c_counts, nnz_c
+
+    row_s, col_s = jax.lax.sort(
+        (row, col), dimension=1, num_keys=2, is_stable=False
+    )
+    valid = row_s < n_rows
+    q = jnp.cumsum(valid.astype(INT), axis=1) - valid.astype(INT)
+    total = jnp.sum(valid, axis=1, dtype=INT)[:, None]
+    pad1 = jnp.full((k, 1), -1, INT)
+    prev_row = jnp.concatenate([pad1, row_s[:, :-1]], axis=1)
+    prev_col = jnp.concatenate([pad1, col_s[:, :-1]], axis=1)
+    keep = ((row_s != prev_row) | (col_s != prev_col)) & valid
+    nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+    demoted_r = jnp.where(keep, row_s, n_rows)
+    demoted_c = jnp.where(keep, col_s, n_cols)
+    _, c_indices, qc = jax.lax.sort(
+        (demoted_r, demoted_c, q), dimension=1, num_keys=2, is_stable=False
+    )
+    nxt = jnp.where(
+        mark + 1 < nnz_c[:, None], jnp.roll(qc, -1, axis=1), total
+    )
+    c_counts = jnp.where(mark < nnz_c[:, None], nxt - qc, 0)
+    return c_indices, c_counts, nnz_c
+
+
+def masked_counts_compress_seps_2d(
+    row: jax.Array,
+    col: jax.Array,
+    f_row: jax.Array,
+    f_col: jax.Array,
+    n_rows: int,
+    n_cols: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched :func:`masked_counts_compress` with embedded row separators:
+    stage 1 is :func:`sort_compress_counts_seps_2d`'s compression, stage 2 a
+    tagged join against the mask along axis -1; separators survive the join
+    unconditionally (they have no mask pair) and are split off host-side.
+    ``f_row``/``f_col`` are ``[k, Pf]`` mask pairs pre-sentineled to
+    ``(n_rows, n_cols)``.  Returns ``(c_indices, c_counts, nnz)`` stacked.
+    """
+    k, L = row.shape
+    mark = jnp.arange(L, dtype=INT)[None, :]
+    if packable(n_rows, 2 * n_cols + 1):
+        bl = int(n_cols).bit_length()
+        key = (row << bl) | col
+        key_s = jax.lax.sort(key, dimension=1, is_stable=False)
+        valid = key_s < (n_rows << bl)
+        q = jnp.cumsum(valid.astype(INT), axis=1) - valid.astype(INT)
+        total = jnp.sum(valid, axis=1, dtype=INT)[:, None]
+        prev = jnp.concatenate(
+            [jnp.full((k, 1), -1, INT), key_s[:, :-1]], axis=1
+        )
+        keep = (key_s != prev) & valid
+        n_uniq = jnp.sum(keep, axis=1, dtype=INT)
+        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max >> 1)
+        u_keys, qc = jax.lax.sort(
+            (demoted, q), dimension=1, num_keys=1, is_stable=False
+        )
+        nxt = jnp.where(
+            mark + 1 < n_uniq[:, None], jnp.roll(qc, -1, axis=1), total
+        )
+        u_counts = jnp.where(mark < n_uniq[:, None], nxt - qc, 0)
+        # stage 2: tagged join against the mask, counts as payload
+        jk = jnp.concatenate(
+            [(u_keys << 1) | 1, (((f_row << bl) | f_col) << 1)], axis=1
+        )
+        jc = jnp.concatenate([u_counts, jnp.zeros(f_row.shape, INT)], axis=1)
+        jk_s, jc_s = jax.lax.sort(
+            (jk, jc), dimension=1, num_keys=1, is_stable=False
+        )
+        jprev = jnp.concatenate(
+            [jnp.full((k, 1), -2, INT), jk_s[:, :-1]], axis=1
+        )
+        is_cand = (jk_s & 1) == 1
+        in_range = jk_s < ((n_rows << (bl + 1)) | 1)
+        is_sep = is_cand & in_range & (
+            ((jk_s >> 1) & ((1 << bl) - 1)) == n_cols
+        )
+        keep2 = (is_cand & (jprev == (jk_s & ~1)) & in_range) | is_sep
+        nnz_c = jnp.sum(keep2, axis=1, dtype=INT)
+        dem2 = jnp.where(keep2, jk_s, jnp.iinfo(jnp.int32).max)
+        c_keys, c_counts = jax.lax.sort(
+            (dem2, jnp.where(keep2, jc_s, 0)),
+            dimension=1, num_keys=1, is_stable=False,
+        )
+        return (c_keys >> 1) & ((1 << bl) - 1), c_counts, nnz_c
+
+    # general path: 2-key counts compression (rows kept explicit so the join
+    # can re-key on them), then a 3-key tagged join against the mask
+    row_s, col_s = jax.lax.sort(
+        (row, col), dimension=1, num_keys=2, is_stable=False
+    )
+    valid = row_s < n_rows
+    q = jnp.cumsum(valid.astype(INT), axis=1) - valid.astype(INT)
+    total = jnp.sum(valid, axis=1, dtype=INT)[:, None]
+    pad1 = jnp.full((k, 1), -1, INT)
+    keep = (
+        (row_s != jnp.concatenate([pad1, row_s[:, :-1]], axis=1))
+        | (col_s != jnp.concatenate([pad1, col_s[:, :-1]], axis=1))
+    ) & valid
+    n_uniq = jnp.sum(keep, axis=1, dtype=INT)
+    u_rows, u_cols, qc = jax.lax.sort(
+        (
+            jnp.where(keep, row_s, n_rows),
+            jnp.where(keep, col_s, n_cols),
+            q,
+        ),
+        dimension=1, num_keys=2, is_stable=False,
+    )
+    nxt = jnp.where(
+        mark + 1 < n_uniq[:, None], jnp.roll(qc, -1, axis=1), total
+    )
+    u_cnt = jnp.where(mark < n_uniq[:, None], nxt - qc, 0)
+    rows = jnp.concatenate([u_rows, f_row], axis=1)
+    cols = jnp.concatenate([u_cols, f_col], axis=1)
+    tags = jnp.concatenate(
+        [jnp.ones(u_rows.shape, INT), jnp.zeros(f_row.shape, INT)], axis=1
+    )
+    cnts = jnp.concatenate([u_cnt, jnp.zeros(f_row.shape, INT)], axis=1)
+    rs, cs, ts, ks = jax.lax.sort(
+        (rows, cols, tags, cnts), dimension=1, num_keys=3, is_stable=False
+    )
+    pr = jnp.concatenate([pad1, rs[:, :-1]], axis=1)
+    pc = jnp.concatenate([pad1, cs[:, :-1]], axis=1)
+    pt = jnp.concatenate([pad1, ts[:, :-1]], axis=1)
+    in_range = rs < n_rows
+    is_sep = (ts == 1) & (cs == n_cols) & in_range
+    keep2 = (
+        (ts == 1) & (pr == rs) & (pc == cs) & (pt == 0) & in_range
+    ) | is_sep
+    nnz_c = jnp.sum(keep2, axis=1, dtype=INT)
+    _, c_indices, c_counts = jax.lax.sort(
+        (
+            jnp.where(keep2, rs, n_rows),
+            jnp.where(keep2, cs, n_cols),
+            jnp.where(keep2, ks, 0),
+        ),
+        dimension=1, num_keys=2, is_stable=False,
+    )
+    return c_indices, c_counts, nnz_c
+
+
+def _masked_run_marks_2d(is_mask, new):
+    """Batched :func:`_masked_run_marks_1d`: runs along axis -1."""
+    k, n = is_mask.shape
+    pos = jnp.arange(n, dtype=INT)[None, :]
+    tagv = jnp.where(new, (pos << 1) | is_mask.astype(INT), -1)
+    filled = jax.lax.cummax(tagv, axis=1)
+    return (filled & 1) == 1
+
+
+def masked_counts_sum_2d(
+    row: jax.Array,
+    col: jax.Array,
+    f_row: jax.Array,
+    f_col: jax.Array,
+    n_rows: int,
+    n_cols: int,
+) -> jax.Array:
+    """Batched :func:`masked_counts_sum`: one int32 wedge-sum scalar per
+    chunk row of the ``[k, L]`` candidate stream (mask pairs ``[k, Pf]``
+    pre-sentineled).  Row separators in the stream are harmless — their
+    ``n_cols`` column never matches a mask pair."""
+    k = row.shape[0]
+    if packable(n_rows, 2 * n_cols + 1):
+        shift = int(n_cols).bit_length() + 1
+        keys = jnp.concatenate(
+            [
+                ((row << shift) | (col << 1)) | 1,
+                (f_row << shift) | (f_col << 1),
+            ],
+            axis=1,
+        )
+        key_s = jax.lax.sort(keys, dimension=1, is_stable=False)
+        is_mask = (key_s & 1) == 0
+        prev = jnp.concatenate(
+            [jnp.full((k, 1), -2, INT), key_s[:, :-1]], axis=1
+        )
+        new = (key_s >> 1) != (prev >> 1)
+        masked_run = _masked_run_marks_2d(is_mask, new)
+        counted = (
+            (~is_mask) & masked_run & (key_s < (n_rows << shift))
+        )
+        return jnp.sum(counted, axis=1, dtype=INT)
+
+    rows = jnp.concatenate([row, f_row], axis=1)
+    cols = jnp.concatenate([col, f_col], axis=1)
+    tags = jnp.concatenate(
+        [jnp.ones(row.shape, INT), jnp.zeros(f_row.shape, INT)], axis=1
+    )
+    rows_s, cols_s, tags_s = jax.lax.sort(
+        (rows, cols, tags), dimension=1, num_keys=3, is_stable=False
+    )
+    is_mask = tags_s == 0
+    pad1 = jnp.full((k, 1), -1, INT)
+    new = (rows_s != jnp.concatenate([pad1, rows_s[:, :-1]], axis=1)) | (
+        cols_s != jnp.concatenate([pad1, cols_s[:, :-1]], axis=1)
+    )
+    masked_run = _masked_run_marks_2d(is_mask, new)
+    counted = (~is_mask) & masked_run & (rows_s < n_rows)
+    return jnp.sum(counted, axis=1, dtype=INT)
+
+
 @functools.partial(jax.jit, static_argnames=("n_cols", "flops_pad"))
 def _counts_padded(
     a_indptr, a_indices, a_nnz, b_indptr, b_indices, *, n_cols, flops_pad
@@ -127,6 +369,25 @@ def _counts_padded(
     return sort_compress_counts(row, col, n_rows, n_cols)
 
 
+def _masked_run_marks_1d(is_mask, new):
+    """``counted``-precursor: for each position of a sorted tagged stream,
+    is the latest (row, col)-run start a mask entry?
+
+    The stream is SORTED, so the latest run start at-or-before a position is
+    the maximum over positions of run starts — ONE ``cummax`` of
+    ``2·pos | is_mask`` at run starts (-1 elsewhere) carries the tag bit.
+    Replaces the generic pair-scan forward fill
+    (``_forward_fill_last``), whose associative_scan lowering measured
+    pathologically slow through this environment's remote XLA compile
+    (>35 min for one [32K, 1.5K] shape vs seconds for cummax).
+    """
+    n = is_mask.shape[0]
+    pos = jnp.arange(n, dtype=INT)
+    tagv = jnp.where(new, (pos << 1) | is_mask.astype(INT), -1)
+    filled = jax.lax.cummax(tagv)
+    return (filled & 1) == 1
+
+
 def masked_counts_sum(
     row, col, f_indptr, f_indices, f_nnz, n_rows: int, n_cols: int
 ):
@@ -135,10 +396,11 @@ def masked_counts_sum(
     :func:`..parallel.dist_spgemm.dist_triangle_count`).
 
     One tagged sort (mask pairs sort before candidates within an equal
-    (row, col) run, ≡ ``sort_compress_masked``); a forward-fill of the most
-    recent mask key marks every candidate belonging to a masked run, and the
-    answer is the count of marked candidates.  Bounded by the candidate
-    stream's padded length, so int32 cannot overflow per call.
+    (row, col) run, ≡ ``sort_compress_masked``); a cummax over run-start
+    tags marks every candidate belonging to a masked run (a run containing
+    a mask entry starts with it, since mask sorts first), and the answer is
+    the count of marked candidates.  Bounded by the candidate stream's
+    padded length, so int32 cannot overflow per call.
     """
     pf = f_indices.shape[0]
     f_row = _row_ids(f_indptr, pf)
@@ -153,13 +415,11 @@ def masked_counts_sum(
         )
         key_s = jax.lax.sort((keys,), is_stable=False)[0]
         is_mask = (key_s & 1) == 0
-        # last mask key (+1) at or before each position; for a candidate,
-        # (key & ~1) + 1 == key, so "my run is masked" is filled == key —
-        # and the +1 bias keeps position-0 (fill value 0) from matching a
-        # (0, 0) candidate with no mask entry
-        filled = _forward_fill_last(key_s + 1, is_mask)
+        prev = jnp.concatenate([jnp.full((1,), -2, INT), key_s[:-1]])
+        new = (key_s >> 1) != (prev >> 1)  # (row, col)-run starts
+        masked_run = _masked_run_marks_1d(is_mask, new)
         counted = (
-            (~is_mask) & (filled == key_s) & (key_s < (n_rows << shift))
+            (~is_mask) & masked_run & (key_s < (n_rows << shift))
         )
         return jnp.sum(counted, dtype=INT)
 
@@ -172,16 +432,11 @@ def masked_counts_sum(
         (rows, cols, tags), num_keys=3, is_stable=False
     )
     is_mask = tags_s == 0
-    # the two fills pick the same (most recent) mask entry, so together they
-    # identify its (row, col); +1 bias as above
-    fr = _forward_fill_last(rows_s + 1, is_mask)
-    fc = _forward_fill_last(cols_s + 1, is_mask)
-    counted = (
-        (~is_mask)
-        & (fr == rows_s + 1)
-        & (fc == cols_s + 1)
-        & (rows_s < n_rows)
-    )
+    prev_r = jnp.concatenate([jnp.full((1,), -1, INT), rows_s[:-1]])
+    prev_c = jnp.concatenate([jnp.full((1,), -1, INT), cols_s[:-1]])
+    new = (rows_s != prev_r) | (cols_s != prev_c)
+    masked_run = _masked_run_marks_1d(is_mask, new)
+    counted = (~is_mask) & masked_run & (rows_s < n_rows)
     return jnp.sum(counted, dtype=INT)
 
 

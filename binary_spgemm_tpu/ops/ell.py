@@ -351,6 +351,68 @@ def _expand_class_2d(
     return rows.reshape(k, -1), cols.reshape(k, -1)
 
 
+def _assemble_stream_2d(
+    tables,
+    entry_rows,
+    entry_pos,
+    k: int,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+    extra: tuple = (),
+) -> tuple[jax.Array, jax.Array]:
+    """The batched engine's ``[k, sort_pad]`` candidate stream: per-class
+    expansions (:func:`_expand_class_2d`), optional extra (row, col) pair
+    blocks (fused-OR D operands), one ``(r, n_cols)`` separator per chunk
+    row, and sentinel fill up to ``sort_pad``.  Shared by every batched
+    kernel (plain/masked/counts/or)."""
+    parts_r, parts_c = [], []
+    for t, er, ep, w in zip(tables, entry_rows, entry_pos, widths):
+        r, c = _expand_class_2d(t, er, ep, rows_pad, n_cols, w)
+        parts_r.append(r)
+        parts_c.append(c)
+    for er, ec in extra:
+        parts_r.append(er)
+        parts_c.append(ec)
+    parts_r.append(
+        jnp.broadcast_to(
+            jnp.arange(rows_pad, dtype=INT)[None, :], (k, rows_pad)
+        )
+    )
+    parts_c.append(jnp.full((k, rows_pad), n_cols, INT))
+    total = (
+        sum(p * w for p, w in zip(pads, widths))
+        + rows_pad
+        + sum(int(er.shape[1]) for er, _ in extra)
+    )
+    fill = sort_pad - total
+    if fill:
+        parts_r.append(jnp.full((k, fill), rows_pad, INT))
+        parts_c.append(jnp.full((k, fill), n_cols, INT))
+    return jnp.concatenate(parts_r, axis=1), jnp.concatenate(parts_c, axis=1)
+
+
+def _staged_pairs_2d(ptr, idx, rows_pad: int, n_cols: int):
+    """Batched :func:`_staged_pairs`: sentinel-masked (row, col) pairs of the
+    stacked chunk-local CSR side operands (mask / fused-OR D), ``[k, P]``.
+    Row ids per entry via a batched owner scan (scatter-max + cummax along
+    axis -1, ≡ ``_owner_scan``)."""
+    k, P = idx.shape
+    lengths = ptr[:, 1:] - ptr[:, :-1]
+    ids = jnp.broadcast_to(
+        jnp.arange(lengths.shape[1], dtype=INT)[None, :], lengths.shape
+    )
+    dst = jnp.where(lengths > 0, ptr[:, :-1], P)
+    seg = jnp.zeros((k, P), INT).at[
+        jnp.arange(k, dtype=INT)[:, None], dst
+    ].max(ids, mode="drop")
+    r = jax.lax.cummax(seg, axis=1)
+    v = jnp.arange(P, dtype=INT)[None, :] < ptr[:, -1:]
+    return jnp.where(v, r, rows_pad), jnp.where(v, idx, n_cols)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -385,29 +447,237 @@ def _ell_spgemm_sep2d_jit(
     """
     from .spgemm import sort_compress_seps_2d
 
-    k = n_chunks
-    parts_r, parts_c = [], []
-    for t, er, ep, w in zip(tables, entry_rows, entry_pos, widths):
-        r, c = _expand_class_2d(t, er, ep, rows_pad, n_cols, w)
-        parts_r.append(r)
-        parts_c.append(c)
-    parts_r.append(
-        jnp.broadcast_to(
-            jnp.arange(rows_pad, dtype=INT)[None, :], (k, rows_pad)
-        )
+    row, col = _assemble_stream_2d(
+        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+        widths, pads, sort_pad,
     )
-    parts_c.append(jnp.full((k, rows_pad), n_cols, INT))
-    total = sum(p * w for p, w in zip(pads, widths)) + rows_pad
-    fill = sort_pad - total
-    if fill:
-        parts_r.append(jnp.full((k, fill), rows_pad, INT))
-        parts_c.append(jnp.full((k, fill), n_cols, INT))
-    row = jnp.concatenate(parts_r, axis=1)
-    col = jnp.concatenate(parts_c, axis=1)
     idx, nnz = sort_compress_seps_2d(row, col, rows_pad, n_cols)
     if out_pad is not None and out_pad < sort_pad:
         idx = idx[:, :out_pad]
     return idx, nnz
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
+    ),
+)
+def _ell_masked2d_jit(
+    tables,
+    entry_rows,
+    entry_pos,
+    f_ptr,  # [k, rows_pad+1] chunk-local mask row pointers
+    f_idx,  # [k, f_pad] mask indices (canonical, fill = n_cols)
+    *,
+    n_chunks: int,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+):
+    """Batched :func:`_ell_masked_jit`: the sort-fused mask join over the
+    single stacked ``[k, sort_pad]`` candidate stream
+    (:func:`..spgemm.sort_compress_masked_seps_2d`).  Valid entries per
+    chunk never exceed mask nnz + separators, so the stacked output
+    truncates to ``f_pad + rows_pad``.  ≡ final/SpGEMM_mpi_omp.c:232-288."""
+    from .spgemm import sort_compress_masked_seps_2d
+
+    row, col = _assemble_stream_2d(
+        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+        widths, pads, sort_pad,
+    )
+    f_row, f_col = _staged_pairs_2d(f_ptr, f_idx, rows_pad, n_cols)
+    idx, nnz = sort_compress_masked_seps_2d(
+        row, col, f_row, f_col, rows_pad, n_cols
+    )
+    return idx[:, : f_idx.shape[-1] + rows_pad], nnz
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
+        "out_pad",
+    ),
+)
+def _ell_counts2d_jit(
+    tables,
+    entry_rows,
+    entry_pos,
+    *,
+    n_chunks: int,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+    out_pad: int | None = None,
+):
+    """Batched :func:`_ell_counts_jit`: multiplicities ride the stacked
+    axis-(-1) compaction sorts as a cumsum payload
+    (:func:`..counts.sort_compress_counts_seps_2d`); row pointers ride as
+    embedded separators (their count slots are dropped host-side)."""
+    from .counts import sort_compress_counts_seps_2d
+
+    row, col = _assemble_stream_2d(
+        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+        widths, pads, sort_pad,
+    )
+    idx, cnt, nnz = sort_compress_counts_seps_2d(row, col, rows_pad, n_cols)
+    if out_pad is not None and out_pad < sort_pad:
+        idx = idx[:, :out_pad]
+        cnt = cnt[:, :out_pad]
+    return idx, cnt, nnz
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
+    ),
+)
+def _ell_masked_counts2d_jit(
+    tables,
+    entry_rows,
+    entry_pos,
+    f_ptr,
+    f_idx,
+    *,
+    n_chunks: int,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+):
+    """Batched :func:`_ell_masked_counts_jit`
+    (:func:`..counts.masked_counts_compress_seps_2d` over the stacked
+    stream); output truncates to mask pad + separators."""
+    from .counts import masked_counts_compress_seps_2d
+
+    row, col = _assemble_stream_2d(
+        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+        widths, pads, sort_pad,
+    )
+    f_row, f_col = _staged_pairs_2d(f_ptr, f_idx, rows_pad, n_cols)
+    idx, cnt, nnz = masked_counts_compress_seps_2d(
+        row, col, f_row, f_col, rows_pad, n_cols
+    )
+    cut = f_idx.shape[-1] + rows_pad
+    return idx[:, :cut], cnt[:, :cut], nnz
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
+    ),
+)
+def _ell_counts_sum2d_jit(
+    tables,
+    entry_rows,
+    entry_pos,
+    f_ptr,
+    f_idx,
+    *,
+    n_chunks: int,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+):
+    """Batched :func:`_ell_counts_sum_jit`: one int32 wedge-sum scalar per
+    chunk (:func:`..counts.masked_counts_sum_2d`); stream separators are
+    inert (their column never matches a mask pair)."""
+    from .counts import masked_counts_sum_2d
+
+    row, col = _assemble_stream_2d(
+        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+        widths, pads, sort_pad,
+    )
+    f_row, f_col = _staged_pairs_2d(f_ptr, f_idx, rows_pad, n_cols)
+    return masked_counts_sum_2d(row, col, f_row, f_col, rows_pad, n_cols)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
+        "out_pad",
+    ),
+)
+def _ell_or2d_jit(
+    tables,
+    entry_rows,
+    entry_pos,
+    d_ptr,
+    d_idx,
+    *,
+    n_chunks: int,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+    out_pad: int | None = None,
+):
+    """Batched :func:`_ell_or_jit`: D's chunk-local pairs join the stacked
+    stream before the axis-(-1) sort (the SPA pre-seed analogue,
+    ≡ ``SpGEMM_dor``, old/BSpGEMM.c:75-126)."""
+    from .spgemm import sort_compress_seps_2d
+
+    d_rows, d_cols = _staged_pairs_2d(d_ptr, d_idx, rows_pad, n_cols)
+    row, col = _assemble_stream_2d(
+        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+        widths, pads, sort_pad, extra=((d_rows, d_cols),),
+    )
+    idx, nnz = sort_compress_seps_2d(row, col, rows_pad, n_cols)
+    if out_pad is not None and out_pad < sort_pad:
+        idx = idx[:, :out_pad]
+    return idx, nnz
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
+    ),
+)
+def _ell_or_masked2d_jit(
+    tables,
+    entry_rows,
+    entry_pos,
+    d_ptr,
+    d_idx,
+    f_ptr,
+    f_idx,
+    *,
+    n_chunks: int,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+):
+    """Batched :func:`_ell_or_masked_jit`: the three-way tagged join
+    (mask < D < candidate) along axis -1 with embedded row separators
+    (:func:`..fused._sort_compress_or_masked_seps_2d`);
+    ≡ ``SpGEMM_dor_masked``, old/BSpGEMM.c:185-254."""
+    from .fused import _sort_compress_or_masked_seps_2d
+
+    row, col = _assemble_stream_2d(
+        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+        widths, pads, sort_pad,
+    )
+    d_rows, d_cols = _staged_pairs_2d(d_ptr, d_idx, rows_pad, n_cols)
+    f_rows, f_cols = _staged_pairs_2d(f_ptr, f_idx, rows_pad, n_cols)
+    idx, nnz = _sort_compress_or_masked_seps_2d(
+        row, col, d_rows, d_cols, f_rows, f_cols, rows_pad, n_cols
+    )
+    return idx[:, : d_idx.shape[-1] + f_idx.shape[-1] + rows_pad], nnz
 
 
 def _chunk_pair_streams(
@@ -1051,11 +1321,17 @@ def _batched_deal_plan(
 _flat_spgemm_sep = _make_flat_kernel(_ell_spgemm_sep_jit)
 _flat_spgemm_sep2d = _make_flat_kernel(_ell_spgemm_sep2d_jit)
 _flat_masked = _make_flat_kernel(_ell_masked_jit)
+_flat_masked2d = _make_flat_kernel(_ell_masked2d_jit)
 _flat_counts = _make_flat_kernel(_ell_counts_jit)
+_flat_counts2d = _make_flat_kernel(_ell_counts2d_jit)
 _flat_masked_counts = _make_flat_kernel(_ell_masked_counts_jit)
+_flat_masked_counts2d = _make_flat_kernel(_ell_masked_counts2d_jit)
 _flat_counts_sum = _make_flat_kernel(_ell_counts_sum_jit)
+_flat_counts_sum2d = _make_flat_kernel(_ell_counts_sum2d_jit)
 _flat_or = _make_flat_kernel(_ell_or_jit)
+_flat_or2d = _make_flat_kernel(_ell_or2d_jit)
 _flat_or_masked = _make_flat_kernel(_ell_or_masked_jit)
+_flat_or_masked2d = _make_flat_kernel(_ell_or_masked2d_jit)
 
 
 class EllSpGEMMExecutor:
@@ -1467,14 +1743,6 @@ class EllSpGEMMExecutor:
         )
 
 
-    def _require_unrolled(self, what: str) -> None:
-        if self.batched:
-            raise ValueError(
-                f"{what} runs on the unrolled engine; construct "
-                "EllSpGEMMExecutor(..., batched=False) for it (the batched "
-                "2-D plan's chunk count would explode the unrolled compile)"
-            )
-
     def stage_mask(self, f: "BCSR"):
         """Canonicalise, chunk-slice, and device-stage a mask (or fused-OR
         D operand) for :meth:`run_masked` / :meth:`run_or` /
@@ -1484,7 +1752,6 @@ class EllSpGEMMExecutor:
         127 ms masked multiply at n=64K).  Results are also cached on
         operand identity (weakref-validated), so graph pipelines that pass
         the same BCSR mask repeatedly stage it once."""
-        self._require_unrolled("stage_mask")
         from .spgemm import pad_chunk_csr
 
         hit = self._mask_cache.get(id(f))
@@ -1498,27 +1765,32 @@ class EllSpGEMMExecutor:
             raise ValueError(f"mask shape {f.shape} != product {self.shape}")
         f = f.sum_duplicates()
         f_nnz_pad = self.staged_nnz_pad(f)
-        ptrs, idxs = [], []
+        k_tot = self.n_groups * self.group_size
         if self.row_sets is not None:
-            for rows in self.row_sets:
-                fp, fi, _ = _pad_rowset_csr(
-                    f, rows, self.rows_pad, f_nnz_pad, fill=self.n_cols
-                )
-                ptrs.append(fp)
-                idxs.append(fi)
+            # one vectorised pass over all chunks (a python loop over the
+            # batched engine's thousands of bins costs seconds)
+            ptr_all, idx_all = _pad_rowset_csr_all(
+                f, self.row_sets, self.rows_pad, f_nnz_pad, fill=self.n_cols
+            )
         else:
+            ptrs, idxs = [], []
             for r0, r1 in self.chunks:
                 fp, fi, _ = pad_chunk_csr(
                     f, r0, r1, self.rows_pad, f_nnz_pad, fill=self.n_cols
                 )
                 ptrs.append(fp)
                 idxs.append(fi)
-        g = self.group_size
-        while len(ptrs) % g:
-            ptrs.append(np.zeros(self.rows_pad + 1, np.int32))  # empty mask
-            idxs.append(np.full(f_nnz_pad, self.n_cols, np.int32))
+            ptr_all, idx_all = np.stack(ptrs), np.stack(idxs)
+        if k_tot > self.n_chunks:  # trailing dummy group-fill chunks: empty
+            pad_n = k_tot - self.n_chunks
+            ptr_all = np.concatenate(
+                [ptr_all, np.zeros((pad_n, self.rows_pad + 1), np.int32)]
+            )
+            idx_all = np.concatenate(
+                [idx_all, np.full((pad_n, f_nnz_pad), self.n_cols, np.int32)]
+            )
         staged = jax.device_put(  # two transfers total (see staging note)
-            (np.stack(ptrs), np.stack(idxs))
+            (ptr_all, idx_all)
         )
         while len(self._mask_cache) >= 4:
             self._mask_cache.pop(next(iter(self._mask_cache)))
@@ -1531,10 +1803,10 @@ class EllSpGEMMExecutor:
         ``f`` is a :class:`BCSR` mask (staged per call) or the result of
         :meth:`stage_mask` (no per-call host work).
         """
-        self._require_unrolled("run_masked")
         fp_all, fi_all = f if isinstance(f, tuple) else self.stage_mask(f)
+        kernel = _flat_masked2d if self.batched else _flat_masked
         outs = [
-            _flat_masked(
+            kernel(
                 self.tables_flat, self.er_all, self.ep_all, row0,
                 fp_all, fi_all, **self._flat_kw(),
             )
@@ -1553,9 +1825,10 @@ class EllSpGEMMExecutor:
         :meth:`assemble_counts`.  Requires canonical operands — duplicate
         operand entries would inflate multiplicities (the boolean ops dedup
         for free in the sort; counts cannot)."""
-        self._require_unrolled("run_counts")
+        kernel = _flat_counts2d if self.batched else _flat_counts
+        width = 3 if self.batched else 4  # batched: sep-embedded, no indptr
         outs = [
-            _flat_counts(
+            kernel(
                 self.tables_flat, self.er_all, self.ep_all, row0,
                 **self._flat_kw(), extra_kw=(("out_pad", self.out_pad),),
             )
@@ -1564,7 +1837,7 @@ class EllSpGEMMExecutor:
         if len(outs) == 1:
             return outs[0]
         return tuple(
-            jnp.concatenate([o[i] for o in outs]) for i in range(4)
+            jnp.concatenate([o[i] for o in outs]) for i in range(width)
         )
 
     def run_masked_counts(self, f):
@@ -1572,10 +1845,11 @@ class EllSpGEMMExecutor:
         (per-mask-entry common-neighbor counts when f = a = b).  ``f`` is a
         :class:`BCSR` mask or the result of :meth:`stage_mask`.  Build the
         executor with ``masked=True`` to keep the join sort packed."""
-        self._require_unrolled("run_masked_counts")
         fp_all, fi_all = f if isinstance(f, tuple) else self.stage_mask(f)
+        kernel = _flat_masked_counts2d if self.batched else _flat_masked_counts
+        width = 3 if self.batched else 4  # batched: sep-embedded, no indptr
         outs = [
-            _flat_masked_counts(
+            kernel(
                 self.tables_flat, self.er_all, self.ep_all, row0,
                 fp_all, fi_all, **self._flat_kw(),
             )
@@ -1584,7 +1858,7 @@ class EllSpGEMMExecutor:
         if len(outs) == 1:
             return outs[0]
         return tuple(
-            jnp.concatenate([o[i] for o in outs]) for i in range(4)
+            jnp.concatenate([o[i] for o in outs]) for i in range(width)
         )
 
     def run_counts_sum(self, f):
@@ -1592,10 +1866,10 @@ class EllSpGEMMExecutor:
         ONE int32 scalar per chunk leaves the device (stacked; trailing
         dummy group-fill chunks contribute 0).  With ``f`` = A = B = a
         symmetric hollow adjacency this is 6× the triangle count."""
-        self._require_unrolled("run_counts_sum")
         fp_all, fi_all = f if isinstance(f, tuple) else self.stage_mask(f)
+        kernel = _flat_counts_sum2d if self.batched else _flat_counts_sum
         outs = [
-            _flat_counts_sum(
+            kernel(
                 self.tables_flat, self.er_all, self.ep_all, row0,
                 fp_all, fi_all, **self._flat_kw(),
             )
@@ -1611,6 +1885,14 @@ class EllSpGEMMExecutor:
         multiplicity of ``indices[k]``."""
         from .spgemm import pull_chunk_prefixes
 
+        if len(outputs) == 3:  # batched: sep-embedded (idx, counts, nnz)
+            idx_dev, cnt_dev, nnz_dev = outputs
+            nnz_c = np.asarray(nnz_dev)
+            valid = nnz_c.astype(np.int64)
+            valid[self.n_chunks :] = 0  # trailing dummy group-fill chunks
+            chunk_idx = pull_chunk_prefixes(idx_dev, valid)
+            chunk_cnt = pull_chunk_prefixes(cnt_dev, valid)
+            return self._assemble_seps_batch(chunk_idx, valid, chunk_cnt)
         ptr_dev, idx_dev, cnt_dev, nnz_dev = outputs
         c_ptr, nnz_c = np.asarray(ptr_dev), np.asarray(nnz_dev)
         valid = nnz_c.astype(np.int64)
@@ -1655,7 +1937,6 @@ class EllSpGEMMExecutor:
 
         ``d`` and ``mask`` are :class:`BCSR` operands (staged per call) or
         results of :meth:`stage_mask` (no per-call host work)."""
-        self._require_unrolled("run_or")
         dp_all, di_all = d if isinstance(d, tuple) else self.stage_mask(d)
         if mask is None:
             d_pad = di_all.shape[-1]
@@ -1664,8 +1945,9 @@ class EllSpGEMMExecutor:
             # the resident output by out_pad + D's width
             kw = self._flat_kw()
             kw["sort_pad"] = pad_bucket(self.sort_pad + d_pad, div=32)
+            kernel = _flat_or2d if self.batched else _flat_or
             outs = [
-                _flat_or(
+                kernel(
                     self.tables_flat, self.er_all, self.ep_all, row0,
                     dp_all, di_all, **kw,
                     extra_kw=(
@@ -1685,9 +1967,15 @@ class EllSpGEMMExecutor:
                 mask if isinstance(mask, tuple) else self.stage_mask(mask)
             )
             kw = self._flat_kw()
-            kw["sort_pad"] = self.sort_pad - self.rows_pad
+            if self.batched:
+                # batched join keeps the run() stream (separators embedded);
+                # D/mask pairs concatenate inside the compress fn
+                kernel = _flat_or_masked2d
+            else:
+                kw["sort_pad"] = self.sort_pad - self.rows_pad
+                kernel = _flat_or_masked
             outs = [
-                _flat_or_masked(
+                kernel(
                     self.tables_flat, self.er_all, self.ep_all, row0,
                     dp_all, di_all, fp_all, fi_all, **kw,
                 )
@@ -1729,17 +2017,27 @@ class EllSpGEMMExecutor:
         ]
         return self._assemble_parts(parts)
 
-    def _assemble_seps_batch(self, chunk_idx, valid: np.ndarray) -> BCSR:
+    def _assemble_seps_batch(
+        self, chunk_idx, valid: np.ndarray, chunk_cnt=None
+    ) -> BCSR:
         """Vectorised host assembly of separator-embedded chunk streams:
         ONE pass over the concatenation instead of per-chunk
         ``split_seps`` + stitch (which cost ~29 s at k=2048 / 67M nnz;
-        this path measures sub-second there)."""
+        this path measures sub-second there).  With ``chunk_cnt`` (the
+        counting family's multiplicity payload, positionally aligned with
+        the index stream) returns ``(BCSR, counts int64)`` — separator
+        slots are dropped from both arrays."""
         k = self.n_chunks
         n_rows = self.shape[0]
         big = (
             np.concatenate([chunk_idx[i] for i in range(k)])
             if k
             else np.zeros(0, np.int32)
+        )
+        bigc = (
+            np.concatenate([chunk_cnt[i] for i in range(k)])
+            if chunk_cnt is not None and k
+            else None
         )
         nnz_k = valid[:k]
         starts = np.cumsum(nnz_k) - nnz_k
@@ -1758,6 +2056,7 @@ class EllSpGEMMExecutor:
             axis=1,
         )  # [k, rows_pad] per-(chunk, local-row) entry counts
         indices_all = big[~sep_mask]  # (chunk, ascending local row) order
+        counts_all = bigc[~sep_mask] if bigc is not None else None
         if self.row_sets is not None:
             rows_concat = np.concatenate(self.row_sets)
             binsz = np.array([len(r) for r in self.row_sets], np.int64)
@@ -1782,7 +2081,12 @@ class EllSpGEMMExecutor:
             - np.repeat(np.cumsum(lr) - lr, lr)
         )
         indices[dst] = indices_all
-        return BCSR(indptr, indices, self.shape)
+        out = BCSR(indptr, indices, self.shape)
+        if counts_all is None:
+            return out
+        counts = np.empty(total, np.int64)
+        counts[dst] = counts_all
+        return out, counts
 
     def _assemble_parts(self, parts) -> BCSR:
         if self.row_sets is not None:
@@ -1841,6 +2145,49 @@ def _pad_rowset_csr(
         src = _segment_sources(mat.indptr, rows[nz], lens[nz])
         idx[:total] = mat.indices[src]
     return ptr, idx, total
+
+
+def _pad_rowset_csr_all(
+    mat: BCSR, row_sets, rows_pad: int, nnz_pad: int, fill: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """All chunks' :func:`_pad_rowset_csr` in ONE vectorised pass:
+    ``(ptr [k, rows_pad+1], idx [k, nnz_pad])`` stacked.  A python loop over
+    the batched engine's thousands of dealt bins costs seconds of staging;
+    this is a handful of numpy passes over the concatenated row sets."""
+    k = len(row_sets)
+    rows_concat = (
+        np.concatenate(row_sets) if k else np.zeros(0, np.int64)
+    ).astype(np.int64)
+    binsz = np.array([len(r) for r in row_sets], np.int64)
+    lens = (mat.indptr[rows_concat + 1] - mat.indptr[rows_concat]).astype(
+        np.int64
+    )
+    cum = np.cumsum(lens)
+    cum0 = np.concatenate([[0], cum])
+    starts_chunk = np.cumsum(binsz) - binsz  # first row slot per chunk
+    chunk_of = np.repeat(np.arange(k, dtype=np.int64), binsz)
+    base = cum0[starts_chunk]  # entries before each chunk
+    totals = cum0[starts_chunk + binsz] - base
+    local_end = cum - np.repeat(base, binsz)  # inclusive cumsum within chunk
+    ptr = np.empty((k, rows_pad + 1), np.int32)
+    ptr[:] = totals[:, None].astype(np.int32)
+    ptr[:, 0] = 0
+    within = np.arange(len(rows_concat), dtype=np.int64) - np.repeat(
+        starts_chunk, binsz
+    )
+    ptr[chunk_of, within + 1] = local_end.astype(np.int32)
+    idx = np.full((k, nnz_pad), fill, np.int32)
+    nz = lens > 0
+    if nz.any():
+        src = _segment_sources(mat.indptr, rows_concat[nz], lens[nz])
+        lr = lens[nz]
+        row_off = (chunk_of[nz] * nnz_pad + local_end[nz] - lr)
+        dst = np.repeat(row_off, lr) + (
+            np.arange(int(lr.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(lr) - lr, lr)
+        )
+        idx.reshape(-1)[dst] = mat.indices[src]
+    return ptr, idx
 
 
 def _stitch_sets(row_sets, n_rows: int, shape, parts):
@@ -1933,7 +2280,9 @@ def cached_executor(a: BCSR, b: BCSR, *, masked: bool = False):
         if wa() is a and wb() is b:
             return ex
         del _EXEC_CACHE[key]
-    ex = EllSpGEMMExecutor(a, b, masked=masked)
+    # many-row inputs take the batched 2-D plan exactly like auto_executor —
+    # the whole op family (masked/counts/or) is served by both forms now
+    ex = EllSpGEMMExecutor(a, b, masked=masked, batched=prefer_batched(a, b))
     if a.nnz + b.nnz <= _EXEC_CACHE_MAX_NNZ:
         while len(_EXEC_CACHE) >= _EXEC_CACHE_MAX:
             _EXEC_CACHE.pop(next(iter(_EXEC_CACHE)))

@@ -165,6 +165,85 @@ def _sort_compress_or_masked(
     return c_indptr, c_indices, nnz_c
 
 
+def _sort_compress_or_masked_seps_2d(
+    row, col, d_row, d_col, f_row, f_col, n_rows: int, n_cols: int
+):
+    """Batched :func:`_sort_compress_or_masked` with embedded row separators:
+    all streams are ``[k, ·]`` (candidates include one ``(r, n_cols)``
+    separator per chunk row; D/mask pairs pre-sentineled to
+    ``(n_rows, n_cols)``); the three-way tagged join sorts along axis -1.
+
+    Separators ride the 2-bit tag unambiguously here because they are
+    candidate-tagged with ``col == n_cols`` — real candidates/D/mask columns
+    are all ``< n_cols`` and padding rows are ``≥ n_rows``, so
+    ``tag==cand ∧ col==n_cols ∧ row<n_rows`` identifies exactly the
+    separators, which survive unconditionally.  Returns sep-embedded
+    ``(indices, nnz)`` stacked over chunks."""
+    k = row.shape[0]
+    if packable(n_rows, 4 * n_cols + 3):
+        shift = int(n_cols).bit_length() + 2
+        col_mask = (1 << (shift - 2)) - 1
+        keys = jnp.concatenate(
+            [
+                ((row << shift) | (col << 2)) | 2,  # candidates last in run
+                ((d_row << shift) | (d_col << 2)) | 1,
+                (f_row << shift) | (f_col << 2),  # mask first in run
+            ],
+            axis=1,
+        )
+        key_s = jax.lax.sort(keys, dimension=1, is_stable=False)
+        prev = jnp.concatenate(
+            [jnp.full((k, 1), -1, INT), key_s[:, :-1]], axis=1
+        )
+        pair = jax.lax.shift_right_logical(key_s, 2)
+        prev_pair = jax.lax.shift_right_logical(prev, 2)
+        tag = key_s & 3
+        prev_tag = prev & 3
+        same = pair == prev_pair
+        bound = key_s < ((n_rows << shift) | 2)
+        is_sep = (tag == 2) & bound & (((key_s >> 2) & col_mask) == n_cols)
+        keep_d = (tag == 1) & (~same | (prev_tag == 0))
+        keep_c = (tag == 2) & same & (prev_tag == 0)
+        keep = ((keep_d | keep_c) & bound) | is_sep
+        nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+        c_keys = jax.lax.sort(demoted, dimension=1, is_stable=False)
+        return (c_keys >> 2) & col_mask, nnz_c
+
+    rows = jnp.concatenate([row, d_row, f_row], axis=1)
+    cols = jnp.concatenate([col, d_col, f_col], axis=1)
+    tags = jnp.concatenate(
+        [
+            jnp.full(row.shape, 2, INT),
+            jnp.ones(d_row.shape, INT),
+            jnp.zeros(f_row.shape, INT),
+        ],
+        axis=1,
+    )
+    row_s, col_s, tag_s = jax.lax.sort(
+        (rows, cols, tags), dimension=1, num_keys=3, is_stable=False
+    )
+    pad1 = jnp.full((k, 1), -1, INT)
+    prev_row = jnp.concatenate([pad1, row_s[:, :-1]], axis=1)
+    prev_col = jnp.concatenate([pad1, col_s[:, :-1]], axis=1)
+    prev_tag = jnp.concatenate(
+        [jnp.full((k, 1), 2, INT), tag_s[:, :-1]], axis=1
+    )
+    same = (row_s == prev_row) & (col_s == prev_col)
+    in_range = row_s < n_rows
+    is_sep = (tag_s == 2) & (col_s == n_cols) & in_range
+    keep_d = (tag_s == 1) & (~same | (prev_tag == 0))
+    keep_c = (tag_s == 2) & same & (prev_tag == 0)
+    keep = ((keep_d | keep_c) & in_range) | is_sep
+    nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+    demoted_r = jnp.where(keep, row_s, n_rows)
+    demoted_c = jnp.where(keep, col_s, n_cols)
+    _, c_indices = jax.lax.sort(
+        (demoted_r, demoted_c), dimension=1, num_keys=2, is_stable=False
+    )
+    return c_indices, nnz_c
+
+
 def spgemm_or(
     d: BCSR,
     a: BCSR,

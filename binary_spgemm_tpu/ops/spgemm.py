@@ -339,6 +339,60 @@ def sort_compress_seps_2d(
     return c_indices, nnz_c
 
 
+def sort_compress_2d(
+    row: jax.Array, col: jax.Array, n_rows: int, n_cols: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched :func:`sort_compress`: ``row``/``col`` are ``[C, L]`` chunk
+    streams, sorts run along axis -1, and per-chunk exclusive row pointers
+    come from a batched scatter-add histogram (``n_rows`` is the per-chunk
+    row count — small, so the histogram always wins here).  Returns
+    ``(c_indptr [C, n_rows+1], c_indices [C, L], nnz [C])``.  Used by the
+    SPMD ELL step to serve many packed sub-chunks with ONE 2-D sort instead
+    of an unrolled loop (parallel/dist_spgemm.py::dist_spgemm_ell)."""
+    C = row.shape[0]
+    cidx = jnp.arange(C, dtype=INT)[:, None]
+    if packable(n_rows, n_cols):
+        shift = int(n_cols).bit_length()
+        key = (row << shift) | col
+        key_s = jax.lax.sort(key, dimension=1, is_stable=False)
+        prev = jnp.concatenate(
+            [jnp.full((C, 1), -1, INT), key_s[:, :-1]], axis=1
+        )
+        keep = (key_s != prev) & (key_s < (n_rows << shift))
+        nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+        c_keys = jax.lax.sort(demoted, dimension=1, is_stable=False)
+        c_indices = c_keys & ((1 << shift) - 1)
+        rows_sorted = jnp.minimum(
+            jax.lax.shift_right_logical(c_keys, shift), n_rows
+        )
+        counts = jnp.zeros((C, n_rows + 2), INT).at[
+            cidx, rows_sorted + 1
+        ].add(1)
+        c_indptr = jnp.cumsum(counts, axis=1, dtype=INT)[:, : n_rows + 1]
+        return c_indptr, c_indices, nnz_c
+
+    row_s, col_s = jax.lax.sort(
+        (row, col), dimension=1, num_keys=2, is_stable=False
+    )
+    pad1 = jnp.full((C, 1), -1, INT)
+    new = (row_s != jnp.concatenate([pad1, row_s[:, :-1]], axis=1)) | (
+        col_s != jnp.concatenate([pad1, col_s[:, :-1]], axis=1)
+    )
+    keep = new & (row_s < n_rows)
+    nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+    demoted_r = jnp.where(keep, row_s, n_rows)
+    demoted_c = jnp.where(keep, col_s, n_cols)
+    c_rows, c_indices = jax.lax.sort(
+        (demoted_r, demoted_c), dimension=1, num_keys=2, is_stable=False
+    )
+    counts = jnp.zeros((C, n_rows + 2), INT).at[
+        cidx, jnp.minimum(c_rows, n_rows) + 1
+    ].add(1)
+    c_indptr = jnp.cumsum(counts, axis=1, dtype=INT)[:, : n_rows + 1]
+    return c_indptr, c_indices, nnz_c
+
+
 def split_seps(
     indices: np.ndarray, nnz: int, n_rows: int, n_cols: int
 ) -> tuple[np.ndarray, np.ndarray, int]:
@@ -424,6 +478,81 @@ def sort_compress_masked_seps(
     demoted_c = jnp.where(keep, col_s, n_cols)
     _, c_indices = jax.lax.sort(
         (demoted_r, demoted_c), num_keys=2, is_stable=False
+    )
+    return c_indices, nnz_c
+
+
+def sort_compress_masked_seps_2d(
+    row: jax.Array,
+    col: jax.Array,
+    f_row: jax.Array,
+    f_col: jax.Array,
+    n_rows: int,
+    n_cols: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched :func:`sort_compress_masked_seps`: ``row``/``col`` are
+    ``[k, Lc]`` per-chunk candidate streams (separators included by the
+    caller), ``f_row``/``f_col`` are ``[k, Pf]`` mask pairs already
+    sentinel-masked to ``(n_rows, n_cols)`` on padding slots; the tagged
+    mask-join sorts run along axis -1 (same structural win as
+    :func:`sort_compress_seps_2d` — short packed per-chunk sorts at any
+    matrix size).  Returns sep-embedded ``(indices [k, Lc+Pf], nnz [k])``.
+    Bit-exact with the reference's masked kernel
+    (final/SpGEMM_mpi_omp.c:232-288) chunk by chunk."""
+    k = row.shape[0]
+    if packable(n_rows, 2 * n_cols + 1):
+        shift = int(n_cols).bit_length() + 1
+        col_mask = (1 << (shift - 1)) - 1
+        keys = jnp.concatenate(
+            [
+                ((row << shift) | (col << 1)) | 1,
+                (f_row << shift) | (f_col << 1),
+            ],
+            axis=1,
+        )
+        key_s = jax.lax.sort(keys, dimension=1, is_stable=False)
+        prev = jnp.concatenate(
+            [jnp.full((k, 1), -2, INT), key_s[:, :-1]], axis=1
+        )
+        is_cand = (key_s & 1) == 1
+        in_range = key_s < ((n_rows << shift) | 1)
+        is_sep = is_cand & in_range & (
+            ((key_s >> 1) & col_mask) == n_cols
+        )
+        keep = (is_cand & (prev == (key_s & ~1)) & in_range) | is_sep
+        nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+        c_keys = jax.lax.sort(demoted, dimension=1, is_stable=False)
+        return (c_keys >> 1) & col_mask, nnz_c
+
+    rows = jnp.concatenate([row, f_row], axis=1)
+    cols = jnp.concatenate([col, f_col], axis=1)
+    tags = jnp.concatenate(
+        [jnp.ones(row.shape, INT), jnp.zeros(f_row.shape, INT)], axis=1
+    )
+    row_s, col_s, tag_s = jax.lax.sort(
+        (rows, cols, tags), dimension=1, num_keys=3, is_stable=False
+    )
+    pad1 = jnp.full((k, 1), -1, INT)
+    prev_row = jnp.concatenate([pad1, row_s[:, :-1]], axis=1)
+    prev_col = jnp.concatenate([pad1, col_s[:, :-1]], axis=1)
+    prev_tag = jnp.concatenate(
+        [jnp.ones((k, 1), INT), tag_s[:, :-1]], axis=1
+    )
+    in_range = row_s < n_rows
+    is_sep = (tag_s == 1) & (col_s == n_cols) & in_range
+    keep = (
+        (tag_s == 1)
+        & (row_s == prev_row)
+        & (col_s == prev_col)
+        & (prev_tag == 0)
+        & in_range
+    ) | is_sep
+    nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+    demoted_r = jnp.where(keep, row_s, n_rows)
+    demoted_c = jnp.where(keep, col_s, n_cols)
+    _, c_indices = jax.lax.sort(
+        (demoted_r, demoted_c), dimension=1, num_keys=2, is_stable=False
     )
     return c_indices, nnz_c
 
