@@ -307,8 +307,9 @@ def dist_masked_spgemm(
         rf = row_flops(a, b)
         bounds = partition_rows(rf, mesh_.devices.size, balance=balance)
         try:
-            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
-                _shard_ell_operands(a, b, mesh_, bounds, rf, extra_key_bits=1)
+            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds,
+             _) = _shard_ell_operands(
+                a, b, mesh_, bounds, rf, extra_key_bits=1
             )
             fits = sort_pad <= AUTO_ELL_MAX_SLOTS
         except OverflowError:
@@ -472,8 +473,9 @@ def dist_triangle_count(
         rf = row_flops(a, a)
         bounds = partition_rows(rf, mesh_.devices.size, balance=balance)
         try:
-            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
-                _shard_ell_operands(a, a, mesh_, bounds, rf, extra_key_bits=1)
+            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds,
+             _) = _shard_ell_operands(
+                a, a, mesh_, bounds, rf, extra_key_bits=1
             )
             fits = sort_pad <= AUTO_ELL_MAX_SLOTS
         except OverflowError:
@@ -733,9 +735,8 @@ def dist_spgemm_counts(
         rf = row_flops(a, b)
         bounds = partition_rows(rf, mesh_.devices.size, balance=balance)
         try:
-            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
-                _shard_ell_operands(a, b, mesh_, bounds, rf)
-            )
+            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds,
+             _) = _shard_ell_operands(a, b, mesh_, bounds, rf)
             fits = sort_pad <= AUTO_ELL_MAX_SLOTS
         except OverflowError:
             if engine == "ell":
@@ -795,8 +796,9 @@ def dist_masked_spgemm_counts(
         rf = row_flops(a, b)
         bounds = partition_rows(rf, mesh_.devices.size, balance=balance)
         try:
-            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
-                _shard_ell_operands(a, b, mesh_, bounds, rf, extra_key_bits=1)
+            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds,
+             _) = _shard_ell_operands(
+                a, b, mesh_, bounds, rf, extra_key_bits=1
             )
             fits = sort_pad <= AUTO_ELL_MAX_SLOTS
         except OverflowError:
@@ -958,11 +960,10 @@ def dist_spgemm_or(
         rf = row_flops(a, b)
         bounds = partition_rows(rf, mesh_.devices.size, balance=balance)
         try:
-            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
-                _shard_ell_operands(
-                    a, b, mesh_, bounds, rf,
-                    extra_key_bits=2 if mask is not None else 0,
-                )
+            (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds,
+             _) = _shard_ell_operands(
+                a, b, mesh_, bounds, rf,
+                extra_key_bits=2 if mask is not None else 0,
             )
             fits = sort_pad <= AUTO_ELL_MAX_SLOTS
         except OverflowError:
@@ -1342,7 +1343,7 @@ def dist_spgemm_ring_ell(
     jax.jit,
     static_argnames=(
         "mesh", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
-        "gather_tables",
+        "gather_tables", "batched",
     ),
 )
 def dist_spgemm_ell(
@@ -1357,6 +1358,7 @@ def dist_spgemm_ell(
     pads: tuple[int, ...],
     sort_pad: int,
     gather_tables: bool = False,
+    batched: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """SPMD step with the **sliced-ELL expansion** per shard (see ops/ell.py):
     each shard row-gathers its A-entries' B rows and runs the same
@@ -1373,23 +1375,42 @@ def dist_spgemm_ell(
     step; entry positions were host-remapped into the gap-padded gathered
     layout, so expansion is otherwise identical.  Per-device B memory is
     ``O(nnz(B)/S)`` until the gather.
+
+    ``batched=True`` (set by ``_shard_ell_operands(allow_batched=True)`` for
+    big per-shard row counts): all C sub-chunk streams stack into one
+    ``[C, sort_pad]`` array and the sorts run along axis -1
+    (``sort_compress_2d``) — the SPMD form of the single-chip batched 2-D
+    engine, keeping the packed row cap at any shard size.
     """
     n_chunks = entry_rows[0].shape[1] if widths else 1
     fill = sort_pad - sum(p * w for p, w in zip(pads, widths))
 
     def shard_fn(tables, entry_rows, entry_pos):
+        from ..ops.spgemm import sort_compress_2d
+
         if gather_tables:
             # [1, tbl_pad, w] shard -> [S*tbl_pad, w] gap-padded full table
             tables = tuple(
                 jax.lax.all_gather(t[0], ROWS_AXIS).reshape(-1, t.shape[-1])
                 for t in tables
             )
-        outs = []
-        for c in range(n_chunks):
-            row, col = _ell_expand_chunk(
+        streams = [
+            _ell_expand_chunk(
                 tables, entry_rows, entry_pos, c, rows_pad, n_cols, fill
             )
-            outs.append(sort_compress(row, col, rows_pad, n_cols))
+            for c in range(n_chunks)
+        ]
+        if batched:
+            ptr2, idx2, nnz2 = sort_compress_2d(
+                jnp.stack([r for r, _ in streams]),
+                jnp.stack([c for _, c in streams]),
+                rows_pad, n_cols,
+            )
+            return _two_level_ptr_fix_stacked(ptr2, idx2, nnz2)
+        outs = [
+            sort_compress(row, col, rows_pad, n_cols)
+            for row, col in streams
+        ]
         return _two_level_ptr_fix(outs)
 
     n_classes = len(widths)
@@ -1434,9 +1455,16 @@ def _two_level_ptr_fix(outs):
     reference's intra-rank stitch :134-141 + root cross-rank fix :211-223).
     Runs inside shard_map; returns the per-shard outputs plus the global
     total."""
-    ptr = jnp.stack([o[0] for o in outs])
-    idx = jnp.stack([o[1] for o in outs])
-    nnzs = jnp.stack([o[2] for o in outs])
+    return _two_level_ptr_fix_stacked(
+        jnp.stack([o[0] for o in outs]),
+        jnp.stack([o[1] for o in outs]),
+        jnp.stack([o[2] for o in outs]),
+    )
+
+
+def _two_level_ptr_fix_stacked(ptr, idx, nnzs):
+    """:func:`_two_level_ptr_fix` on already-stacked ``[C, ·]`` chunk
+    outputs (the batched 2-D SPMD path produces them stacked natively)."""
     local_off = jnp.cumsum(nnzs) - nnzs
     shard_total = jnp.sum(nnzs, dtype=INT)
     total = jax.lax.psum(shard_total, ROWS_AXIS)
@@ -1672,12 +1700,21 @@ def _shard_ell_operands(
     *,
     b_tables: str = "replicated",
     extra_key_bits: int = 0,
+    allow_batched: bool = False,
 ):
     """Device-sharded per-(shard, chunk, class) ELL entry arrays + replicated
     tables.  Each shard's rows are sub-chunked exactly like the single-chip
     executor (flop-balanced, row-capped for packed sort keys); all shards
     share one static chunk count C (trailing chunks empty where a shard
-    needed fewer).  Returns ``(..., sub_bounds [S, C+1])`` for assembly."""
+    needed fewer).  Returns ``(..., sub_bounds [S, C+1], batched)`` for
+    assembly.
+
+    ``allow_batched``: when a shard would need more than 16 packed sub-chunks
+    (big per-shard row counts — exactly the regime the single-chip batched
+    2-D engine exists for), keep the packed row cap and flag ``batched`` so
+    :func:`dist_spgemm_ell` serves all sub-chunks with ONE axis-(-1) 2-D
+    sort (``sort_compress_2d``) instead of falling back to few unpacked
+    chunks (2-key sorts, measured ~1.4-1.5x slower per element)."""
     from ..ops.ell import EllB, _build_class_entries, _chunk_bounds
 
     n_shards = mesh.devices.size
@@ -1707,14 +1744,23 @@ def _shard_ell_operands(
         pos_pc = remapped
 
     per_shard_bounds = []
+    batched = False
     for s in range(n_shards):
         r0, r1 = int(bounds[s]), int(bounds[s + 1])
         rf_s = rf[r0:r1]
         sflops = int(rf_s.sum())
         budget = max(sflops // 8, 1 << 19)
-        max_rows = cap if cap >= 512 else max(r1 - r0, 1)
-        if max_rows and -(-max(r1 - r0, 1) // max_rows) > 16:
-            max_rows = max(r1 - r0, 1)  # unpacked: keep C small
+        shard_rows = max(r1 - r0, 1)
+        need_packed = -(-shard_rows // cap) if cap else shard_rows + 1
+        if cap >= 512 and need_packed <= 16:
+            max_rows = cap  # few packed sub-chunks: unrolled plan
+        elif allow_batched and cap >= 32 and 16 < need_packed <= 4096:
+            # many packed sub-chunks: keep the cap, serve them with ONE
+            # [C, sort_pad] axis-(-1) sort (the SPMD batched 2-D form)
+            max_rows = cap
+            batched = True
+        else:
+            max_rows = shard_rows  # unpacked 2-key sorts: keep C small
         sb = _chunk_bounds(rf_s, budget, max_rows) if r1 > r0 else [0, 0]
         per_shard_bounds.append([r0 + x for x in sb])
     C = max(len(sb) - 1 for sb in per_shard_bounds)
@@ -1755,7 +1801,10 @@ def _shard_ell_operands(
     if slots > np.iinfo(np.int32).max:
         raise OverflowError(f"ELL shard expansion {slots} slots exceeds int32")
     sort_pad = pad_bucket(max(slots, 8))
-    return tables, tuple(er), tuple(ep), widths, pads, rows_pad, sort_pad, sub_bounds
+    return (
+        tables, tuple(er), tuple(ep), widths, pads, rows_pad, sort_pad,
+        sub_bounds, batched,
+    )
 
 
 def _shard_ring_ell_operands(a: BCSR, b: BCSR, mesh: Mesh, bounds: np.ndarray):
@@ -1856,8 +1905,10 @@ def dist_spgemm(
                 )
         else:
             try:
-                (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds) = (
-                    _shard_ell_operands(a, b, mesh_, bounds, rf, b_tables=b_layout)
+                (tables, er, ep, widths, pads, rows_pad, sort_pad, sub_bounds,
+                 batched) = _shard_ell_operands(
+                    a, b, mesh_, bounds, rf, b_tables=b_layout,
+                    allow_batched=True,
                 )
                 fits = sort_pad <= AUTO_ELL_MAX_SLOTS
             except OverflowError:
@@ -1870,6 +1921,7 @@ def dist_spgemm(
                     mesh=mesh_, rows_pad=rows_pad, n_cols=m,
                     widths=widths, pads=pads, sort_pad=sort_pad,
                     gather_tables=(b_layout == "sharded"),
+                    batched=batched,
                 )
                 return _assemble_subchunked(
                     c_ptr, c_idx, nnz_sc, total, sub_bounds, (n, m)
