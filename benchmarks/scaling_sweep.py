@@ -1,0 +1,47 @@
+"""Scaling-efficiency sweep over every SPMD step the framework ships:
+(engine ∈ {esc, ell}) × (b_layout ∈ {replicated, sharded, ring}) on the
+8-virtual-device CPU mesh (no multi-chip hardware in this environment — the
+same command measures real ICI scaling on a pod).  Emits one
+``"kind": "scaling_report"`` row per combo to results.jsonl — the published
+analogue of the reference's multi-node trend (report §3 figs 9-10,
+BASELINE.md:16).
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       python benchmarks/scaling_sweep.py [--n N] [--d D]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+from binary_spgemm_tpu import BCSR
+from binary_spgemm_tpu.parallel.scaling import scaling_report
+
+from _provenance import emit
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 16)
+    ap.add_argument("--d", type=float, default=8.0)
+    ap.add_argument("--times", type=int, default=3)
+    args = ap.parse_args()
+    a = BCSR.random(args.n, args.n, args.d, seed=7)
+    for engine in ("esc", "ell"):
+        for layout in ("replicated", "sharded", "ring"):
+            rep = scaling_report(
+                a, engine=engine, b_layout=layout, times=args.times
+            )
+            rep["config"] = f"scaling-{args.n}-d{args.d:g}"
+            emit(rep)
+
+
+if __name__ == "__main__":
+    main()

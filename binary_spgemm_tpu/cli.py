@@ -73,8 +73,10 @@ def cmd_bench(args) -> int:
         if args.devices:
             counts = [d for d in (1, 2, 4, 8, 16, 32) if d < args.devices]
             counts.append(args.devices)
+        eng = args.engine if args.engine in ("esc", "ell") else "esc"
         rep = scaling_report(a, device_counts=counts, balance=args.balance,
-                             times=args.times)
+                             times=args.times, engine=eng,
+                             b_layout=args.b_layout)
         if args.json:
             print(json.dumps(rep))
         else:
