@@ -81,234 +81,248 @@ def main() -> None:
         configs = [c for c in configs if c[0] in wanted]
     with open(args.out, "a") as f:
         for cfg in configs:
-            name, n, d = cfg[:3]
-            kind = cfg[3] if len(cfg) > 3 else "uniform"
-            if kind == "rmat":
-                a = BCSR.rmat(n.bit_length() - 1, d, seed=7)
-            elif kind == "tri":
-                # symmetric hollow power-law adjacency for triangle counting
-                a = BCSR.rmat(n.bit_length() - 1, d, seed=7, symmetric=True)
-                rows, cols = a.to_coo()
-                off = rows != cols
-                a = BCSR.from_coo(rows[off], cols[off], a.shape)
-            elif kind == "banded":
-                a = BCSR.banded(n, d, 512, seed=7)
-            elif kind == "blocked":
-                a = BCSR.random_blocked(n, 128, d, 0.3, seed=7)
-            else:
-                a = BCSR.random(n, n, d, seed=7)
-            flops = spgemm_flops(a, a)
-            from binary_spgemm_tpu.ops.ell import EllSpGEMMExecutor
-            from binary_spgemm_tpu.ops.host import HOST_MAX_FLOPS, host_spgemm
+            try:
+                name, n, d = cfg[:3]
+                kind = cfg[3] if len(cfg) > 3 else "uniform"
+                if kind == "rmat":
+                    a = BCSR.rmat(n.bit_length() - 1, d, seed=7)
+                elif kind == "tri":
+                    # symmetric hollow power-law adjacency for triangle counting
+                    a = BCSR.rmat(n.bit_length() - 1, d, seed=7, symmetric=True)
+                    rows, cols = a.to_coo()
+                    off = rows != cols
+                    a = BCSR.from_coo(rows[off], cols[off], a.shape)
+                elif kind == "banded":
+                    a = BCSR.banded(n, d, 512, seed=7)
+                elif kind == "blocked":
+                    a = BCSR.random_blocked(n, 128, d, 0.3, seed=7)
+                else:
+                    a = BCSR.random(n, n, d, seed=7)
+                flops = spgemm_flops(a, a)
+                from binary_spgemm_tpu.ops.ell import EllSpGEMMExecutor
+                from binary_spgemm_tpu.ops.host import HOST_MAX_FLOPS, host_spgemm
 
-            if kind == "uniform" and flops <= HOST_MAX_FLOPS:
-                # what the auto-router does for this input: the host engine
-                # (device dispatch floor ~27 ms loses below ~2e6 flops)
-                c = host_spgemm(a, a)
-                ts = []
-                for _ in range(max(args.times, 3)):
-                    t0 = time.perf_counter()
+                if kind == "uniform" and flops <= HOST_MAX_FLOPS:
+                    # what the auto-router does for this input: the host engine
+                    # (device dispatch floor ~27 ms loses below ~2e6 flops)
                     c = host_spgemm(a, a)
+                    ts = []
+                    for _ in range(max(args.times, 3)):
+                        t0 = time.perf_counter()
+                        c = host_spgemm(a, a)
+                        ts.append(time.perf_counter() - t0)
+                    sp = a.to_scipy()
+                    sp_ts = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        csp = sp @ sp
+                        sp_ts.append(time.perf_counter() - t0)
+                    scipy_s = min(sp_ts)
+                    csp.sort_indices()
+                    exact = np.array_equal(c.indptr, csp.indptr) and np.array_equal(
+                        c.indices, csp.indices
+                    )
+                    assert exact, (name, csp.nnz, c.nnz)
+                    rec = {
+                        "config": name,
+                        "bit_exact": bool(exact),
+                        "n": n,
+                        "d": d,
+                        "platform": "host",
+                        "input_nnz": a.nnz,
+                        "output_nnz": c.nnz,
+                        "flops": flops,
+                        "engine": "host",
+                        "fastest_s": min(ts),
+                        "mean_s": sum(ts) / len(ts),
+                        "scipy_s": scipy_s,
+                        "speedup_vs_scipy": scipy_s / min(ts),
+                        "output_nnz_per_s": c.nnz / min(ts),
+                        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                    }
+                    line = json.dumps(rec)
+                    print(line, flush=True)
+                    f.write(line + "\n")
+                    continue
+
+                ex = auto_executor(a, a)
+                is_ell = isinstance(ex, EllSpGEMMExecutor)
+                pad_slots = (
+                    ex.total_slots if is_ell else ex.flops_pad * len(ex.chunks)
+                )
+
+                def sync(o):
+                    np.asarray(o[-1])  # per-chunk nnz (2-tuple sep / 3-tuple ESC)
+
+                t0 = time.perf_counter()
+                out = ex.run()
+                sync(out)
+                compile_s = time.perf_counter() - t0
+                ts = []
+                for _ in range(args.times):
+                    t0 = time.perf_counter()
+                    out = ex.run()
+                    sync(out)
                     ts.append(time.perf_counter() - t0)
+                c = ex.assemble(out)
                 sp = a.to_scipy()
                 sp_ts = []
-                for _ in range(3):
+                for _ in range(3):  # first rep pays allocator warmup; min converges
                     t0 = time.perf_counter()
                     csp = sp @ sp
                     sp_ts.append(time.perf_counter() - t0)
                 scipy_s = min(sp_ts)
+                # full bit-exact gate vs the scipy oracle, not just an nnz match
                 csp.sort_indices()
                 exact = np.array_equal(c.indptr, csp.indptr) and np.array_equal(
                     c.indices, csp.indices
                 )
                 assert exact, (name, csp.nnz, c.nnz)
+                extras = {}
+                if kind == "ops":
+                    # per-op throughput on this matrix: masked multiply (ELL
+                    # executor, staged mask) and row union (staged padded op)
+                    import jax.numpy as jnp
+
+                    from binary_spgemm_tpu import BCSR as _B
+                    from binary_spgemm_tpu.ops.ell import EllSpGEMMExecutor
+                    from binary_spgemm_tpu.ops.spgemm import DeviceBCSR
+                    from binary_spgemm_tpu.ops.union import spm_or_padded
+
+                    fmask = _B.random(n, n, d / 2, seed=8)
+                    mex = EllSpGEMMExecutor(a, a, masked=True)
+                    mout = mex.run_masked(fmask)
+                    np.asarray(mout[-1][:1])
+                    mts = []
+                    for _ in range(args.times):
+                        t0 = time.perf_counter()
+                        mout = mex.run_masked(fmask)
+                        np.asarray(mout[-1][:1])
+                        mts.append(time.perf_counter() - t0)
+                    da = DeviceBCSR.from_host(a)
+                    db = DeviceBCSR.from_host(fmask)
+                    uargs = (da.indptr, da.indices, da.nnz,
+                             db.indptr, db.indices, db.nnz)
+                    uout = spm_or_padded(*uargs, n_cols=n)
+                    np.asarray(uout[2])
+                    uts = []
+                    for _ in range(args.times):
+                        t0 = time.perf_counter()
+                        uout = spm_or_padded(*uargs, n_cols=n)
+                        np.asarray(uout[2])
+                        uts.append(time.perf_counter() - t0)
+                    # fused-OR (D pre-seeds the chunk sorts): staged, device time.
+                    # Reuse the main executor's staged tables when it is the ELL
+                    # engine — a third EllSpGEMMExecutor(a, a) would hold a third
+                    # resident copy of the staged A entries for no reason.
+                    dmat = _B.random(n, n, d / 2, seed=9)
+                    oex = ex if is_ell else EllSpGEMMExecutor(a, a)
+                    sd = oex.stage_mask(dmat)
+                    oout = oex.run_or(sd)
+                    np.asarray(oout[-1][:1])
+                    ots = []
+                    for _ in range(args.times):
+                        t0 = time.perf_counter()
+                        oout = oex.run_or(sd)
+                        np.asarray(oout[-1][:1])
+                        ots.append(time.perf_counter() - t0)
+                    extras = {
+                        "masked_fastest_s": min(mts),
+                        "masked_nnz": int(mex.assemble(mout).nnz),
+                        "union_fastest_s": min(uts),
+                        "union_nnz": int(uout[2]),
+                        "fused_or_fastest_s": min(ots),
+                        "fused_or_nnz": int(oex.assemble(oout).nnz),
+                    }
+                if kind == "tri":
+                    from binary_spgemm_tpu.ops.counts import triangle_count_device
+
+                    tri = triangle_count_device(a)  # warmup/compile
+                    tts = []
+                    for _ in range(args.times):
+                        t0 = time.perf_counter()
+                        tri = triangle_count_device(a)
+                        tts.append(time.perf_counter() - t0)
+                    # serial host baseline: scipy int64 masked value product
+                    t0 = time.perf_counter()
+                    spi = a.to_scipy().astype(np.int64)
+                    tri_host = int((spi @ spi).multiply(spi).sum()) // 6
+                    tri_scipy_s = time.perf_counter() - t0
+                    assert tri == tri_host, (tri, tri_host)
+                    extras = {
+                        "triangles": tri,
+                        "tri_fastest_s": min(tts),
+                        "tri_scipy_s": tri_scipy_s,
+                    }
+                if kind == "blocked":
+                    from binary_spgemm_tpu import BlockedBCSR
+                    from binary_spgemm_tpu.ops.bsr import BsrExecutor
+
+                    blk = BlockedBCSR.from_bcsr(a, 128)
+                    bex = BsrExecutor(blk, blk)
+                    counts = bex.run()  # warmup/compile
+                    np.asarray(counts[:1, :1, :1])
+                    bts = []
+                    for _ in range(args.times):
+                        t0 = time.perf_counter()
+                        counts = bex.run()
+                        np.asarray(counts[:1, :1, :1])
+                        bts.append(time.perf_counter() - t0)
+                    cb = bex.assemble(counts)
+                    from binary_spgemm_tpu.utils.trace import bsr_roofline
+
+                    extras = {
+                        "bsr_fastest_s": min(bts),
+                        "bsr_nnz": cb.to_bcsr().nnz,
+                        "bsr_pairs": int(bex.seg.shape[0]),
+                        # the MXU path gets its OWN roofline model — the sort
+                        # model in the main record is meaningless for it
+                        "bsr_roofline": bsr_roofline(
+                            int(bex.seg.shape[0]), bex.n_out, blk.block_size,
+                            min(bts), dev,
+                        ),
+                    }
+
                 rec = {
                     "config": name,
                     "bit_exact": bool(exact),
+                    **extras,
                     "n": n,
                     "d": d,
-                    "platform": "host",
+                    "platform": dev.platform,
                     "input_nnz": a.nnz,
                     "output_nnz": c.nnz,
                     "flops": flops,
-                    "engine": "host",
+                    "engine": "ell" if is_ell else "esc",
+                    "chunks": ex.n_chunks if is_ell else len(ex.chunks),
                     "fastest_s": min(ts),
                     "mean_s": sum(ts) / len(ts),
+                    "compile_or_cached_s": compile_s,
                     "scipy_s": scipy_s,
                     "speedup_vs_scipy": scipy_s / min(ts),
                     "output_nnz_per_s": c.nnz / min(ts),
+                    "roofline": roofline(
+                        pad_slots, a.nnz, c.nnz, min(ts), dev,
+                        sort_len=ex.sort_pad if is_ell else ex.flops_pad,
+                    ),
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                }
+                line = json.dumps(rec)
+                print(line, flush=True)
+                f.write(line + "\n")
+            except Exception as e:  # one config must not kill the sweep
+                import traceback
+
+                traceback.print_exc()
+                rec = {
+                    "config": cfg[0],
+                    "error": f"{type(e).__name__}: {e}"[:200],
                     "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
                 }
                 line = json.dumps(rec)
                 print(line, flush=True)
                 f.write(line + "\n")
                 continue
-
-            ex = auto_executor(a, a)
-            is_ell = isinstance(ex, EllSpGEMMExecutor)
-            pad_slots = (
-                ex.total_slots if is_ell else ex.flops_pad * len(ex.chunks)
-            )
-
-            def sync(o):
-                np.asarray(o[-1])  # per-chunk nnz (2-tuple sep / 3-tuple ESC)
-
-            t0 = time.perf_counter()
-            out = ex.run()
-            sync(out)
-            compile_s = time.perf_counter() - t0
-            ts = []
-            for _ in range(args.times):
-                t0 = time.perf_counter()
-                out = ex.run()
-                sync(out)
-                ts.append(time.perf_counter() - t0)
-            c = ex.assemble(out)
-            sp = a.to_scipy()
-            sp_ts = []
-            for _ in range(3):  # first rep pays allocator warmup; min converges
-                t0 = time.perf_counter()
-                csp = sp @ sp
-                sp_ts.append(time.perf_counter() - t0)
-            scipy_s = min(sp_ts)
-            # full bit-exact gate vs the scipy oracle, not just an nnz match
-            csp.sort_indices()
-            exact = np.array_equal(c.indptr, csp.indptr) and np.array_equal(
-                c.indices, csp.indices
-            )
-            assert exact, (name, csp.nnz, c.nnz)
-            extras = {}
-            if kind == "ops":
-                # per-op throughput on this matrix: masked multiply (ELL
-                # executor, staged mask) and row union (staged padded op)
-                import jax.numpy as jnp
-
-                from binary_spgemm_tpu import BCSR as _B
-                from binary_spgemm_tpu.ops.ell import EllSpGEMMExecutor
-                from binary_spgemm_tpu.ops.spgemm import DeviceBCSR
-                from binary_spgemm_tpu.ops.union import spm_or_padded
-
-                fmask = _B.random(n, n, d / 2, seed=8)
-                mex = EllSpGEMMExecutor(a, a, masked=True)
-                mout = mex.run_masked(fmask)
-                np.asarray(mout[-1][:1])
-                mts = []
-                for _ in range(args.times):
-                    t0 = time.perf_counter()
-                    mout = mex.run_masked(fmask)
-                    np.asarray(mout[-1][:1])
-                    mts.append(time.perf_counter() - t0)
-                da = DeviceBCSR.from_host(a)
-                db = DeviceBCSR.from_host(fmask)
-                uargs = (da.indptr, da.indices, da.nnz,
-                         db.indptr, db.indices, db.nnz)
-                uout = spm_or_padded(*uargs, n_cols=n)
-                np.asarray(uout[2])
-                uts = []
-                for _ in range(args.times):
-                    t0 = time.perf_counter()
-                    uout = spm_or_padded(*uargs, n_cols=n)
-                    np.asarray(uout[2])
-                    uts.append(time.perf_counter() - t0)
-                # fused-OR (D pre-seeds the chunk sorts): staged, device time.
-                # Reuse the main executor's staged tables when it is the ELL
-                # engine — a third EllSpGEMMExecutor(a, a) would hold a third
-                # resident copy of the staged A entries for no reason.
-                dmat = _B.random(n, n, d / 2, seed=9)
-                oex = ex if is_ell else EllSpGEMMExecutor(a, a)
-                sd = oex.stage_mask(dmat)
-                oout = oex.run_or(sd)
-                np.asarray(oout[-1][:1])
-                ots = []
-                for _ in range(args.times):
-                    t0 = time.perf_counter()
-                    oout = oex.run_or(sd)
-                    np.asarray(oout[-1][:1])
-                    ots.append(time.perf_counter() - t0)
-                extras = {
-                    "masked_fastest_s": min(mts),
-                    "masked_nnz": int(mex.assemble(mout).nnz),
-                    "union_fastest_s": min(uts),
-                    "union_nnz": int(uout[2]),
-                    "fused_or_fastest_s": min(ots),
-                    "fused_or_nnz": int(oex.assemble(oout).nnz),
-                }
-            if kind == "tri":
-                from binary_spgemm_tpu.ops.counts import triangle_count_device
-
-                tri = triangle_count_device(a)  # warmup/compile
-                tts = []
-                for _ in range(args.times):
-                    t0 = time.perf_counter()
-                    tri = triangle_count_device(a)
-                    tts.append(time.perf_counter() - t0)
-                # serial host baseline: scipy int64 masked value product
-                t0 = time.perf_counter()
-                spi = a.to_scipy().astype(np.int64)
-                tri_host = int((spi @ spi).multiply(spi).sum()) // 6
-                tri_scipy_s = time.perf_counter() - t0
-                assert tri == tri_host, (tri, tri_host)
-                extras = {
-                    "triangles": tri,
-                    "tri_fastest_s": min(tts),
-                    "tri_scipy_s": tri_scipy_s,
-                }
-            if kind == "blocked":
-                from binary_spgemm_tpu import BlockedBCSR
-                from binary_spgemm_tpu.ops.bsr import BsrExecutor
-
-                blk = BlockedBCSR.from_bcsr(a, 128)
-                bex = BsrExecutor(blk, blk)
-                counts = bex.run()  # warmup/compile
-                np.asarray(counts[:1, :1, :1])
-                bts = []
-                for _ in range(args.times):
-                    t0 = time.perf_counter()
-                    counts = bex.run()
-                    np.asarray(counts[:1, :1, :1])
-                    bts.append(time.perf_counter() - t0)
-                cb = bex.assemble(counts)
-                from binary_spgemm_tpu.utils.trace import bsr_roofline
-
-                extras = {
-                    "bsr_fastest_s": min(bts),
-                    "bsr_nnz": cb.to_bcsr().nnz,
-                    "bsr_pairs": int(bex.seg.shape[0]),
-                    # the MXU path gets its OWN roofline model — the sort
-                    # model in the main record is meaningless for it
-                    "bsr_roofline": bsr_roofline(
-                        int(bex.seg.shape[0]), bex.n_out, blk.block_size,
-                        min(bts), dev,
-                    ),
-                }
-
-            rec = {
-                "config": name,
-                "bit_exact": bool(exact),
-                **extras,
-                "n": n,
-                "d": d,
-                "platform": dev.platform,
-                "input_nnz": a.nnz,
-                "output_nnz": c.nnz,
-                "flops": flops,
-                "engine": "ell" if is_ell else "esc",
-                "chunks": ex.n_chunks if is_ell else len(ex.chunks),
-                "fastest_s": min(ts),
-                "mean_s": sum(ts) / len(ts),
-                "compile_or_cached_s": compile_s,
-                "scipy_s": scipy_s,
-                "speedup_vs_scipy": scipy_s / min(ts),
-                "output_nnz_per_s": c.nnz / min(ts),
-                "roofline": roofline(
-                    pad_slots, a.nnz, c.nnz, min(ts), dev,
-                    sort_len=ex.sort_pad if is_ell else ex.flops_pad,
-                ),
-                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-            }
-            line = json.dumps(rec)
-            print(line, flush=True)
-            f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -2281,8 +2281,9 @@ def cached_executor(a: BCSR, b: BCSR, *, masked: bool = False):
             return ex
         del _EXEC_CACHE[key]
     # many-row inputs take the batched 2-D plan exactly like auto_executor —
-    # the whole op family (masked/counts/or) is served by both forms now
-    ex = EllSpGEMMExecutor(a, b, masked=masked, batched=prefer_batched(a, b))
+    # the whole op family (masked/counts/or) is served by both forms now,
+    # with the same skew guard (BATCHED_MAX_SLOTS -> unrolled dealt)
+    ex = _auto_ell(a, b, masked=masked)
     if a.nnz + b.nnz <= _EXEC_CACHE_MAX_NNZ:
         while len(_EXEC_CACHE) >= _EXEC_CACHE_MAX:
             _EXEC_CACHE.pop(next(iter(_EXEC_CACHE)))
@@ -2306,6 +2307,35 @@ def prefer_batched(a: BCSR, b: BCSR) -> bool:
     return a.n_rows > 160 * cap
 
 
+# Skew guard for the batched 2-D plan: its whole [k, sort_pad] stream is
+# resident at once (the unrolled plan streams chunk groups), and per-bin
+# class pads are max-over-bins, so power-law inputs that pass the
+# prefer_batched row-count rule can still plan multi-GB streams — R-MAT
+# s18 forced onto the batched path OOMed at k=512/2048 and crashed the
+# remote Mosaic compiler on the auto plan (results.jsonl ab="kgrid"
+# 2026-08-20).  Measured plans: hypersparse-5m-d2 36M slots, large-1m-d8
+# 96M, rmat-s20-e2 805M — the cap sits 2.8x above the biggest verified
+# batched win and 3x below the skew blowup.  Over the cap the auto path
+# falls back to the snake-dealt UNROLLED plan (the production route for
+# skew), not ESC.
+BATCHED_MAX_SLOTS = 1 << 28
+
+
+def _auto_ell(a: BCSR, b: BCSR, *, masked: bool = False):
+    """Build the ELL executor the auto path wants: batched 2-D when the
+    many-rows rule says so AND the planned stream passes the skew guard,
+    else the unrolled (contig/dealt) plan.  Raises OverflowError only when
+    the unrolled plan overflows too (caller falls back to ESC)."""
+    if prefer_batched(a, b):
+        try:
+            ex = EllSpGEMMExecutor(a, b, masked=masked, batched=True)
+            if ex.total_slots <= BATCHED_MAX_SLOTS:
+                return ex
+        except OverflowError:
+            pass
+    return EllSpGEMMExecutor(a, b, masked=masked)
+
+
 def auto_executor(a: BCSR, b: BCSR, *, chunk_flops: int | None = None):
     """Pick the faster engine for C = A·B on this input.
 
@@ -2313,13 +2343,14 @@ def auto_executor(a: BCSR, b: BCSR, *, chunk_flops: int | None = None):
     row-gather expansion is ~6x cheaper than ESC's element gather (measured
     1.7 vs 10.4 ns/elem, benchmarks/micro.jsonl) at ~1.2x slot padding; the
     batched 2-D variant serves the many-rows regime where the unrolled
-    plan's sorts go unpacked (see :func:`prefer_batched`).  The flop-chunked
-    ESC executor covers everything larger.
+    plan's sorts go unpacked (see :func:`prefer_batched` and the
+    ``BATCHED_MAX_SLOTS`` skew guard).  The flop-chunked ESC executor
+    covers everything larger.
     """
     from .spgemm import SpGEMMExecutor
 
     try:
-        ex = EllSpGEMMExecutor(a, b, batched=prefer_batched(a, b))
+        ex = _auto_ell(a, b)
         if ex.resident_slots <= AUTO_ELL_MAX_SLOTS:
             return ex
     except OverflowError:

@@ -1107,6 +1107,16 @@ def pull_prefix(
 # gathers with int32 positions.  Bigger stacks compact in chunk groups.
 _COMPACT_FLAT_MAX = (1 << 31) - 1
 
+# Single-block compaction's HBM budget.  compact_chunks holds ~4 stack-sized
+# int32 temporaries (positions, searchsorted chunk ids, gather sources, the
+# gathered output) on top of the input stack, so a B-byte stack peaks near
+# 5·B inside the one fused kernel.  R-MAT s18's 4.6 GB padded stack OOM'd a
+# 16 GB chip this way (results.jsonl 2026-08-20); past this cap the stack
+# compacts in chunk groups (same int32-domain machinery as the >2³¹ path)
+# with G sized so each group's temporaries stay ~2 GB.
+_COMPACT_BLOCK_BYTES = 1 << 31
+_COMPACT_GROUP_BYTES = 1 << 29
+
 
 def should_compact_pull(C: int, Pp: int, itemsize: int, total: int) -> bool:
     """Gate for compact-before-pull: the padded stack must be big enough to
@@ -1145,9 +1155,16 @@ def compact_pull(idx, nnz_valid: np.ndarray) -> list[np.ndarray] | None:
     total = int(nnz_valid.sum())
     if not should_compact_pull(C, Pp, idx.dtype.itemsize, total):
         return None
-    if C * Pp <= _COMPACT_FLAT_MAX:
+    nbytes = C * Pp * idx.dtype.itemsize
+    if C * Pp <= _COMPACT_FLAT_MAX and nbytes <= _COMPACT_BLOCK_BYTES:
         return _compact_pull_block(idx, nnz_valid)
-    G = max(1, _COMPACT_FLAT_MAX // Pp)
+    G = max(
+        1,
+        min(
+            _COMPACT_FLAT_MAX // Pp,
+            _COMPACT_GROUP_BYTES // (Pp * idx.dtype.itemsize),
+        ),
+    )
     parts: list[np.ndarray] = []
     for g0 in range(0, C, G):
         g1 = min(g0 + G, C)

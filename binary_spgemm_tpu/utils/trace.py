@@ -67,6 +67,10 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+# Measured per-call dispatch floor through this environment's remote tunnel
+# (~27 ms regardless of work size; see CLAUDE.md and micro.jsonl).
+DISPATCH_FLOOR_S = 0.027
+
 # Per-chip HBM bandwidth for roofline estimates (bytes/s).  v5e ≈ 819 GB/s.
 HBM_BYTES_PER_S = {
     "tpu v5 lite": 819e9,
@@ -110,7 +114,7 @@ def roofline(
         (12 + 2 * 8 * sort_passes + 12) * flops_pad + 4 * (nnz_a + nnz_c)
     )
     sol_s = bytes_moved / bw
-    return {
+    rec = {
         "model": "sort",
         "model_bytes": bytes_moved,
         "speed_of_light_s": sol_s,
@@ -118,6 +122,17 @@ def roofline(
         "fraction_of_roofline": sol_s / seconds if seconds else 0.0,
         "bandwidth_assumed_gbps": bw / 1e9,
     }
+    # This environment's remote-dispatch tunnel adds a measured ~27 ms floor
+    # to EVERY device call (benchmarks/micro.jsonl "sort_rate27" protocol) —
+    # at mid-64k the floor alone is 3.2x the model SOL, capping the raw
+    # fraction at ~24% regardless of kernel quality.  Report the
+    # floor-adjusted fraction alongside so device-time progress stays
+    # visible: fraction_ex_dispatch = SOL / (achieved - floor).  On a
+    # PCIe-attached host the two columns converge.
+    if "tpu" in kind and seconds > DISPATCH_FLOOR_S:
+        rec["dispatch_floor_s"] = DISPATCH_FLOOR_S
+        rec["fraction_ex_dispatch"] = sol_s / (seconds - DISPATCH_FLOOR_S)
+    return rec
 
 
 # Per-chip dense peak for the MXU roofline (bf16 multiply, f32 accumulate).

@@ -163,6 +163,23 @@ def test_auto_executor_picks_batched_for_many_rows(monkeypatch):
     assert ex.assemble(ex.run()).equals(spgemm_oracle(a, a))
 
 
+def test_batched_skew_guard_falls_back_unrolled(monkeypatch):
+    # a skewed input whose batched [k, sort_pad] stream exceeds the resident
+    # cap must route to the UNROLLED dealt plan (the production skew route),
+    # not ESC — R-MAT s18/s20-class blowups (BATCHED_MAX_SLOTS rationale)
+    from binary_spgemm_tpu.ops import ell as ell_mod
+    from binary_spgemm_tpu.ops.ell import cached_executor
+
+    a = BCSR.random(9000, 9000, 2.0, seed=11)
+    monkeypatch.setattr(ell_mod, "prefer_batched", lambda a, b: True)
+    monkeypatch.setattr(ell_mod, "BATCHED_MAX_SLOTS", 1)  # force the guard
+    ex = auto_executor(a, a)
+    assert isinstance(ex, EllSpGEMMExecutor) and not ex.batched
+    assert ex.assemble(ex.run()).equals(spgemm_oracle(a, a))
+    exm = cached_executor(a, a)
+    assert isinstance(exm, EllSpGEMMExecutor) and not exm.batched
+
+
 def test_ellb_group_widths():
     b = BCSR.random(300, 300, 4.0, seed=12)
     fine = EllB.build(b)

@@ -249,6 +249,27 @@ def test_compact_pull_groups(monkeypatch):
         assert np.array_equal(parts[i], idx[i, : nnz[i]])
 
 
+def test_compact_pull_groups_byte_gate(monkeypatch):
+    # stacks whose single-block compaction temporaries (~5x the stack) would
+    # not fit HBM compact group-wise even inside the int32 flat domain —
+    # the R-MAT s18 OOM regression (results.jsonl 2026-08-20)
+    import jax.numpy as jnp
+
+    import binary_spgemm_tpu.ops.spgemm as sp
+
+    monkeypatch.setattr(sp, "COMPACT_PULL_BYTES", 0)
+    monkeypatch.setattr(sp, "PULL_PAGE", 1 << 10)
+    monkeypatch.setattr(sp, "_COMPACT_BLOCK_BYTES", 100)  # 5x16x4=320 > 100
+    monkeypatch.setattr(sp, "_COMPACT_GROUP_BYTES", 130)  # -> groups of 2
+    rng = np.random.default_rng(6)
+    idx = rng.integers(0, 100, (5, 16), dtype=np.int32)
+    nnz = np.array([2, 16, 0, 9, 4], np.int64)
+    parts = sp.compact_pull(jnp.asarray(idx), nnz)
+    assert parts is not None and len(parts) == 5
+    for i in range(5):
+        assert np.array_equal(parts[i], idx[i, : nnz[i]])
+
+
 def test_chunked_spgemm_prefix_paged_pull(monkeypatch):
     # the chunked ESC driver pages only each chunk's valid prefix when the
     # padded chunk is large enough

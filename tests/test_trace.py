@@ -21,6 +21,25 @@ def test_roofline_fields():
     assert r["model_bytes"] > 60 * (1 << 20)
 
 
+def test_roofline_dispatch_floor_adjustment():
+    # on TPU devices the row carries the floor-adjusted fraction too (the
+    # ~27 ms tunnel floor caps the raw fraction regardless of kernel speed);
+    # off-TPU (this CPU test) the field is absent
+    class FakeTpu:
+        device_kind = "TPU v5 lite"
+
+    r = roofline(1 << 20, 1000, 5000, 0.1, device=FakeTpu())
+    assert r["dispatch_floor_s"] == 0.027
+    expect = r["speed_of_light_s"] / (0.1 - 0.027)
+    assert abs(r["fraction_ex_dispatch"] - expect) < 1e-12
+    assert r["fraction_ex_dispatch"] > r["fraction_of_roofline"]
+    # near/below the floor the adjusted fraction is meaningless — omitted
+    assert "fraction_ex_dispatch" not in roofline(
+        1 << 20, 1000, 5000, 0.02, device=FakeTpu()
+    )
+    assert "fraction_ex_dispatch" not in roofline(1 << 20, 1000, 5000, 0.1)
+
+
 def test_bsr_roofline_model():
     from binary_spgemm_tpu.utils.trace import bsr_roofline, roofline
 
