@@ -21,6 +21,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from .bitonic import sort_rows as sort_rows_1key
 import numpy as np
 
 from ..formats.bcsr import BCSR
@@ -137,7 +139,7 @@ def sort_compress_counts_seps_2d(
     if packable(n_rows, n_cols):
         shift = int(n_cols).bit_length()
         key = (row << shift) | col
-        key_s = jax.lax.sort(key, dimension=1, is_stable=False)
+        key_s = sort_rows_1key(key)
         valid = key_s < (n_rows << shift)  # separators valid, padding not
         q = jnp.cumsum(valid.astype(INT), axis=1) - valid.astype(INT)
         total = jnp.sum(valid, axis=1, dtype=INT)[:, None]
@@ -199,7 +201,7 @@ def masked_counts_compress_seps_2d(
     if packable(n_rows, 2 * n_cols + 1):
         bl = int(n_cols).bit_length()
         key = (row << bl) | col
-        key_s = jax.lax.sort(key, dimension=1, is_stable=False)
+        key_s = sort_rows_1key(key)
         valid = key_s < (n_rows << bl)
         q = jnp.cumsum(valid.astype(INT), axis=1) - valid.astype(INT)
         total = jnp.sum(valid, axis=1, dtype=INT)[:, None]
@@ -327,7 +329,7 @@ def masked_counts_sum_2d(
             ],
             axis=1,
         )
-        key_s = jax.lax.sort(keys, dimension=1, is_stable=False)
+        key_s = sort_rows_1key(keys)
         is_mask = (key_s & 1) == 0
         prev = jnp.concatenate(
             [jnp.full((k, 1), -2, INT), key_s[:, :-1]], axis=1

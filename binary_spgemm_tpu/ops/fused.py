@@ -16,6 +16,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from .bitonic import sort_rows as sort_rows_1key
 import numpy as np
 
 from ..formats.bcsr import BCSR
@@ -191,7 +193,7 @@ def _sort_compress_or_masked_seps_2d(
             ],
             axis=1,
         )
-        key_s = jax.lax.sort(keys, dimension=1, is_stable=False)
+        key_s = sort_rows_1key(keys)
         prev = jnp.concatenate(
             [jnp.full((k, 1), -1, INT), key_s[:, :-1]], axis=1
         )
@@ -207,7 +209,7 @@ def _sort_compress_or_masked_seps_2d(
         keep = ((keep_d | keep_c) & bound) | is_sep
         nnz_c = jnp.sum(keep, axis=1, dtype=INT)
         demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
-        c_keys = jax.lax.sort(demoted, dimension=1, is_stable=False)
+        c_keys = sort_rows_1key(demoted)
         return (c_keys >> 2) & col_mask, nnz_c
 
     rows = jnp.concatenate([row, d_row, f_row], axis=1)

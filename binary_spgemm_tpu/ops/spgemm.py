@@ -36,6 +36,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from .bitonic import sort_rows as sort_rows_1key
 import numpy as np
 
 from ..formats.bcsr import BCSR
@@ -312,14 +314,21 @@ def sort_compress_seps_2d(
     if packable(n_rows, n_cols):
         shift = int(n_cols).bit_length()
         key = (row << shift) | col
-        key_s = jax.lax.sort(key, dimension=1, is_stable=False)
+        limit = n_rows << shift
+        # NOTE: a fully-fused Pallas sort–dedup–sort kernel
+        # (bitonic.fused_sort_compress) measured a TIE with this composition
+        # end-to-end (0.1355 vs 0.1352 s at mid-256k k=32768, results.jsonl
+        # ab="bitonic-e2e") — XLA already fuses the dedup pass between the
+        # two sort_rows_1key calls, so the extra kernel complexity buys
+        # nothing; kept unfused.
+        key_s = sort_rows_1key(key)
         prev = jnp.concatenate(
             [jnp.full((k, 1), -1, INT), key_s[:, :-1]], axis=1
         )
-        keep = (key_s != prev) & (key_s < (n_rows << shift))
+        keep = (key_s != prev) & (key_s < limit)
         nnz_c = jnp.sum(keep, axis=1, dtype=INT)
         demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
-        c_keys = jax.lax.sort(demoted, dimension=1, is_stable=False)
+        c_keys = sort_rows_1key(demoted)
         return c_keys & ((1 << shift) - 1), nnz_c
 
     row_s, col_s = jax.lax.sort(
@@ -354,14 +363,14 @@ def sort_compress_2d(
     if packable(n_rows, n_cols):
         shift = int(n_cols).bit_length()
         key = (row << shift) | col
-        key_s = jax.lax.sort(key, dimension=1, is_stable=False)
+        key_s = sort_rows_1key(key)
         prev = jnp.concatenate(
             [jnp.full((C, 1), -1, INT), key_s[:, :-1]], axis=1
         )
         keep = (key_s != prev) & (key_s < (n_rows << shift))
         nnz_c = jnp.sum(keep, axis=1, dtype=INT)
         demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
-        c_keys = jax.lax.sort(demoted, dimension=1, is_stable=False)
+        c_keys = sort_rows_1key(demoted)
         c_indices = c_keys & ((1 << shift) - 1)
         rows_sorted = jnp.minimum(
             jax.lax.shift_right_logical(c_keys, shift), n_rows
@@ -510,7 +519,7 @@ def sort_compress_masked_seps_2d(
             ],
             axis=1,
         )
-        key_s = jax.lax.sort(keys, dimension=1, is_stable=False)
+        key_s = sort_rows_1key(keys)
         prev = jnp.concatenate(
             [jnp.full((k, 1), -2, INT), key_s[:, :-1]], axis=1
         )
@@ -522,7 +531,7 @@ def sort_compress_masked_seps_2d(
         keep = (is_cand & (prev == (key_s & ~1)) & in_range) | is_sep
         nnz_c = jnp.sum(keep, axis=1, dtype=INT)
         demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
-        c_keys = jax.lax.sort(demoted, dimension=1, is_stable=False)
+        c_keys = sort_rows_1key(demoted)
         return (c_keys >> 1) & col_mask, nnz_c
 
     rows = jnp.concatenate([row, f_row], axis=1)
