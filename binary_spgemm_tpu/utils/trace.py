@@ -71,6 +71,11 @@ def trace(logdir: str):
 # (~27 ms regardless of work size; see CLAUDE.md and micro.jsonl).
 DISPATCH_FLOOR_S = 0.027
 
+# Measured VPU compare-exchange throughput of the best sort kernel on this
+# chip (Pallas bitonic, benchmarks/pallas_sort.py): ns per element per
+# network pass; a length-L bitonic runs log2(L)·(log2(L)+1)/2 passes.
+SORT_NS_PER_ELEM_PASS = 3e-3
+
 # Per-chip HBM bandwidth for roofline estimates (bytes/s).  v5e ≈ 819 GB/s.
 HBM_BYTES_PER_S = {
     "tpu v5 lite": 819e9,
@@ -122,6 +127,20 @@ def roofline(
         "fraction_of_roofline": sol_s / seconds if seconds else 0.0,
         "bandwidth_assumed_gbps": bw / 1e9,
     }
+    # Dual roofline: the bandwidth model above assumes sorts stream at HBM
+    # speed, but a compare-exchange network is COMPUTE-bound on the VPU —
+    # the measured floor (Pallas bitonic, results.jsonl ab="pallas-sort":
+    # 0.224 ns/elem at L=4096/78 passes, 0.22 at L=2048/66) is
+    # ~3e-3 ns/elem/pass.  No sort-based engine can beat
+    # max(bandwidth_s, sort_compute_s); report the fraction against that
+    # achievable ceiling alongside the legacy bandwidth-only figure.
+    if "tpu" in kind:
+        m = math.log2(L)
+        net_passes = m * (m + 1) / 2
+        sort_compute_s = 2 * flops_pad * SORT_NS_PER_ELEM_PASS * net_passes / 1e9
+        dual = max(sol_s, sort_compute_s)
+        rec["sort_compute_s"] = sort_compute_s
+        rec["fraction_of_dual"] = dual / seconds if seconds else 0.0
     # This environment's remote-dispatch tunnel adds a measured ~27 ms floor
     # to EVERY device call (benchmarks/micro.jsonl "sort_rate27" protocol) —
     # at mid-64k the floor alone is 3.2x the model SOL, capping the raw

@@ -33,6 +33,12 @@ def test_roofline_dispatch_floor_adjustment():
     expect = r["speed_of_light_s"] / (0.1 - 0.027)
     assert abs(r["fraction_ex_dispatch"] - expect) < 1e-12
     assert r["fraction_ex_dispatch"] > r["fraction_of_roofline"]
+    # dual roofline: compute-bound sort term (measured VPU floor) raises the
+    # achievable ceiling above the bandwidth-only SOL at these shapes
+    assert r["sort_compute_s"] > 0
+    want = max(r["speed_of_light_s"], r["sort_compute_s"]) / 0.1
+    assert abs(r["fraction_of_dual"] - want) < 1e-12
+    assert r["fraction_of_dual"] >= r["fraction_of_roofline"]
     # near/below the floor the adjusted fraction is meaningless — omitted
     assert "fraction_ex_dispatch" not in roofline(
         1 << 20, 1000, 5000, 0.02, device=FakeTpu()
