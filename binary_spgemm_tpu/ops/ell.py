@@ -1256,12 +1256,20 @@ def _batched_deal_plan(
         # shortening the sorts (log² row length) until per-bin class padding
         # wins; smaller (2-key) k occasionally wins when padding dominates
         k_pack = 1 << max(int(n / max(cap, 1) - 1e-9).bit_length(), 6)
+        # The window must reach well past k_pack: at mid-256k cap is large
+        # (2048 rows/bin already packable) so k_pack is only 128, but the
+        # measured kgrid optimum sits at k=32768 = 256·k_pack (8 rows/bin —
+        # shorter sorts beat the extra class padding; results.jsonl
+        # ab="kgrid" 2026-08-20).  The 16·k_pack ceiling of round 2 never
+        # even evaluated it.  eval_k is one bincount over the entries, so
+        # the wider grid costs milliseconds host-side.
         ks = sorted(
             {
                 min(max(k, 64), 1 << 17)
                 for k in (
                     k_pack // 4, k_pack // 2, k_pack,
                     2 * k_pack, 4 * k_pack, 8 * k_pack, 16 * k_pack,
+                    32 * k_pack, 64 * k_pack, 128 * k_pack, 256 * k_pack,
                 )
             }
         )
@@ -2299,12 +2307,17 @@ def prefer_batched(a: BCSR, b: BCSR) -> bool:
     that it falls back to 2-key sorts (3.25 vs 2.15 ns/elem at 2^25 — and
     the batched 2-D sorts run 1.1-1.9 ns, benchmarks/micro.jsonl "sort2d").
     Measured: 1M-row d=8 0.340 s unrolled → 0.198 batched; 5M-row d=2
-    0.173 → 0.144 (benchmarks/results.jsonl "ab": "batched2d"); 64K/256K
-    inputs stay packed unrolled and measured at parity or better there.
+    0.173 → 0.144 (benchmarks/results.jsonl "ab": "batched2d"); 64K inputs
+    stay packed unrolled (batched parity: 0.052 vs 0.055).  256K+ rows take
+    the batched plan since round 3: with the widened k window the planner's
+    pick (k=8192) measured 0.1533 s vs 0.169 unrolled at mid-256k-d16
+    (kgrid rows 2026-08-20); skewed 256K-row inputs (rmat-s18: 1.14G-slot
+    batched plan) bounce off the ``BATCHED_MAX_SLOTS`` guard back to the
+    dealt-unrolled route.
     """
     shift = int(b.n_cols).bit_length()
     cap = 1 << max(0, 30 - shift)
-    return a.n_rows > 160 * cap
+    return a.n_rows > 160 * cap or a.n_rows >= (1 << 18)
 
 
 # Skew guard for the batched 2-D plan: its whole [k, sort_pad] stream is
