@@ -1581,6 +1581,19 @@ class EllSpGEMMExecutor:
         # the 32nd-octave 8912896 vs 2.29 s at the exact 8871936), so the
         # ≤3% slot waste buys more than it costs.
         self.sort_pad = pad_bucket(max(slots + self.rows_pad, 8), div=32)
+        if self.batched:
+            # Round a NEAR-pow2 batched sort_pad up to the power of two so
+            # the Pallas bitonic row sort (ops/bitonic.py) can take both
+            # 2-D sorts: worth it only when the slot inflation is small
+            # (<=6%) and the length is inside the kernel's measured window.
+            # Plans far from a power of two (hypersparse 1088, 1m-d8 11776)
+            # keep the 32nd-octave bucket — the inflation would cost more
+            # in gather/sort volume than the kernel saves (~4% e2e).
+            from .bitonic import eligible as _bitonic_ok
+
+            p2 = 1 << (self.sort_pad - 1).bit_length()
+            if p2 <= 1.06 * self.sort_pad and _bitonic_ok(k, p2):
+                self.sort_pad = p2
         self.total_slots = self.sort_pad * k
         # Valid output entries per chunk never exceed its true flop count
         # (+ separators), so the stacked per-chunk index outputs are
