@@ -96,6 +96,25 @@ def cmd_bench(args) -> int:
                 engine=args.engine,
             )
 
+    elif getattr(args, "tune", False):
+        # empirical bin-count refinement: measure the model's plausible-best
+        # batched plans once, keep the fastest (ops/ell.py::tuned_executor)
+        from .ops.ell import tuned_executor
+
+        ex = tuned_executor(a, a)
+        if getattr(ex, "tune_report", None):
+            print(
+                "tuned: k=%d  %s"
+                % (
+                    ex.n_chunks,
+                    " ".join(f"{k}:{t:.4f}s" for t, k in ex.tune_report),
+                ),
+                file=sys.stderr,
+            )
+
+        def run():
+            return ex.assemble(ex.run())
+
     else:
 
         def run():
@@ -375,6 +394,12 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bench", parents=[common], help="time C = A*A")
     b.add_argument("--times", type=int, default=5, help="repeat count")
     b.add_argument("--json", action="store_true", help="also print a JSON record")
+    b.add_argument(
+        "--tune",
+        action="store_true",
+        help="measure the model's plausible-best batched bin counts once and "
+        "bench the fastest (staged; one compile per candidate)",
+    )
     b.add_argument(
         "--scaling-report",
         action="store_true",

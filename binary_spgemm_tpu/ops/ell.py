@@ -1301,6 +1301,7 @@ def _batched_deal_plan(
 
     if len(ks) == 1:
         plans = [eval_k(ks[0])]
+        model_ranking = [(plans[0][0], ks[0])]
     else:
         # Rank candidates at FULL resolution up to 2^24 entries: sampling
         # inflates per-bin MAXIMA (extreme values of binomial noise) more at
@@ -1308,7 +1309,9 @@ def _batched_deal_plan(
         # 0.237 s, over k=8192, 0.179 s).  Beyond that, a 1/4 sample keeps
         # the distortion below the candidate gaps.
         step = 4 if len(rr) > (1 << 24) else 1
-        ranked = min((eval_k(k, step) for k in ks), key=lambda t: t[0])
+        evals = sorted((eval_k(k, step) for k in ks), key=lambda t: t[0])
+        model_ranking = [(c, kk) for c, kk, *_ in evals]
+        ranked = evals[0]
         plans = [ranked if step == 1 else eval_k(ranked[1])]
     cost, k, assign, groups, rows_pad, pref = plans[0]
 
@@ -1323,7 +1326,7 @@ def _batched_deal_plan(
     )
     assert len(pads) == len(ell.widths), (pads, ell.widths)
     slots = sum(p * wd for p, wd in zip(pads, ell.widths))
-    return ell, rows_pc, pos_pc, assign, k, pads, slots, rows_pad
+    return ell, rows_pc, pos_pc, assign, k, pads, slots, rows_pad, model_ranking
 
 
 _flat_spgemm_sep = _make_flat_kernel(_ell_spgemm_sep_jit)
@@ -1397,7 +1400,7 @@ class EllSpGEMMExecutor:
                 self.batched = False  # degenerate input: unrolled is fine
             else:
                 (ell, rows_pc, pos_pc, assign, k_d, pads_d, slots_d,
-                 rows_pad_d) = planned
+                 rows_pad_d, model_ranking) = planned
                 if slots_d > np.iinfo(np.int32).max:
                     raise OverflowError(
                         f"batched ELL expansion {slots_d} slots/bin "
@@ -1405,6 +1408,9 @@ class EllSpGEMMExecutor:
                     )
                 dealt = (assign, k_d, pads_d, slots_d, rows_pad_d)
                 self.widths = tuple(ell.widths)
+                # model-cost-ordered (cost, k) candidates — consumed by
+                # tuned_executor's empirical refinement
+                self.k_ranking = list(model_ranking)
         if dealt is None:
             ell = EllB.build(b)
             rows_pc, pos_pc = _build_class_entries(a, ell)
@@ -2360,6 +2366,84 @@ def _auto_ell(a: BCSR, b: BCSR, *, masked: bool = False):
         except OverflowError:
             pass
     return EllSpGEMMExecutor(a, b, masked=masked)
+
+
+def tuned_executor(
+    a: BCSR,
+    b: BCSR,
+    *,
+    masked: bool = False,
+    top: int = 6,
+    margin: float = 1.15,
+    times: int = 2,
+) -> "EllSpGEMMExecutor":
+    """Empirically pick the batched plan's bin count by MEASURING the top
+    model-ranked candidates on the attached device and keeping the fastest.
+
+    The planner's rate model ranks coarsely in some regimes (mid-256k-d16:
+    model argmin k=8192 measured 0.153 s, grid optimum k=32768 measured
+    0.135 — results.jsonl ab="kgrid" 2026-08-20); when a staged executor
+    will serve many products, one measured round beats any model.  Costs
+    one compile + ``times`` runs per candidate (compiles through this
+    environment's remote tunnel are 30-300 s each on first use, seconds on
+    PCIe-attached hosts or once cached), so this is for long-lived staged
+    use — one-shot calls should stay on :func:`auto_executor`.
+
+    The winner carries a ``tune_report`` list of ``(seconds, k)``.
+    Candidates whose plan overflows or trips the skew guard are skipped;
+    if none survive, falls back to the unrolled plan.
+    """
+    import time as _time
+
+    try:
+        ex0 = EllSpGEMMExecutor(a, b, masked=masked, batched=True)
+    except OverflowError:
+        ex0 = None
+    if ex0 is None or not ex0.batched:
+        return EllSpGEMMExecutor(a, b, masked=masked)
+    # Candidates: every k whose MODEL cost is within ``margin`` of the best
+    # (capped at ``top``).  The model's ranking is coarse exactly where
+    # tuning matters — at mid-256k the measured optimum (k=32768, 0.1375 s)
+    # sits 5th by model cost at 1.085x the argmin — so a fixed top-N by
+    # rank would miss it; a cost margin catches every plausibly-best plan.
+    ranking = sorted(ex0.k_ranking)
+    cutoff = ranking[0][0] * max(margin, 1.0)
+    ks = []
+    for cost, k in ranking[: max(top, 1)]:
+        if cost <= cutoff and k not in ks:
+            ks.append(k)
+    report, best, best_t = [], None, float("inf")
+    for k in ks:
+        try:
+            ex = (
+                ex0
+                if k == ex0.n_chunks
+                else EllSpGEMMExecutor(a, b, masked=masked, batched=True,
+                                       deal_k=k)
+            )
+        except OverflowError:
+            continue
+        if ex.total_slots > BATCHED_MAX_SLOTS:
+            continue
+        try:
+            out = ex.run()
+            np.asarray(out[-1])  # compile + warmup
+            ts = []
+            for _ in range(max(times, 1)):
+                t0 = _time.perf_counter()
+                out = ex.run()
+                np.asarray(out[-1])
+                ts.append(_time.perf_counter() - t0)
+        except Exception:  # device rejects the shape (compile/OOM): skip
+            continue
+        t = min(ts)
+        report.append((t, k))
+        if t < best_t:
+            best, best_t = ex, t
+    if best is None:
+        return EllSpGEMMExecutor(a, b, masked=masked)
+    best.tune_report = sorted(report)
+    return best
 
 
 def auto_executor(a: BCSR, b: BCSR, *, chunk_flops: int | None = None):

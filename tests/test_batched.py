@@ -180,6 +180,23 @@ def test_batched_skew_guard_falls_back_unrolled(monkeypatch):
     assert isinstance(exm, EllSpGEMMExecutor) and not exm.batched
 
 
+def test_tuned_executor_measures_candidates():
+    # empirical k refinement: measures the top model-ranked bin counts and
+    # keeps the fastest, bit-exact; winner carries the (seconds, k) report
+    from binary_spgemm_tpu.ops.ell import tuned_executor
+
+    a = BCSR.random(6000, 6000, 2.0, seed=21)
+    ex = tuned_executor(a, a, top=2, times=1)
+    assert isinstance(ex, EllSpGEMMExecutor) and ex.batched
+    assert len(ex.tune_report) >= 1
+    assert ex.tune_report == sorted(ex.tune_report)
+    assert ex.tune_report[0][1] == ex.n_chunks  # winner is the staged plan
+    assert ex.assemble(ex.run()).equals(spgemm_oracle(a, a))
+    # the model ranking is exposed on every batched executor
+    ex2 = EllSpGEMMExecutor(a, a, batched=True)
+    assert len(ex2.k_ranking) >= 1 and ex2.k_ranking == sorted(ex2.k_ranking)
+
+
 def test_ellb_group_widths():
     b = BCSR.random(300, 300, 4.0, seed=12)
     fine = EllB.build(b)

@@ -50,6 +50,15 @@ def test_bench_rejects_rectangular(tmp_path, capsys):
     assert main(["bench", str(p), "--no-transpose"]) == 2
 
 
+def test_bench_tune(mtx, capsys):
+    # --tune measures the model's plausible-best batched plans and benches
+    # the winner (staged executor)
+    assert main(["bench", mtx, "--tune", "--times", "1", "--json"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out[0].split(",")) == 11  # same CSV contract
+    assert json.loads(out[1])["output_nnz"] > 0
+
+
 def test_validate_rows_balance(mtx):
     assert main(["validate", mtx, "--balance", "rows", "--devices", "2"]) == 0
 
