@@ -197,6 +197,15 @@ def test_tuned_executor_measures_candidates():
     assert len(ex2.k_ranking) >= 1 and ex2.k_ranking == sorted(ex2.k_ranking)
 
 
+def test_tuned_executor_degenerate_falls_back_unrolled():
+    from binary_spgemm_tpu.ops.ell import tuned_executor
+
+    empty = BCSR(np.zeros(101, np.int32), np.zeros(0, np.int32), (100, 100))
+    ex = tuned_executor(empty, empty)
+    assert isinstance(ex, EllSpGEMMExecutor) and not ex.batched
+    assert ex.assemble(ex.run()).nnz == 0
+
+
 def test_ellb_group_widths():
     b = BCSR.random(300, 300, 4.0, seed=12)
     fine = EllB.build(b)
