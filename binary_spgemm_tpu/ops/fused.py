@@ -275,6 +275,18 @@ def spgemm_or(
             raise ValueError(f"mask shape {mask.shape} != {(n, m)}")
         mask = mask.sum_duplicates()
 
+    # Small fused products beat the ~27 ms device dispatch floor on the
+    # host (same auto-route as spgemm()/spm_or(); see ops/host.py)
+    from .host import HOST_OR_MAX_NNZ, host_spgemm_or
+    from .spgemm import spgemm_flops
+
+    mask_nnz = mask.nnz if mask is not None else 0
+    if (
+        chunk_flops is None
+        and spgemm_flops(a, b) + d.nnz + mask_nnz <= HOST_OR_MAX_NNZ
+    ):
+        return host_spgemm_or(d, a, b, mask=mask)
+
     # Engine choice mirrors spgemm(): the sliced-ELL fused kernels (D joins
     # the chunk sort / three-way tagged join) whenever the expansion fits;
     # explicit ``chunk_flops`` forces the chunked ESC path below.

@@ -29,15 +29,23 @@ from ..formats.bcsr import BCSR
 
 __all__ = [
     "HOST_MAX_FLOPS",
+    "HOST_OR_MAX_NNZ",
     "host_spgemm",
     "host_masked_spgemm",
     "host_spgemm_counts",
+    "host_spm_or",
 ]
 
 # Auto-router threshold: flop counts at or below this run on the host.
 # The device floor is ~27 ms here; the native kernel does ~2e6 flops in
 # ~5 ms including staging, so the crossover is comfortably above this.
 HOST_MAX_FLOPS = 2_000_000
+
+# Union auto-router threshold on COMBINED operand nnz: the host key-union
+# (np.unique) measured 2.3 ms at 2^17 combined keys vs the ~27 ms device
+# floor; past ~2^18 the host sort loses to the device's one-sort pipeline
+# (64.6 ms at 2^19 combined).
+HOST_OR_MAX_NNZ = 1 << 18
 
 
 def _expand_numpy(a: BCSR, b: BCSR) -> tuple[np.ndarray, np.ndarray]:
@@ -78,6 +86,35 @@ def host_spgemm(a: BCSR, b: BCSR) -> BCSR:
     rows, cols = _expand_numpy(a, b)
     keys = np.unique(rows * np.int64(m) + cols)
     return _keys_to_csr(keys, n, m)
+
+
+def host_spm_or(a: BCSR, b: BCSR) -> BCSR:
+    """C = A OR B on the host: one ``np.unique`` over both operands' packed
+    (row, col) keys — the reference's scalar sorted merge (old/utils.c:
+    454-504) as a vectorised key union.  Same output contract as the
+    device path; the router bounds combined nnz (``HOST_OR_MAX_NNZ``)."""
+    n, m = a.shape
+    ra, ca = a.to_coo()
+    rb, cb = b.to_coo()
+    keys = np.unique(
+        np.concatenate(
+            [
+                ra.astype(np.int64) * m + ca,
+                rb.astype(np.int64) * m + cb,
+            ]
+        )
+    )
+    return _keys_to_csr(keys, n, m)
+
+
+def host_spgemm_or(
+    d: BCSR, a: BCSR, b: BCSR, mask: BCSR | None = None
+) -> BCSR:
+    """C = D OR ((mask .*)? (A·B)) on the host — the fused-OR family's
+    small-input route (≡ SpGEMM_dor/_dor_masked, old/BSpGEMM.c:75-254),
+    composed from the host product and key union."""
+    c = host_spgemm(a, b) if mask is None else host_masked_spgemm(mask, a, b)
+    return host_spm_or(d, c)
 
 
 def host_masked_spgemm(f: BCSR, a: BCSR, b: BCSR) -> BCSR:

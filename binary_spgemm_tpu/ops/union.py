@@ -62,6 +62,14 @@ def spm_or(a: BCSR, b: BCSR) -> BCSR:
     require_int32_operands(a, b)
     n, m = a.shape
 
+    from .host import HOST_OR_MAX_NNZ, host_spm_or
+
+    if a.nnz + b.nnz <= HOST_OR_MAX_NNZ:
+        # small unions beat the ~27 ms device dispatch floor on the host
+        # (2.3 ms at 2^17 combined keys) — same auto-route as spgemm()'s
+        # small-flop regime
+        return host_spm_or(a, b)
+
     def padded(mat):
         pad = pad_bucket(mat.nnz)
         idx = np.zeros(pad, np.int32)

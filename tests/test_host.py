@@ -146,3 +146,65 @@ def test_validity_fixture_routes_host():
 
     assert spgemm_flops(a, a) <= host.HOST_MAX_FLOPS
     assert spgemm(a, a).equals(spgemm_oracle(a, a))
+
+
+def test_host_spm_or_route_and_oracle(monkeypatch):
+    """Small unions route to the host key-union (the device floor loses)
+    and stay bit-exact; big unions stay on device."""
+    import numpy as np
+
+    from binary_spgemm_tpu.ops import host as host_mod
+    from binary_spgemm_tpu.ops import union as union_mod
+    from binary_spgemm_tpu.utils.oracle import union_oracle
+
+    calls = {"u": 0}
+    real = host_mod.host_spm_or
+
+    def spy(a, b):
+        calls["u"] += 1
+        return real(a, b)
+
+    monkeypatch.setattr(union_mod, "host_spm_or", spy, raising=False)
+    # the router imports inside the function — patch the host module symbol
+    monkeypatch.setattr(host_mod, "host_spm_or", spy)
+    a = BCSR.random(3000, 3000, 2.0, seed=11)
+    b = BCSR.random(3000, 3000, 1.0, seed=12)
+    got = union_mod.spm_or(a, b)
+    assert calls["u"] == 1
+    assert got.equals(union_oracle(a, b))
+    # over the nnz cap: device path (host not called)
+    monkeypatch.setattr(host_mod, "HOST_OR_MAX_NNZ", 0)
+    got2 = union_mod.spm_or(a, b)
+    assert calls["u"] == 1
+    assert got2.equals(got)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_host_spgemm_or_route_and_oracle(monkeypatch, with_mask):
+    import numpy as np
+
+    from binary_spgemm_tpu.ops import fused as fused_mod
+    from binary_spgemm_tpu.ops import host as host_mod
+    from binary_spgemm_tpu.utils.oracle import (
+        masked_spgemm_oracle, spgemm_oracle, union_oracle)
+
+    calls = {"f": 0}
+    real = host_mod.host_spgemm_or
+
+    def spy(d, a, b, mask=None):
+        calls["f"] += 1
+        return real(d, a, b, mask=mask)
+
+    monkeypatch.setattr(host_mod, "host_spgemm_or", spy)
+    a = BCSR.random(2000, 2000, 2.0, seed=31)
+    d = BCSR.random(2000, 2000, 1.0, seed=32)
+    f = BCSR.random(2000, 2000, 2.0, seed=33) if with_mask else None
+    got = fused_mod.spgemm_or(d, a, a, mask=f)
+    assert calls["f"] == 1
+    prod = spgemm_oracle(a, a) if f is None else masked_spgemm_oracle(f, a, a)
+    assert got.equals(union_oracle(d, prod))
+    # over the cap: device path, same result
+    monkeypatch.setattr(host_mod, "HOST_OR_MAX_NNZ", 0)
+    got2 = fused_mod.spgemm_or(d, a, a, mask=f)
+    assert calls["f"] == 1
+    assert got2.equals(got)
