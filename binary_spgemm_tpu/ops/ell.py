@@ -2326,17 +2326,20 @@ def prefer_batched(a: BCSR, b: BCSR) -> bool:
     that it falls back to 2-key sorts (3.25 vs 2.15 ns/elem at 2^25 — and
     the batched 2-D sorts run 1.1-1.9 ns, benchmarks/micro.jsonl "sort2d").
     Measured: 1M-row d=8 0.340 s unrolled → 0.198 batched; 5M-row d=2
-    0.173 → 0.144 (benchmarks/results.jsonl "ab": "batched2d"); 64K inputs
-    stay packed unrolled (batched parity: 0.052 vs 0.055).  256K+ rows take
-    the batched plan since round 3: with the widened k window the planner's
-    pick (k=8192) measured 0.1533 s vs 0.169 unrolled at mid-256k-d16
-    (kgrid rows 2026-08-20); skewed 256K-row inputs (rmat-s18: 1.14G-slot
-    batched plan) bounce off the ``BATCHED_MAX_SLOTS`` guard back to the
-    dealt-unrolled route.
+    0.173 → 0.144 (benchmarks/results.jsonl "ab": "batched2d").  64K+ rows
+    take the batched plan since round 3 — with the widened k window the
+    planner picks the measured grid optima and beats unrolled across the
+    mid sizes (ab="auto-verify" variant="batched-auto-widened"/"-r3",
+    2026-08-20, all bit-exact): mid-64k 0.0533 → 0.0508 (k=4096),
+    cage-128k 0.0804 → 0.0763 (k=16384), mid-256k 0.169 → 0.152 (k=8192).
+    Skewed inputs (tri-rmat-s16: 570M-slot plan; rmat-s18: 1.14G) bounce
+    off the ``BATCHED_MAX_SLOTS`` guard back to the dealt-unrolled route.
+    Below 2^16 rows the unrolled plan stays (blocked-32k class —
+    unmeasured under batched, and the dispatch floor dominates anyway).
     """
     shift = int(b.n_cols).bit_length()
     cap = 1 << max(0, 30 - shift)
-    return a.n_rows > 160 * cap or a.n_rows >= (1 << 18)
+    return a.n_rows > 160 * cap or a.n_rows >= (1 << 16)
 
 
 # Skew guard for the batched 2-D plan: its whole [k, sort_pad] stream is
