@@ -134,6 +134,11 @@ def roofline(
     # ~3e-3 ns/elem/pass.  No sort-based engine can beat
     # max(bandwidth_s, sort_compute_s); report the fraction against that
     # achievable ceiling alongside the legacy bandwidth-only figure.
+    # Calibration caveat: the per-pass rate is measured at the batched
+    # engine's lengths (L <= 2^13).  At the unrolled engine's multi-
+    # million-slot lengths XLA's in-context sorts beat the quadratic-in-
+    # log pass model, so fraction_of_dual can exceed 1 there (blocked-32k:
+    # 1.25) — read >1 as "at the modeled ceiling", not super-luminal.
     if "tpu" in kind:
         m = math.log2(L)
         net_passes = m * (m + 1) / 2

@@ -30,8 +30,19 @@ def test_eligibility_gate(monkeypatch):
     assert not bitonic.eligible(128, 8192)  # pathological Mosaic compile
     assert not bitonic.eligible(128, 128)  # below window
     assert not bitonic.eligible(129, 2048)  # no block divides k
+    assert bitonic.eligible(32768, 4096)  # L=4096 runs at block<=32
     monkeypatch.setenv("BSPGEMM_PALLAS_SORT", "0")
     assert not bitonic.eligible(128, 2048)  # kill switch
+
+
+def test_block_cap_by_length():
+    # measured-safe VMEM budget: [128, 2048] ok, [128, 4096] crashed the
+    # remote Mosaic compiler -> capped at 32 (block=64 measured slower too:
+    # 0.0603 vs 0.0571 at [32768, 4096], results.jsonl ab="pallas-sort")
+    assert bitonic._pick_block(32768, 2048) == 128
+    assert bitonic._pick_block(32768, 4096) == 32
+    assert bitonic._pick_block(16, 4096) == 16
+    assert bitonic._pick_block(129, 4096) is None
 
 
 def test_sort_rows_fallback_is_lax_sort():
