@@ -16,6 +16,23 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Scaling needs N virtual devices — force the CPU mesh by RE-EXECing with
+# the right env so a bare `python benchmarks/scaling_sweep.py` cannot
+# silently run single-device on the attached TPU (happened once:
+# 2026-08-20 rows purged).  Setting os.environ inside the script is too
+# late here — this image's sitecustomize registers the axon TPU at
+# interpreter start, before any script code runs.
+if os.environ.get("JAX_PLATFORMS") != "cpu":
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    if "--xla_force_host_platform_device_count" not in env.get(
+        "XLA_FLAGS", ""
+    ):
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
 import jax
 
 if os.environ.get("JAX_PLATFORMS") == "cpu":

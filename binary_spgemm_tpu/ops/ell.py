@@ -376,6 +376,11 @@ def _assemble_stream_2d(
     for er, ec in extra:
         parts_r.append(er)
         parts_c.append(ec)
+    # NOTE: the separator and sentinel-fill tails stay SEPARATE pieces on
+    # purpose — merging them into one arange-derived broadcast measured
+    # hypersparse 0.0772 -> 0.0812 (variant="piece-cost-v2", 2026-08-20):
+    # the wide fill piece is a splat constant XLA lowers as a memset, and
+    # folding it into a non-splat piece forfeits that fast path.
     parts_r.append(
         jnp.broadcast_to(
             jnp.arange(rows_pad, dtype=INT)[None, :], (k, rows_pad)
@@ -1115,6 +1120,16 @@ def _gather_rate_ns(w: int) -> float:
     return 8.5 / w + 0.3
 
 
+# Per-GROUP constant for the DP merge (ns per bin): every stream-concat
+# piece costs ~70 ns per bin row regardless of width (2.3 ms/piece at
+# k=32768 — lane-misaligned per-row copies, decomp2 "hypersparse-5m-auto"
+# rows 2026-08-20).  Priced LOW deliberately: it should take free merges
+# (mid-64k dropped a zero-slot-cost piece) without forcing slot-inflating
+# ones (GROUP_NS=70 merged hypersparse 4->5-width at +12% slots and
+# measured 0.087 vs 0.074 — results.jsonl variant="piece-cost").
+DP_GROUP_NS = 5.0
+
+
 def _batched_deal_plan(
     a: BCSR,
     b: BCSR,
@@ -1210,7 +1225,11 @@ def _batched_deal_plan(
             weight = _gather_rate_ns(w) + SORT_W
             for j in range(i):
                 gmax = int((cnt_pref[i] - cnt_pref[j]).max())
-                cost = best[j] + pad_bucket(max(gmax, 8), div=32) * w * weight
+                cost = (
+                    best[j]
+                    + pad_bucket(max(gmax, 8), div=32) * w * weight
+                    + DP_GROUP_NS
+                )
                 if cost < best[i]:
                     best[i] = cost
                     choice[i] = j
@@ -2443,6 +2462,24 @@ def tuned_executor(
         report.append((t, k))
         if t < best_t:
             best, best_t = ex, t
+    # the unrolled plan is one more candidate: near the routing boundary
+    # (64k-class inputs) it measures within a few ms of the batched optimum
+    try:
+        exu = EllSpGEMMExecutor(a, b, masked=masked)
+        out = exu.run()
+        np.asarray(out[-1])
+        ts = []
+        for _ in range(max(times, 1)):
+            t0 = _time.perf_counter()
+            out = exu.run()
+            np.asarray(out[-1])
+            ts.append(_time.perf_counter() - t0)
+        t = min(ts)
+        report.append((t, 0))  # k=0 marks the unrolled plan
+        if t < best_t:
+            best, best_t = exu, t
+    except Exception:
+        pass
     if best is None:
         return EllSpGEMMExecutor(a, b, masked=masked)
     best.tune_report = sorted(report)

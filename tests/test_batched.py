@@ -187,10 +187,12 @@ def test_tuned_executor_measures_candidates():
 
     a = BCSR.random(6000, 6000, 2.0, seed=21)
     ex = tuned_executor(a, a, top=2, times=1)
-    assert isinstance(ex, EllSpGEMMExecutor) and ex.batched
-    assert len(ex.tune_report) >= 1
+    assert isinstance(ex, EllSpGEMMExecutor)
+    assert len(ex.tune_report) >= 2  # batched candidate(s) + unrolled (k=0)
     assert ex.tune_report == sorted(ex.tune_report)
-    assert ex.tune_report[0][1] == ex.n_chunks  # winner is the staged plan
+    win_k = ex.tune_report[0][1]
+    assert win_k == (0 if not ex.batched else ex.n_chunks)
+    assert any(k == 0 for _, k in ex.tune_report)  # unrolled was measured
     assert ex.assemble(ex.run()).equals(spgemm_oracle(a, a))
     # the model ranking is exposed on every batched executor
     ex2 = EllSpGEMMExecutor(a, a, batched=True)
