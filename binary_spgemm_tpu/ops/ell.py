@@ -337,7 +337,21 @@ def _expand_class_2d(
     n_cols: int,
     w: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
-    """Batched :func:`_expand_class`: all k chunks' gathers in one op."""
+    """Batched :func:`_expand_class`: all k chunks' gathers in one op.
+
+    NOTE (measured rejection, 2026-08-20): a w-major rewrite — strided
+    de-interleave for inlined classes, transposed-table ``take`` for
+    gathered ones, minor dims kept wide to dodge the 128-lane tile padding
+    of ``[k, pad, w]`` intermediates — halved PER-CLASS synthetic costs
+    (ab="expand-class": inlined w=2 8.7→4.3 ms, gathered w14 4.5→~1) but
+    measured NO change end-to-end (hypersparse 0.0742 vs 0.0744, 256k/64k
+    flat; variant="wmajor-expand") — XLA already fuses the where/broadcast
+    chain into the gather here — and ``jnp.take``'s default out-of-bounds
+    'fill' mode silently DROPPED 2753 entries at 256k (indexing clamps;
+    take fills) until pinned with mode="clip".  Kept in the simple proven
+    form; the expansion remains hypersparse's dominant device cost
+    (25 of 47 ms ex-floor, decomp2 rows) for a future structural attack.
+    """
     if table is None:  # inlined class: entry_pos IS B's row values
         k = entry_rows.shape[0]
         cols = entry_pos.reshape(k, -1, w)
