@@ -35,33 +35,32 @@ def real_nnz(ex, out):
     nnz = np.asarray(out[-1], np.int64)[: ex.n_chunks]
     return int(nnz.sum()) - ex.n_chunks * ex.rows_pad
 
-if True:
-    for name, n, d, ks in CONFIGS:
-        a = BCSR.random(n, n, d, seed=7)
-        base = EllSpGEMMExecutor(a, a)
-        tb, out_b = timed(base)
-        nnz_ref = real_nnz(base, out_b)
-        rec = {"ab": "batched2d", "config": name, "variant": "base",
-               "t": tb, "chunks": base.n_chunks, "rows_pad": base.rows_pad,
-               "sort_pad": base.sort_pad, "total_slots": base.total_slots,
-               "real_nnz": nnz_ref,
-               "roofline_fraction": sort_fraction(base, tb)}
+for name, n, d, ks in CONFIGS:
+    a = BCSR.random(n, n, d, seed=7)
+    base = EllSpGEMMExecutor(a, a)
+    tb, out_b = timed(base)
+    nnz_ref = real_nnz(base, out_b)
+    rec = {"ab": "batched2d", "config": name, "variant": "base",
+           "t": tb, "chunks": base.n_chunks, "rows_pad": base.rows_pad,
+           "sort_pad": base.sort_pad, "total_slots": base.total_slots,
+           "real_nnz": nnz_ref,
+           "roofline_fraction": sort_fraction(base, tb)}
+    emit(rec)
+    del base, out_b
+    for k in ks:
+        try:
+            ex = EllSpGEMMExecutor(a, a, deal_k=k, batched=True)
+        except OverflowError as e:
+            emit({"ab": "batched2d", "config": name,
+                  "variant": f"k{k}", "error": str(e)})
+            continue
+        t, out = timed(ex)
+        nz = real_nnz(ex, out)
+        rec = {"ab": "batched2d", "config": name, "variant": f"k{k}",
+               "t": t, "chunks": ex.n_chunks, "rows_pad": ex.rows_pad,
+               "sort_pad": ex.sort_pad, "total_slots": ex.total_slots,
+               "real_nnz": nz, "nnz_match": nz == nnz_ref,
+               "speedup_vs_base": tb / t,
+               "roofline_fraction": sort_fraction(ex, t)}
         emit(rec)
-        del base, out_b
-        for k in ks:
-            try:
-                ex = EllSpGEMMExecutor(a, a, deal_k=k, batched=True)
-            except OverflowError as e:
-                emit({"ab": "batched2d", "config": name,
-                      "variant": f"k{k}", "error": str(e)})
-                continue
-            t, out = timed(ex)
-            nz = real_nnz(ex, out)
-            rec = {"ab": "batched2d", "config": name, "variant": f"k{k}",
-                   "t": t, "chunks": ex.n_chunks, "rows_pad": ex.rows_pad,
-                   "sort_pad": ex.sort_pad, "total_slots": ex.total_slots,
-                   "real_nnz": nz, "nnz_match": nz == nnz_ref,
-                   "speedup_vs_base": tb / t,
-                   "roofline_fraction": sort_fraction(ex, t)}
-            emit(rec)
-            del ex, out
+        del ex, out

@@ -298,11 +298,21 @@ def masked_counts_compress_seps_2d(
     return c_indices, c_counts, nnz_c
 
 
+def _run_mark_dtype(n: int):
+    """int32 packs ``(pos << 1) | tag`` only while 2n fits a positive int32;
+    the routers admit streams up to AUTO_ELL_MAX_SLOTS = 2^30 (+ mask pad),
+    where the shift would wrap NEGATIVE and corrupt the cummax run fill —
+    promote to int64 then (static shape, so no recompile churn; the int64
+    cummax costs one wider pass only on monster streams)."""
+    return INT if n <= (1 << 30) else jnp.int64
+
+
 def _masked_run_marks_2d(is_mask, new):
     """Batched :func:`_masked_run_marks_1d`: runs along axis -1."""
     k, n = is_mask.shape
-    pos = jnp.arange(n, dtype=INT)[None, :]
-    tagv = jnp.where(new, (pos << 1) | is_mask.astype(INT), -1)
+    dt = _run_mark_dtype(n)
+    pos = jnp.arange(n, dtype=dt)[None, :]
+    tagv = jnp.where(new, (pos << 1) | is_mask.astype(dt), jnp.asarray(-1, dt))
     filled = jax.lax.cummax(tagv, axis=1)
     return (filled & 1) == 1
 
@@ -384,8 +394,9 @@ def _masked_run_marks_1d(is_mask, new):
     (>35 min for one [32K, 1.5K] shape vs seconds for cummax).
     """
     n = is_mask.shape[0]
-    pos = jnp.arange(n, dtype=INT)
-    tagv = jnp.where(new, (pos << 1) | is_mask.astype(INT), -1)
+    dt = _run_mark_dtype(n)
+    pos = jnp.arange(n, dtype=dt)
+    tagv = jnp.where(new, (pos << 1) | is_mask.astype(dt), jnp.asarray(-1, dt))
     filled = jax.lax.cummax(tagv)
     return (filled & 1) == 1
 

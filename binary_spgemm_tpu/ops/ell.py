@@ -1403,6 +1403,7 @@ class EllSpGEMMExecutor:
         deal_k: int | None = None,
         batched: bool = False,
         merge_widths: tuple[int, ...] | None = None,
+        batched_slots_cap: int | None = None,
     ):
         if a.n_cols != b.n_rows:
             raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
@@ -1588,6 +1589,7 @@ class EllSpGEMMExecutor:
             self.row_sets = [
                 order2[starts[i] : starts[i + 1]] for i in range(k)
             ]
+            self._assign = assign  # bin of each row — vectorised budgeting
             local_id = np.empty(n, np.int32)
             local_id[order2] = (
                 np.arange(n) - np.repeat(starts[:-1], binsz)
@@ -1634,6 +1636,18 @@ class EllSpGEMMExecutor:
             if p2 <= 1.06 * self.sort_pad and _bitonic_ok(k, p2):
                 self.sort_pad = p2
         self.total_slots = self.sort_pad * k
+        if (
+            self.batched
+            and batched_slots_cap is not None
+            and self.total_slots > batched_slots_cap
+        ):
+            # skew guard raised BEFORE staging: the batched build's host
+            # staging + 3 device uploads are seconds on R-MAT-class plans,
+            # all wasted when _auto_ell would discard the executor anyway
+            raise OverflowError(
+                f"batched stream {self.total_slots} slots exceeds the "
+                f"auto-route cap {batched_slots_cap}"
+            )
         # Valid output entries per chunk never exceed its true flop count
         # (+ separators), so the stacked per-chunk index outputs are
         # truncated to this bound (resident memory ∝ out_pad·k, not
@@ -1791,13 +1805,14 @@ class EllSpGEMMExecutor:
         BEFORE staging; computed on the raw operand it upper-bounds the
         canonicalised pad (dedup only shrinks rows)."""
         if self.row_sets is not None:
-            lens_all = np.diff(mat.indptr).astype(np.int64)
-            return pad_bucket(
-                max(
-                    (int(lens_all[rows].sum()) for rows in self.row_sets),
-                    default=1,
-                )
+            # one bincount over the deal assignment, not a python loop per
+            # bin (the batched engine deals THOUSANDS of bins — the loop
+            # cost seconds per spgemm_or/run_or budget call at k=32768)
+            lens_all = np.diff(mat.indptr).astype(np.float64)
+            per_bin = np.bincount(
+                self._assign, weights=lens_all, minlength=len(self.row_sets)
             )
+            return pad_bucket(max(int(per_bin.max()), 1))
         return pad_bucket(
             max(int(mat.indptr[r1] - mat.indptr[r0]) for r0, r1 in self.chunks)
         )
@@ -2396,9 +2411,10 @@ def _auto_ell(a: BCSR, b: BCSR, *, masked: bool = False):
     the unrolled plan overflows too (caller falls back to ESC)."""
     if prefer_batched(a, b):
         try:
-            ex = EllSpGEMMExecutor(a, b, masked=masked, batched=True)
-            if ex.total_slots <= BATCHED_MAX_SLOTS:
-                return ex
+            return EllSpGEMMExecutor(
+                a, b, masked=masked, batched=True,
+                batched_slots_cap=BATCHED_MAX_SLOTS,
+            )
         except OverflowError:
             pass
     return EllSpGEMMExecutor(a, b, masked=masked)
@@ -2448,7 +2464,22 @@ def tuned_executor(
     for cost, k in ranking[: max(top, 1)]:
         if cost <= cutoff and k not in ks:
             ks.append(k)
+    def _measure(ex):
+        # one shared warmup-then-min protocol so every candidate (batched
+        # or unrolled) is timed identically — a drifted copy would bias
+        # the winner
+        out = ex.run()
+        np.asarray(out[-1])  # compile + warmup
+        ts = []
+        for _ in range(max(times, 1)):
+            t0 = _time.perf_counter()
+            out = ex.run()
+            np.asarray(out[-1])
+            ts.append(_time.perf_counter() - t0)
+        return min(ts)
+
     report, best, best_t = [], None, float("inf")
+    candidates = []
     for k in ks:
         try:
             ex = (
@@ -2461,39 +2492,22 @@ def tuned_executor(
             continue
         if ex.total_slots > BATCHED_MAX_SLOTS:
             continue
+        candidates.append((k, ex))
+    # the unrolled plan is one more candidate: near the routing boundary
+    # (64k-class inputs) it measures within a few ms of the batched
+    # optimum; k=0 marks it in the report
+    try:
+        candidates.append((0, EllSpGEMMExecutor(a, b, masked=masked)))
+    except OverflowError:
+        pass
+    for k, ex in candidates:
         try:
-            out = ex.run()
-            np.asarray(out[-1])  # compile + warmup
-            ts = []
-            for _ in range(max(times, 1)):
-                t0 = _time.perf_counter()
-                out = ex.run()
-                np.asarray(out[-1])
-                ts.append(_time.perf_counter() - t0)
+            t = _measure(ex)
         except Exception:  # device rejects the shape (compile/OOM): skip
             continue
-        t = min(ts)
         report.append((t, k))
         if t < best_t:
             best, best_t = ex, t
-    # the unrolled plan is one more candidate: near the routing boundary
-    # (64k-class inputs) it measures within a few ms of the batched optimum
-    try:
-        exu = EllSpGEMMExecutor(a, b, masked=masked)
-        out = exu.run()
-        np.asarray(out[-1])
-        ts = []
-        for _ in range(max(times, 1)):
-            t0 = _time.perf_counter()
-            out = exu.run()
-            np.asarray(out[-1])
-            ts.append(_time.perf_counter() - t0)
-        t = min(ts)
-        report.append((t, 0))  # k=0 marks the unrolled plan
-        if t < best_t:
-            best, best_t = exu, t
-    except Exception:
-        pass
     if best is None:
         return EllSpGEMMExecutor(a, b, masked=masked)
     best.tune_report = sorted(report)

@@ -308,9 +308,14 @@ def spgemm_or(
                 )
             else:
                 f_pad = ex.staged_nnz_pad(mask)
-                budget = (
-                    ex.sort_pad - ex.rows_pad + d_pad + f_pad
-                ) * ex.n_chunks
+                # the batched masked join keeps the separator-embedded
+                # stream (full sort_pad per chunk); only the unrolled
+                # kernel re-sorts without the separators (sort_pad -
+                # rows_pad) — budget the form that will actually run
+                base = (
+                    ex.sort_pad if ex.batched else ex.sort_pad - ex.rows_pad
+                )
+                budget = (base + d_pad + f_pad) * ex.n_chunks
             if budget <= AUTO_ELL_MAX_SLOTS:
                 return ex.assemble(ex.run_or(d, mask=mask))
         except OverflowError:

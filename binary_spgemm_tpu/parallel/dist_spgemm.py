@@ -1910,7 +1910,22 @@ def dist_spgemm(
                     a, b, mesh_, bounds, rf, b_tables=b_layout,
                     allow_batched=True,
                 )
-                fits = sort_pad <= AUTO_ELL_MAX_SLOTS
+                # the batched form stacks ONE [C, sort_pad] stream per
+                # shard, so the RESIDENT bound is C*sort_pad, not the
+                # per-chunk sort_pad (the single-chip engine's
+                # BATCHED_MAX_SLOTS guard exists for the same blowup)
+                n_sub = sub_bounds.shape[1] - 1
+                fits = (
+                    n_sub * sort_pad if batched else sort_pad
+                ) <= AUTO_ELL_MAX_SLOTS
+                if batched and not fits:
+                    # skew guard: re-plan unrolled (few wider sub-chunks)
+                    # rather than falling all the way back to ESC
+                    (tables, er, ep, widths, pads, rows_pad, sort_pad,
+                     sub_bounds, batched) = _shard_ell_operands(
+                        a, b, mesh_, bounds, rf, b_tables=b_layout,
+                    )
+                    fits = sort_pad <= AUTO_ELL_MAX_SLOTS
             except OverflowError:
                 if engine == "ell":
                     raise  # forced engine: surface the guard, don't mask it

@@ -425,3 +425,32 @@ def test_dist_spgemm_ell_batched_subchunks():
     ref.sort_indices()
     assert np.array_equal(c.indptr, ref.indptr)
     assert np.array_equal(c.indices, ref.indices)
+
+
+def test_dist_spgemm_batched_stream_guard(monkeypatch):
+    """A batched SPMD plan whose stacked [C, sort_pad] stream exceeds the
+    resident bound re-plans UNROLLED (not ESC) and stays bit-exact."""
+    import binary_spgemm_tpu.ops.ell as ell_mod
+    from binary_spgemm_tpu.ops.spgemm import row_flops
+    from binary_spgemm_tpu.parallel.dist_spgemm import _shard_ell_operands
+    from binary_spgemm_tpu.parallel.mesh import make_row_mesh, partition_rows
+
+    n, m = 40960, (1 << 21) + 1  # same shape class as the batched test
+    a = BCSR.random(n, m, 2.0, seed=1)
+    b = BCSR.random(m, m, 0.3, seed=2)
+    rf = row_flops(a, b)
+    mesh = make_row_mesh()
+    bounds = partition_rows(rf, mesh.devices.size)
+    out = _shard_ell_operands(a, b, mesh, bounds, rf, allow_batched=True)
+    sort_pad, n_sub = out[6], out[7].shape[1] - 1
+    assert out[-1]  # batched plan exists at this shape
+    # cap between the per-chunk and the stacked bound: batched must NOT fit,
+    # the unrolled re-plan must
+    cap = n_sub * sort_pad - 1
+    assert sort_pad <= cap
+    monkeypatch.setattr(ell_mod, "AUTO_ELL_MAX_SLOTS", cap)
+    c = dist_spgemm(a, b, engine="ell")
+    ref = a.to_scipy() @ b.to_scipy()
+    ref.sort_indices()
+    assert np.array_equal(c.indptr, ref.indptr)
+    assert np.array_equal(c.indices, ref.indices)
