@@ -1680,11 +1680,20 @@ class EllSpGEMMExecutor:
         # exactly the pointer's slot), w=2 when entries*(w-1) <= nc*w
         # (duplicating rows referenced ~<=2x costs less than keeping the
         # pointer column plus the shared table).
+        # ... and classes with BIG tables inline regardless of the byte
+        # rule (INLINE_TABLE_ROWS/INLINE_TABLE_W_MAX — the XLA big-table
+        # gather pathology; constants' comment has the profiled cliff).
+        # Folding such a class into a wider one just moves the pathology
+        # to the merged table (variant="no-w4-class": 0.0843 s).
         self.inline = tuple(
             w == 1
             or (
                 w <= 2
                 and len(pos_pc[ci]) * (w - 1) <= ell.tables[ci].shape[0] * w
+            )
+            or (
+                w <= INLINE_TABLE_W_MAX
+                and ell.tables[ci].shape[0] > INLINE_TABLE_ROWS
             )
             for ci, w in enumerate(self.widths)
         )
@@ -2389,6 +2398,18 @@ def prefer_batched(a: BCSR, b: BCSR) -> bool:
     cap = 1 << max(0, 30 - shift)
     return a.n_rows > 160 * cap or a.n_rows >= (1 << 16)
 
+
+# Tables past this many rows inline their referenced values instead of
+# gathering: XLA lowers gathers from big tables through a scratch-space
+# transposed layout with relayout copies on both sides.  Profiled cliff
+# (2026-08-20, /tmp traces): 186K-row tables gather cleanly (~3.4 ms for
+# 1.9M slots), 360K+ rows go pathological (~20 ms for 3.3M slots).  The
+# width cap bounds staged-value duplication; inlined values ride the SAME
+# flat upload, so staging cost is bytes, not transfers.  Measured wins
+# (ab="auto-verify" variants "inline-*", all bit-exact): hypersparse-5m-d2
+# 0.0744 -> 0.0521, large-1m-d8 0.1934 -> 0.1464.
+INLINE_TABLE_ROWS = 1 << 18
+INLINE_TABLE_W_MAX = 16
 
 # Skew guard for the batched 2-D plan: its whole [k, sort_pad] stream is
 # resident at once (the unrolled plan streams chunk groups), and per-bin

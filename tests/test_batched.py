@@ -243,3 +243,30 @@ def test_inline_narrow_classes_bit_exact():
             inl and w > 2 for inl, w in zip(ex.inline, ex.widths)
         )
         assert ex.assemble(ex.run()).equals(spgemm_oracle(a, b))
+
+
+def test_big_table_classes_inline():
+    # tables past INLINE_TABLE_ROWS inline their values (the XLA big-table
+    # gather pathology): verified by forcing the threshold down
+    from binary_spgemm_tpu.ops import ell as ell_mod
+
+    a = BCSR.random(4000, 4000, 3.0, seed=41)
+    ex = EllSpGEMMExecutor(a, a)
+    try:
+        orig = ell_mod.INLINE_TABLE_ROWS
+        ell_mod.INLINE_TABLE_ROWS = 8  # every real table trips the rule
+        ex2 = EllSpGEMMExecutor(a, a)
+    finally:
+        ell_mod.INLINE_TABLE_ROWS = orig
+    widths = ex2.widths
+    assert any(
+        inl and w > 2 and w <= ell_mod.INLINE_TABLE_W_MAX
+        for inl, w in zip(ex2.inline, widths)
+    )
+    # wide classes (> W_MAX) still gather
+    assert all(
+        not inl or w <= ell_mod.INLINE_TABLE_W_MAX or w <= 2
+        for inl, w in zip(ex2.inline, widths)
+    )
+    assert ex2.assemble(ex2.run()).equals(spgemm_oracle(a, a))
+    assert ex.assemble(ex.run()).equals(spgemm_oracle(a, a))
