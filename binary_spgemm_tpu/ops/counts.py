@@ -298,23 +298,13 @@ def masked_counts_compress_seps_2d(
     return c_indices, c_counts, nnz_c
 
 
-def _run_mark_dtype(n: int):
-    """int32 packs ``(pos << 1) | tag`` only while 2n fits a positive int32;
-    the routers admit streams up to AUTO_ELL_MAX_SLOTS = 2^30 (+ mask pad),
-    where the shift would wrap NEGATIVE and corrupt the cummax run fill —
-    promote to int64 then (static shape, so no recompile churn; the int64
-    cummax costs one wider pass only on monster streams)."""
-    return INT if n <= (1 << 30) else jnp.int64
-
-
 def _masked_run_marks_2d(is_mask, new):
     """Batched :func:`_masked_run_marks_1d`: runs along axis -1."""
     k, n = is_mask.shape
-    dt = _run_mark_dtype(n)
-    pos = jnp.arange(n, dtype=dt)[None, :]
-    tagv = jnp.where(new, (pos << 1) | is_mask.astype(dt), jnp.asarray(-1, dt))
-    filled = jax.lax.cummax(tagv, axis=1)
-    return (filled & 1) == 1
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=INT)[None, :], (k, n))
+    m_all = jax.lax.cummax(jnp.where(new, pos, -1), axis=1)
+    m_mask = jax.lax.cummax(jnp.where(new & is_mask, pos, -1), axis=1)
+    return (m_mask == m_all) & (m_all >= 0)
 
 
 def masked_counts_sum_2d(
@@ -385,20 +375,24 @@ def _masked_run_marks_1d(is_mask, new):
     """``counted``-precursor: for each position of a sorted tagged stream,
     is the latest (row, col)-run start a mask entry?
 
-    The stream is SORTED, so the latest run start at-or-before a position is
-    the maximum over positions of run starts — ONE ``cummax`` of
-    ``2·pos | is_mask`` at run starts (-1 elsewhere) carries the tag bit.
+    The stream is SORTED, so the latest run start at-or-before a position
+    is the maximum over positions of run starts.  TWO plain-position
+    cummaxes (all run starts; mask run starts) answer it without packing:
+    the latest run start is a mask entry iff the two maxima coincide.
+    (A single cummax of ``2*pos | is_mask`` would wrap int32 past 2^30
+    positions — lengths the routers admit — and jnp.int64 silently
+    canonicalizes back to int32 with x64 disabled, so no packed form is
+    safe.)
     Replaces the generic pair-scan forward fill
     (``_forward_fill_last``), whose associative_scan lowering measured
     pathologically slow through this environment's remote XLA compile
     (>35 min for one [32K, 1.5K] shape vs seconds for cummax).
     """
     n = is_mask.shape[0]
-    dt = _run_mark_dtype(n)
-    pos = jnp.arange(n, dtype=dt)
-    tagv = jnp.where(new, (pos << 1) | is_mask.astype(dt), jnp.asarray(-1, dt))
-    filled = jax.lax.cummax(tagv)
-    return (filled & 1) == 1
+    pos = jnp.arange(n, dtype=INT)
+    m_all = jax.lax.cummax(jnp.where(new, pos, -1))
+    m_mask = jax.lax.cummax(jnp.where(new & is_mask, pos, -1))
+    return (m_mask == m_all) & (m_all >= 0)
 
 
 def masked_counts_sum(

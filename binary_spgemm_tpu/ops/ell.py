@@ -1181,6 +1181,14 @@ def _batched_deal_plan(
     C = len(classes)
     cls_of_row = np.full(b.n_rows, -1, np.int32)
     cls_of_row[nz] = np.searchsorted(classes, wb[nz]).astype(np.int32)
+    # per-fine-class B-row counts -> prefix: lets the DP price a candidate
+    # group at the INLINED rate when it will trip the big-table rule
+    # (INLINE_TABLE_ROWS), keeping the model and the inline decision on one
+    # predicate (a slot-priced gather for a to-be-inlined class biased the
+    # merge toward folding it into a gathered group — the measured
+    # regression in _expand_class docs, variant="no-w4-class")
+    cls_rows_pref = np.zeros(C + 1, np.int64)
+    np.cumsum(np.bincount(cls_of_row[nz], minlength=C), out=cls_rows_pref[1:])
 
     ecls = cls_of_row[a.indices]
     live = ecls >= 0
@@ -1236,6 +1244,13 @@ def _batched_deal_plan(
         choice = [0] * (C + 1)
         for i in range(1, C + 1):
             w = int(classes[i - 1])
+            # NOTE: the MERGE keeps the slot-priced gather rate even for
+            # classes the inline rule will divert — pricing them at the
+            # inlined 0.05 here changed hypersparse's merge {1,2,4,5,14}
+            # -> {1,2,3,5,14} and measured 0.0518 -> 0.0636 (variants
+            # "dp-inline-rate"/"group70-inline-rate"); only the K RANKING
+            # (groups_stats below) is inline-aware, which is what moved
+            # large-1m-d8 to k=32768.
             weight = _gather_rate_ns(w) + SORT_W
             for j in range(i):
                 gmax = int((cnt_pref[i] - cnt_pref[j]).max())
@@ -1279,7 +1294,9 @@ def _batched_deal_plan(
                 max(int((cnt_pref[i] - cnt_pref[j]).max()), 8), div=32
             ) * w
             slots += s
-            gather += s * _gather_rate_ns(w)
+            rows_g = int(cls_rows_pref[i] - cls_rows_pref[j])
+            inl = w <= INLINE_TABLE_W_MAX and rows_g > INLINE_TABLE_ROWS
+            gather += s * (0.05 if inl else _gather_rate_ns(w))
         return slots, gather
 
     if deal_k:
@@ -1327,8 +1344,17 @@ def _batched_deal_plan(
         )
         L = int(slots) * sample_step + rows_pad
         packed = packable(rows_pad, key_cols)
+        # BIN_NS: fixed per-bin device cost (separator slots, per-bin
+        # bookkeeping, short-row sort overheads the L-rate misses).
+        # Calibrated 2026-08-20 against measured post-inline optima:
+        # without it the inline-rate DP sent hypersparse to k=131072
+        # (0.0567 measured vs 0.0518 at the k=32768 argmin); 100 ns/bin
+        # restores hypersparse's argmin while keeping large-1m-d8's
+        # measured-best k=32768 (0.1198) and leaving 64k/256k unchanged.
+        BIN_NS = 100.0
         cost = (
             2.0 * _sort_rate_ns(L, packed) * L + gather * sample_step
+            + BIN_NS
         ) * k
         return cost, k, asg, groups, rows_pad, pref
 
@@ -2469,7 +2495,10 @@ def tuned_executor(
     import time as _time
 
     try:
-        ex0 = EllSpGEMMExecutor(a, b, masked=masked, batched=True)
+        ex0 = EllSpGEMMExecutor(
+            a, b, masked=masked, batched=True,
+            batched_slots_cap=BATCHED_MAX_SLOTS,
+        )
     except OverflowError:
         ex0 = None
     if ex0 is None or not ex0.batched:
@@ -2506,12 +2535,12 @@ def tuned_executor(
             ex = (
                 ex0
                 if k == ex0.n_chunks
-                else EllSpGEMMExecutor(a, b, masked=masked, batched=True,
-                                       deal_k=k)
+                else EllSpGEMMExecutor(
+                    a, b, masked=masked, batched=True, deal_k=k,
+                    batched_slots_cap=BATCHED_MAX_SLOTS,
+                )
             )
-        except OverflowError:
-            continue
-        if ex.total_slots > BATCHED_MAX_SLOTS:
+        except OverflowError:  # incl. the pre-staging skew-guard raise
             continue
         candidates.append((k, ex))
     # the unrolled plan is one more candidate: near the routing boundary

@@ -283,7 +283,9 @@ def spgemm_or(
     mask_nnz = mask.nnz if mask is not None else 0
     if (
         chunk_flops is None
+        and d.nnz + mask_nnz <= HOST_OR_MAX_NNZ  # O(1) screen before the
         and spgemm_flops(a, b) + d.nnz + mask_nnz <= HOST_OR_MAX_NNZ
+        # O(nnz(a)) flop count — large calls skip the host pass entirely
     ):
         return host_spgemm_or(d, a, b, mask=mask)
 

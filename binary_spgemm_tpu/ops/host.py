@@ -34,6 +34,7 @@ __all__ = [
     "host_masked_spgemm",
     "host_spgemm_counts",
     "host_spm_or",
+    "host_spgemm_or",
 ]
 
 # Auto-router threshold: flop counts at or below this run on the host.

@@ -354,18 +354,20 @@ def test_counts_engine_kwarg():
         masked_spgemm_counts(a, a, a, engine="ell", chunk_flops=100)
 
 
-def test_run_mark_dtype_promotes_past_int30():
-    # (pos << 1) | tag wraps int32 past 2^30 entries — streams the routers
-    # admit (AUTO_ELL_MAX_SLOTS = 2^30); the helper must promote to int64
-    import jax.numpy as jnp
+def test_run_marks_no_packed_positions():
+    # the run marks must not pack (pos << 1 | tag): it wraps int32 past
+    # 2^30 positions (lengths the routers admit) and jnp.int64 silently
+    # canonicalizes to int32 with x64 off — the two-cummax form uses plain
+    # positions only
+    import inspect
 
-    from binary_spgemm_tpu.ops.counts import _run_mark_dtype
-
-    assert _run_mark_dtype(1 << 30) == jnp.int32
-    assert _run_mark_dtype((1 << 30) + 1) == jnp.int64
-    # and the marks stay correct with the promoted dtype (small functional
-    # check through the 1-D helper with a forced int64)
     from binary_spgemm_tpu.ops import counts as counts_mod
+
+    src1 = inspect.getsource(counts_mod._masked_run_marks_1d)
+    src2 = inspect.getsource(counts_mod._masked_run_marks_2d)
+    assert "<< 1" not in src1 and "<< 1" not in src2
+
+    import jax.numpy as jnp
 
     is_mask = jnp.asarray([1, 0, 0, 1, 0, 0], bool)
     new = jnp.asarray([1, 0, 1, 1, 0, 0], bool)
