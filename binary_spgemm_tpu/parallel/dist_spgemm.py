@@ -1743,43 +1743,59 @@ def _shard_ell_operands(
             )
         pos_pc = remapped
 
-    per_shard_bounds = []
-    batched = False
-    for s in range(n_shards):
-        r0, r1 = int(bounds[s]), int(bounds[s + 1])
-        rf_s = rf[r0:r1]
-        sflops = int(rf_s.sum())
-        budget = max(sflops // 8, 1 << 19)
-        shard_rows = max(r1 - r0, 1)
-        need_packed = -(-shard_rows // cap) if cap else shard_rows + 1
-        if cap >= 512 and need_packed <= 16:
-            max_rows = cap  # few packed sub-chunks: unrolled plan
-        elif allow_batched and cap >= 32 and 16 < need_packed <= 4096:
-            # many packed sub-chunks: keep the cap, serve them with ONE
-            # [C, sort_pad] axis-(-1) sort (the SPMD batched 2-D form)
-            max_rows = cap
-            batched = True
-        else:
-            max_rows = shard_rows  # unpacked 2-key sorts: keep C small
-        sb = _chunk_bounds(rf_s, budget, max_rows) if r1 > r0 else [0, 0]
-        per_shard_bounds.append([r0 + x for x in sb])
-    C = max(len(sb) - 1 for sb in per_shard_bounds)
-    sub_bounds = np.zeros((n_shards, C + 1), np.int64)
-    for s, sb in enumerate(per_shard_bounds):
-        sub_bounds[s, : len(sb)] = sb
-        sub_bounds[s, len(sb) :] = sb[-1]  # trailing empty chunks
+    from ..ops.ell import BATCHED_MAX_SLOTS
 
-    rows_pad = pad_bucket(
-        int(np.max(np.diff(sub_bounds, axis=1))) or 1, minimum=1
-    )
-    cuts_pc = [
-        np.stack([np.searchsorted(rcls, sub_bounds[s]) for s in range(n_shards)])
-        for rcls in rows_pc
-    ]  # per class: [S, C+1]
-    pads = tuple(
-        pad_bucket(max(int(np.diff(c, axis=1).max()), 1), minimum=8)
-        for c in cuts_pc
-    ) if widths else ()
+    # Plan BEFORE any staging, with a pre-staging skew guard: the batched
+    # form's resident [C, sort_pad] stream per shard must fit the same
+    # bound the single-chip batched engine enforces (BATCHED_MAX_SLOTS) —
+    # checking after the multi-GB device_puts would both waste the staging
+    # and surface as an uncatchable XlaRuntimeError instead of the
+    # unrolled re-plan.
+    for attempt_batched in ((allow_batched, False) if allow_batched else (False,)):
+        per_shard_bounds = []
+        batched = False
+        for s in range(n_shards):
+            r0, r1 = int(bounds[s]), int(bounds[s + 1])
+            rf_s = rf[r0:r1]
+            sflops = int(rf_s.sum())
+            budget = max(sflops // 8, 1 << 19)
+            shard_rows = max(r1 - r0, 1)
+            need_packed = -(-shard_rows // cap) if cap else shard_rows + 1
+            if cap >= 512 and need_packed <= 16:
+                max_rows = cap  # few packed sub-chunks: unrolled plan
+            elif attempt_batched and cap >= 32 and 16 < need_packed <= 4096:
+                # many packed sub-chunks: keep the cap, serve them with ONE
+                # [C, sort_pad] axis-(-1) sort (the SPMD batched 2-D form)
+                max_rows = cap
+                batched = True
+            else:
+                max_rows = shard_rows  # unpacked 2-key sorts: keep C small
+            sb = _chunk_bounds(rf_s, budget, max_rows) if r1 > r0 else [0, 0]
+            per_shard_bounds.append([r0 + x for x in sb])
+        C = max(len(sb) - 1 for sb in per_shard_bounds)
+        sub_bounds = np.zeros((n_shards, C + 1), np.int64)
+        for s, sb in enumerate(per_shard_bounds):
+            sub_bounds[s, : len(sb)] = sb
+            sub_bounds[s, len(sb) :] = sb[-1]  # trailing empty chunks
+
+        rows_pad = pad_bucket(
+            int(np.max(np.diff(sub_bounds, axis=1))) or 1, minimum=1
+        )
+        cuts_pc = [
+            np.stack([np.searchsorted(rcls, sub_bounds[s]) for s in range(n_shards)])
+            for rcls in rows_pc
+        ]  # per class: [S, C+1]
+        pads = tuple(
+            pad_bucket(max(int(np.diff(c, axis=1).max()), 1), minimum=8)
+            for c in cuts_pc
+        ) if widths else ()
+        slots = sum(p * w for p, w in zip(pads, widths))
+        sort_pad = pad_bucket(max(slots, 8))
+        if batched and C * sort_pad > BATCHED_MAX_SLOTS:
+            continue  # skew guard: re-plan unrolled
+        break
+    if slots > np.iinfo(np.int32).max:
+        raise OverflowError(f"ELL shard expansion {slots} slots exceeds int32")
     shard = NamedSharding(mesh, P(ROWS_AXIS))
     repl = NamedSharding(mesh, P())
     if b_tables == "sharded":
@@ -1797,10 +1813,6 @@ def _shard_ell_operands(
                 p[s, c, : hi - lo] = pcls[lo:hi]
         er.append(jax.device_put(r, shard))
         ep.append(jax.device_put(p, shard))
-    slots = sum(p * w for p, w in zip(pads, widths))
-    if slots > np.iinfo(np.int32).max:
-        raise OverflowError(f"ELL shard expansion {slots} slots exceeds int32")
-    sort_pad = pad_bucket(max(slots, 8))
     return (
         tables, tuple(er), tuple(ep), widths, pads, rows_pad, sort_pad,
         sub_bounds, batched,
@@ -1910,22 +1922,10 @@ def dist_spgemm(
                     a, b, mesh_, bounds, rf, b_tables=b_layout,
                     allow_batched=True,
                 )
-                # the batched form stacks ONE [C, sort_pad] stream per
-                # shard, so the RESIDENT bound is C*sort_pad, not the
-                # per-chunk sort_pad (the single-chip engine's
-                # BATCHED_MAX_SLOTS guard exists for the same blowup)
-                n_sub = sub_bounds.shape[1] - 1
-                fits = (
-                    n_sub * sort_pad if batched else sort_pad
-                ) <= AUTO_ELL_MAX_SLOTS
-                if batched and not fits:
-                    # skew guard: re-plan unrolled (few wider sub-chunks)
-                    # rather than falling all the way back to ESC
-                    (tables, er, ep, widths, pads, rows_pad, sort_pad,
-                     sub_bounds, batched) = _shard_ell_operands(
-                        a, b, mesh_, bounds, rf, b_tables=b_layout,
-                    )
-                    fits = sort_pad <= AUTO_ELL_MAX_SLOTS
+                # batched plans are bounded inside _shard_ell_operands
+                # (pre-staging BATCHED_MAX_SLOTS skew guard with an
+                # unrolled re-plan), so only the per-chunk bound remains
+                fits = sort_pad <= AUTO_ELL_MAX_SLOTS
             except OverflowError:
                 if engine == "ell":
                     raise  # forced engine: surface the guard, don't mask it

@@ -444,11 +444,11 @@ def test_dist_spgemm_batched_stream_guard(monkeypatch):
     out = _shard_ell_operands(a, b, mesh, bounds, rf, allow_batched=True)
     sort_pad, n_sub = out[6], out[7].shape[1] - 1
     assert out[-1]  # batched plan exists at this shape
-    # cap between the per-chunk and the stacked bound: batched must NOT fit,
-    # the unrolled re-plan must
-    cap = n_sub * sort_pad - 1
-    assert sort_pad <= cap
-    monkeypatch.setattr(ell_mod, "AUTO_ELL_MAX_SLOTS", cap)
+    # cap below the stacked stream: the PRE-STAGING guard must re-plan
+    # unrolled inside _shard_ell_operands
+    monkeypatch.setattr(ell_mod, "BATCHED_MAX_SLOTS", n_sub * sort_pad - 1)
+    out2 = _shard_ell_operands(a, b, mesh, bounds, rf, allow_batched=True)
+    assert out2[-1] is False  # re-planned unrolled
     c = dist_spgemm(a, b, engine="ell")
     ref = a.to_scipy() @ b.to_scipy()
     ref.sort_indices()
