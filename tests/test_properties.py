@@ -200,3 +200,33 @@ def test_dist_degenerate_sizes():
         for layout in ("replicated", "ring"):
             c = dist_spgemm(a, a, mesh, b_layout=layout)
             assert c.equals(spgemm_oracle(a, a)), (n, layout)
+
+
+def test_routing_boundary_fuzz():
+    """Fuzz the auto-route across its decision boundaries — batched vs
+    unrolled (prefer_batched at 2^16 rows, monkeypatch-free via shapes),
+    skew-guarded inputs, host small-flop/union routes — every result
+    bit-exact vs the oracle regardless of which engine served it."""
+    import numpy as np
+
+    from binary_spgemm_tpu import spgemm, spm_or
+    from binary_spgemm_tpu.utils.oracle import union_oracle
+
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        kind = trial % 3
+        if kind == 0:  # uniform, spans the host/device flop boundary
+            n = int(rng.integers(2_000, 60_000))
+            d = float(rng.uniform(0.3, 3.0))
+            a = BCSR.random(n, n, d, seed=int(rng.integers(1 << 16)))
+        elif kind == 1:  # power-law skew (dealt-plan / guard territory)
+            a = BCSR.rmat(12, 6.0, seed=int(rng.integers(1 << 16)))
+        else:  # rectangular
+            n, m = int(rng.integers(1_000, 8_000)), int(rng.integers(1_000, 8_000))
+            a = BCSR.random(n, m, 2.0, seed=int(rng.integers(1 << 16)))
+            b = BCSR.random(m, n, 2.0, seed=int(rng.integers(1 << 16)))
+            assert spgemm(a, b).equals(spgemm_oracle(a, b)), trial
+            continue
+        assert spgemm(a, a).equals(spgemm_oracle(a, a)), trial
+        f = BCSR.random(*a.shape, 1.0, seed=int(rng.integers(1 << 16)))
+        assert spm_or(a, f).equals(union_oracle(a, f)), trial
