@@ -1352,10 +1352,20 @@ def _batched_deal_plan(
         # restores hypersparse's argmin while keeping large-1m-d8's
         # measured-best k=32768 (0.1198) and leaving 64k/256k unchanged.
         BIN_NS = 100.0
-        cost = (
-            2.0 * _sort_rate_ns(L, packed) * L + gather * sample_step
-            + BIN_NS
-        ) * k
+        # Pallas-bitonic discount: when the executor's near-pow2 rule will
+        # round this plan's sort_pad to a bitonic-eligible power of two,
+        # the 2-D sorts run ~0.75x XLA's rate in-kernel (mid-64k k=8192:
+        # 0.245 vs 0.34 ns/elem profiled, wall 0.0495 vs 0.0507 at the
+        # model's old k=4096 pick — same-process A/B 2026-08-20).
+        from .bitonic import eligible as _bitonic_ok
+
+        Lp = pad_bucket(max(L, 8), div=32)
+        p2 = 1 << (Lp - 1).bit_length()
+        if packed and p2 <= 1.06 * Lp and _bitonic_ok(k, p2):
+            sort_cost = 2.0 * 0.75 * _sort_rate_ns(p2, packed) * p2
+        else:
+            sort_cost = 2.0 * _sort_rate_ns(L, packed) * L
+        cost = (sort_cost + gather * sample_step + BIN_NS) * k
         return cost, k, asg, groups, rows_pad, pref
 
     if len(ks) == 1:
