@@ -1152,6 +1152,7 @@ def _batched_deal_plan(
     deal_k: int | None,
     key_cols: int,
     merge_widths: tuple[int, ...] | None = None,
+    discount_sorts: bool = True,
 ):
     """Plan the batched 2-D engine: pick the bin count k by the measured
     sort-rate model, snake-deal rows in dominant-class order, and DP-merge
@@ -1357,11 +1358,21 @@ def _batched_deal_plan(
         # the 2-D sorts run ~0.75x XLA's rate in-kernel (mid-64k k=8192:
         # 0.245 vs 0.34 ns/elem profiled, wall 0.0495 vs 0.0507 at the
         # model's old k=4096 pick — same-process A/B 2026-08-20).
+        # Masked executors plan WITHOUT the discount: the family kernels
+        # sort [k, sort_pad + pair_pad] streams (never pow2-eligible), and
+        # the discounted higher-k plans measured ~10% slower for them at
+        # both 64k and 256k (ab="ops-256k"/"ops-64k" variant="ab-k*",
+        # same-window 2026-08-20) while plain run() wins ~10-15%.
         from .bitonic import eligible as _bitonic_ok
 
         Lp = pad_bucket(max(L, 8), div=32)
         p2 = 1 << (Lp - 1).bit_length()
-        if packed and p2 <= 1.06 * Lp and _bitonic_ok(k, p2):
+        if (
+            discount_sorts
+            and packed
+            and p2 <= 1.06 * Lp
+            and _bitonic_ok(k, p2)
+        ):
             sort_cost = 2.0 * 0.75 * _sort_rate_ns(p2, packed) * p2
         else:
             sort_cost = 2.0 * _sort_rate_ns(L, packed) * L
@@ -1464,7 +1475,8 @@ class EllSpGEMMExecutor:
             # snake deal, DP width-class merge (builds the ELL tables once,
             # with the merged widths)
             planned = _batched_deal_plan(
-                a, b, rf, cap, deal_k, key_cols, merge_widths=merge_widths
+                a, b, rf, cap, deal_k, key_cols, merge_widths=merge_widths,
+                discount_sorts=not masked,
             )
             if planned is None:
                 self.batched = False  # degenerate input: unrolled is fine
