@@ -23,9 +23,33 @@ def stamp(rec: dict, **extra) -> dict:
     return rec
 
 
+def is_timed(rec: dict) -> bool:
+    """A row that reports an engine/kernel duration (any ``*_s`` field, the
+    short A/B keys ``t``/``seconds``, or a rate field)."""
+    return any(
+        k == "t" or k == "seconds" or k.endswith("_s") or k.endswith("ns_per_elem")
+        for k in rec
+    )
+
+
 def emit(rec: dict, fh=None) -> dict:
-    """Stamp, print, and append one row to results.jsonl."""
+    """Stamp, print, and append one row to results.jsonl.
+
+    Provenance contract (round-4 hardening of the reference's
+    one-self-describing-line-per-run protocol, README.md:19-21): a row that
+    TIMES anything must carry ``bit_exact`` — True/False when the harness
+    compared outputs that run, or the literal string ``"n/a"`` for pure rate
+    microbenchmarks where bit-exactness is meaningless.  ``None``/missing is
+    refused: an untagged timed row can't be trusted round-over-round.
+    """
     stamp(rec)
+    if "error" not in rec and is_timed(rec):
+        be = rec.get("bit_exact")
+        if be is None or not (isinstance(be, bool) or be == "n/a"):
+            raise ValueError(
+                "provenance: timed row requires bit_exact True/False/'n/a' "
+                f"(got {be!r}): {json.dumps(rec)[:200]}"
+            )
     line = json.dumps(rec)
     print(line, flush=True)
     with open(RESULTS, "a") as f:

@@ -37,13 +37,23 @@ def real_nnz(ex, out):
 
 for name, n, d, ks in CONFIGS:
     a = BCSR.random(n, n, d, seed=7)
+    ref = a.to_scipy() @ a.to_scipy()
+    ref.sort_indices()
+
+    def bit_exact(ex, out):
+        c = ex.assemble(out)
+        return bool(
+            np.array_equal(c.indptr, ref.indptr)
+            and np.array_equal(c.indices, ref.indices)
+        )
+
     base = EllSpGEMMExecutor(a, a)
     tb, out_b = timed(base)
     nnz_ref = real_nnz(base, out_b)
     rec = {"ab": "batched2d", "config": name, "variant": "base",
            "t": tb, "chunks": base.n_chunks, "rows_pad": base.rows_pad,
            "sort_pad": base.sort_pad, "total_slots": base.total_slots,
-           "real_nnz": nnz_ref,
+           "real_nnz": nnz_ref, "bit_exact": bit_exact(base, out_b),
            "roofline_fraction": sort_fraction(base, tb)}
     emit(rec)
     del base, out_b
@@ -60,6 +70,7 @@ for name, n, d, ks in CONFIGS:
                "t": t, "chunks": ex.n_chunks, "rows_pad": ex.rows_pad,
                "sort_pad": ex.sort_pad, "total_slots": ex.total_slots,
                "real_nnz": nz, "nnz_match": nz == nnz_ref,
+               "bit_exact": bit_exact(ex, out),
                "speedup_vs_base": tb / t,
                "roofline_fraction": sort_fraction(ex, t)}
         emit(rec)

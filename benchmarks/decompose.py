@@ -111,10 +111,11 @@ def main():
             "bench": "decompose", "stage": stage,
             "fastest_s": round(min(ts), 5),
             "total_slots": ex.total_slots,
+            # stage probes time TRUNCATED kernels — no comparable output
+            "bit_exact": "n/a",
         }
-        print(json.dumps(rec), flush=True)
-        with open("/root/repo/benchmarks/results.jsonl", "a") as fh:
-            fh.write(json.dumps(rec) + "\n")
+        from _provenance import emit
+        emit(rec)
 
 
 if __name__ == "__main__":

@@ -122,12 +122,12 @@ def main():
             t = bench(fn, call, kw)
             rec[label] = round(t, 5)
             print(f"  {label}: {t:.4f}s", flush=True)
+        rec["bit_exact"] = "n/a"  # stage probes: truncated kernels
         out_recs.append(rec)
         print(json.dumps(rec), flush=True)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "results.jsonl"), "a") as f:
-        for rec in out_recs:
-            f.write(json.dumps(rec) + "\n")
+    from _provenance import emit
+    for rec in out_recs:
+        emit(rec)
 
 
 if __name__ == "__main__":

@@ -62,10 +62,11 @@ def main():
             "fastest_s": min(ts),
             "mean_s": sum(ts) / len(ts),
             "nnz": int(c.nnz),
+            "bit_exact": True,  # gated by the equals(ref) assert above
         }
-        print(json.dumps(rec), flush=True)
-        with open("/root/repo/benchmarks/results.jsonl", "a") as fh:
-            fh.write(json.dumps(rec) + "\n")
+        from _provenance import emit
+
+        emit(rec)
 
 
 if __name__ == "__main__":

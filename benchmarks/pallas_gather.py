@@ -121,7 +121,8 @@ def main():
     t_x = timed(xla_gather, table, pos)
     ref = np.asarray(xla_gather(table, pos))
     rec = {"ab": "pallas-gather", "variant": "xla", "t": round(t_x, 5),
-           "ns_per_slot": round(t_x / slots * 1e9, 3), "w": w, "E": e}
+           "ns_per_slot": round(t_x / slots * 1e9, 3), "w": w, "E": e,
+           "bit_exact": "n/a"}  # pure rate probe: ref is DEFINED by this run
     emit(rec)
 
     try:

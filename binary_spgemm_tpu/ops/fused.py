@@ -7,8 +7,15 @@ is structural: D's (row, col) pairs are **concatenated with the expansion
 candidates before the sort**, so the union costs one slightly longer sort
 instead of a separate pass — the TPU analogue of SPA pre-seeding.
 
-``SpGEMM_dor_masked`` (old/BSpGEMM.c:185-254) masks only the A·B term (D passes
-through unmasked); ``masked=True`` reproduces that semantics.
+Masked-semantics note — a DELIBERATE divergence from the reference:
+``SpGEMM_dor_masked`` (old/BSpGEMM.c:205-216) masks the D seed as well — it
+computes ``F ∩ (D ∪ A·B)`` (D entries outside F are dropped).  This framework
+keeps D unconditional: ``C = D ∪ (F ∩ A·B)``.  Fused accumulation here must
+never drop previously-accumulated entries — ``transitive_closure`` and the
+SPMD accumulators rely on monotone growth of D — so the mask applies only to
+the new product term.  To reproduce the reference's contract, pre-intersect
+D with F before the call (e.g. ``masked_spgemm``-style join of D against F).
+See PARITY.md O6.
 """
 from __future__ import annotations
 
@@ -256,7 +263,11 @@ def spgemm_or(
 ) -> BCSR:
     """C = D OR (A·B), optionally D OR (mask .* (A·B)).
 
-    ≡ ``SpGEMM_dor`` / ``SpGEMM_dor_masked`` (old/BSpGEMM.c:75-254).
+    ≡ ``SpGEMM_dor`` (old/BSpGEMM.c:75-182).  With ``mask`` the semantics
+    deliberately diverge from ``SpGEMM_dor_masked`` (old/BSpGEMM.c:205-216):
+    the reference masks the D seed too (``F ∩ (D ∪ A·B)``); here D is
+    unconditional (``D ∪ (F ∩ A·B)``) so accumulation is monotone — see the
+    module docstring and PARITY.md O6.
     """
     if a.n_cols != b.n_rows or tuple(d.shape) != (a.n_rows, b.n_cols):
         raise ValueError(f"shape mismatch: D{d.shape} vs {a.shape} @ {b.shape}")

@@ -112,8 +112,11 @@ def host_spgemm_or(
     d: BCSR, a: BCSR, b: BCSR, mask: BCSR | None = None
 ) -> BCSR:
     """C = D OR ((mask .*)? (A·B)) on the host — the fused-OR family's
-    small-input route (≡ SpGEMM_dor/_dor_masked, old/BSpGEMM.c:75-254),
-    composed from the host product and key union."""
+    small-input route (≡ SpGEMM_dor, old/BSpGEMM.c:75-182), composed from
+    the host product and key union.  Masked semantics match the device
+    engines, not the reference: D is unconditional (``D ∪ (F ∩ A·B)``)
+    where ``SpGEMM_dor_masked`` masks D too — see ops/fused.py docstring
+    and PARITY.md O6 for the deliberate divergence."""
     c = host_spgemm(a, b) if mask is None else host_masked_spgemm(mask, a, b)
     return host_spm_or(d, c)
 
