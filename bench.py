@@ -76,6 +76,29 @@ def main() -> None:
                 pass
             time.sleep(180)
 
+    # In-run dispatch+sync floor (null kernel, same protocol as the engine
+    # timing below): the ~27 ms tunnel floor drifts ±10% between windows and
+    # is half the headline number at 64k, so the JSON reports device_s =
+    # fastest - floor_s measured THIS run (VERDICT r03 ask #5).
+    from binary_spgemm_tpu.utils.trace import measure_dispatch_floor
+
+    floor_s = measure_dispatch_floor()
+
+    # On-chip Pallas bitonic self-check: the packed 2-D sorts route through
+    # ops/bitonic.py on TPU; re-verify sort_rows ≡ lax.sort on one eligible
+    # shape every round so a pltpu.roll semantics change in a future libtpu
+    # can't silently corrupt packed sorts (ADVICE r03).
+    pallas_sort_ok = None
+    if dev.platform != "cpu":
+        from binary_spgemm_tpu.ops.bitonic import bitonic_sort_rows, eligible
+
+        if eligible(128, 4096):
+            rng = np.random.default_rng(3)
+            xs = rng.integers(0, 1 << 30, (128, 4096), dtype=np.int32)
+            got = np.asarray(bitonic_sort_rows(jax.numpy.asarray(xs)))
+            pallas_sort_ok = bool(np.array_equal(got, np.sort(xs, axis=1)))
+            assert pallas_sort_ok, "Pallas bitonic sort diverged from np.sort"
+
     a = BCSR.random(N, N, D, seed=SEED)
     flops = spgemm_flops(a, a)
 
@@ -136,6 +159,13 @@ def main() -> None:
                 "flops": flops,
                 "tpu_fastest_s": round(fastest, 6),
                 "tpu_mean_s": round(sum(times) / len(times), 6),
+                # floor_s: in-run null-kernel dispatch+sync floor; device_s:
+                # the floor-subtracted kernel time — the number that can
+                # move when the kernel does (the e2e headline is half
+                # dispatch floor at this size)
+                "floor_s": round(floor_s, 6),
+                "device_s": round(max(fastest - floor_s, 0.0), 6),
+                "pallas_sort_device_ok": pallas_sort_ok,
                 "scipy_fastest_s": round(sp_fastest, 6),
                 "scipy_mean_s": round(sum(sp_times) / len(sp_times), 6),
             }

@@ -10,11 +10,15 @@ bitonic partners with two fixed-stride ``pltpu.roll`` rotations per stage —
 the one cross-lane shuffle Mosaic has (no arbitrary gather exists, which is
 what killed the Pallas *gather* candidate, benchmarks/pallas_gather.py).
 
-Measured A/B (benchmarks/pallas_sort.py, results.jsonl ab="pallas-sort",
-v5e, bit-exact): [65536, 2048] 0.556 -> 0.421 ns/elem (1.6x ex-dispatch);
-[8192, 2048] 2.9 -> 1.3 ms device time.  L=8192 hit a pathological Mosaic
-compile (>25 min through the remote tunnel) — the eligibility window below
-excludes it.
+Measured A/B (benchmarks/sort_rate_table.py, micro.jsonl
+bench="sort_rate_table" 2026-08-20, ex-dispatch, bit-exact): at L=4096 this
+kernel wins vs XLA's ``is_stable=False`` sort (0.2374 vs 0.2678 ns/elem;
+in-context +4% e2e at mid-256k).  Below L=4096 XLA's unstable sort is
+FASTER (L=2048: 0.188 vs 0.232; L=256: 0.044 vs 0.169) — round 3's wider
+window was calibrated against the stable default sort, which pays an
+implicit iota payload the engines never use.  L=8192 hit a pathological
+Mosaic compile (>25 min through the remote tunnel).  The eligibility
+window below is therefore exactly L=4096.
 
 ``sort_rows`` is a drop-in for single-operand ascending
 ``jax.lax.sort(x, dimension=1, is_stable=False)``: pure value semantics
@@ -32,13 +36,19 @@ import jax.numpy as jnp
 
 __all__ = ["sort_rows", "bitonic_sort_rows"]
 
-# Eligibility window, measured on v5e (benchmarks/pallas_sort.py):
-# pow2 L in [256, 4096]; L=8192 compiles pathologically.  Block rows per
-# grid step follow the measured-safe VMEM budget: [128, 2048] (1 MB) is
-# fine, [128, 4096] (2 MB) crashed the remote Mosaic compiler while
-# [32, 4096] compiles and runs at 0.425 ns/elem (vs XLA 0.723).  Override
-# the kill-switch with BSPGEMM_PALLAS_SORT=0.
-_MIN_L = 256
+# Eligibility window, recalibrated round 4 (benchmarks/sort_rate_table.py,
+# micro.jsonl bench="sort_rate_table" 2026-08-20, ex-dispatch ns/elem at
+# 2^27 elems): L=4096 is the ONE length where this kernel beats XLA's
+# is_stable=False sort (0.2374 vs 0.2678; confirmed in-context +4% e2e at
+# mid-256k).  Round 3's wider [256, 4096] window came from comparing
+# against a STABLE lax.sort (the default — it drags an implicit iota
+# payload); against the unstable sort the engines actually run, XLA wins
+# decisively below 4096 (L=2048: 0.188 vs 0.232; L=256: 0.044 vs 0.169).
+# L=8192 compiles pathologically (>25 min remote Mosaic hang).  Block rows
+# per grid step follow the measured-safe VMEM budget: [128, 4096] (2 MB)
+# crashed the remote Mosaic compiler while [32, 4096] compiles and wins.
+# Kill-switch: BSPGEMM_PALLAS_SORT=0.
+_MIN_L = 4096
 _MAX_L = 4096
 
 
@@ -127,7 +137,12 @@ def _on_tpu() -> bool:
 
 
 def eligible(k: int, L: int) -> bool:
-    """Trace-time gate: measured-win window on an attached TPU only."""
+    """Shape/env gate for the Pallas path: measured-win window on an
+    attached TPU.  ``_on_tpu()`` consults the process-default device — used
+    for host-side plan pricing; the actual lowering decision in
+    :func:`sort_rows` is platform-resolved per backend, so tracing for a
+    non-default device (explicit CPU ``device_put`` in a TPU process) still
+    lowers correctly."""
     if os.environ.get("BSPGEMM_PALLAS_SORT", "1") == "0":
         return False
     if L < _MIN_L or L > _MAX_L or L & (L - 1):
@@ -137,14 +152,24 @@ def eligible(k: int, L: int) -> bool:
     return _on_tpu()
 
 
+def _lax_sort_rows(x: jax.Array) -> jax.Array:
+    return jax.lax.sort(x, dimension=1, is_stable=False)
+
+
 def sort_rows(x: jax.Array) -> jax.Array:
     """``jax.lax.sort(x, dimension=1, is_stable=False)`` for int32 ``[k, L]``,
     via the Pallas bitonic kernel when :func:`eligible` — bit-identical
-    output either way (value sort, no payload)."""
+    output either way (value sort, no payload).  The Pallas branch is
+    selected by ``lax.platform_dependent`` at LOWERING time (resolved
+    statically for single-platform lowerings), so a CPU lowering from a
+    TPU-default process falls back to ``lax.sort`` instead of embedding an
+    uncompilable TPU kernel."""
     k, L = x.shape
     if x.dtype == jnp.int32 and eligible(k, L):
-        return bitonic_sort_rows(x)
-    return jax.lax.sort(x, dimension=1, is_stable=False)
+        return jax.lax.platform_dependent(
+            x, tpu=bitonic_sort_rows, default=_lax_sort_rows
+        )
+    return _lax_sort_rows(x)
 
 
 @functools.lru_cache(maxsize=None)

@@ -2551,35 +2551,40 @@ def tuned_executor(
         return min(ts)
 
     report, best, best_t = [], None, float("inf")
-    candidates = []
-    for k in ks:
+    # Build, measure, and release ONE candidate per iteration — each staged
+    # executor holds full tables/entries resident in HBM, so accumulating
+    # all of them first would multiply the footprint ~(top+1)x and can OOM
+    # where any single plan fits.  At most two live at once (current + best).
+    # k=0 marks the unrolled plan: near the routing boundary (64k-class
+    # inputs) it measures within a few ms of the batched optimum.
+    if ex0.n_chunks not in ks:
+        ex0 = None  # the seed plan isn't a candidate: release it up front
+    for k in ks + [0]:
         try:
-            ex = (
-                ex0
-                if k == ex0.n_chunks
-                else EllSpGEMMExecutor(
+            if k == 0:
+                ex = EllSpGEMMExecutor(a, b, masked=masked)
+            elif ex0 is not None and k == ex0.n_chunks:
+                ex = ex0
+            else:
+                ex = EllSpGEMMExecutor(
                     a, b, masked=masked, batched=True, deal_k=k,
                     batched_slots_cap=BATCHED_MAX_SLOTS,
                 )
-            )
         except OverflowError:  # incl. the pre-staging skew-guard raise
             continue
-        candidates.append((k, ex))
-    # the unrolled plan is one more candidate: near the routing boundary
-    # (64k-class inputs) it measures within a few ms of the batched
-    # optimum; k=0 marks it in the report
-    try:
-        candidates.append((0, EllSpGEMMExecutor(a, b, masked=masked)))
-    except OverflowError:
-        pass
-    for k, ex in candidates:
         try:
             t = _measure(ex)
         except Exception:  # device rejects the shape (compile/OOM): skip
+            if ex is ex0:
+                ex0 = None
+            del ex
             continue
         report.append((t, k))
         if t < best_t:
             best, best_t = ex, t
+        if ex is ex0:
+            ex0 = None  # measured: the seed needn't stay resident on a loss
+        del ex  # loser (or alias of best) released before the next build
     if best is None:
         return EllSpGEMMExecutor(a, b, masked=masked)
     best.tune_report = sorted(report)

@@ -20,7 +20,15 @@ import time
 
 import jax
 
-__all__ = ["phase_timer", "trace", "roofline", "bsr_roofline", "PhaseRecord"]
+__all__ = [
+    "phase_timer",
+    "trace",
+    "roofline",
+    "bsr_roofline",
+    "PhaseRecord",
+    "measure_dispatch_floor",
+    "sort_rate_ns",
+]
 
 
 @dataclasses.dataclass
@@ -68,13 +76,87 @@ def trace(logdir: str):
 
 
 # Measured per-call dispatch floor through this environment's remote tunnel
-# (~27 ms regardless of work size; see CLAUDE.md and micro.jsonl).
+# (~27 ms regardless of work size; see CLAUDE.md and micro.jsonl).  This
+# constant is the FALLBACK — the floor drifts ±10% between windows, so
+# timing harnesses measure it in-run via :func:`measure_dispatch_floor` and
+# pass it to :func:`roofline` explicitly.
 DISPATCH_FLOOR_S = 0.027
 
-# Measured VPU compare-exchange throughput of the best sort kernel on this
-# chip (Pallas bitonic, benchmarks/pallas_sort.py): ns per element per
-# network pass; a length-L bitonic runs log2(L)·(log2(L)+1)/2 passes.
-SORT_NS_PER_ELEM_PASS = 3e-3
+
+def measure_dispatch_floor(reps: int = 8) -> float:
+    """Measure THIS run's per-dispatch+sync floor with a null kernel.
+
+    Times the same protocol every engine timing uses — jitted call, then
+    ``np.asarray`` of a tiny output (the forced tunnel round-trip) — on a
+    [8, 128] int32 no-op.  The min over ``reps`` is the floor any kernel
+    time in the same window sits on; ``device_s = e2e - floor`` is the
+    comparable cross-window metric (VERDICT r03 weak #1/#7).
+    """
+    import time as _time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8, 128), jnp.int32)
+    np.asarray(f(x))  # compile + warm
+    best = float("inf")
+    for _ in range(max(reps, 1)):
+        t0 = _time.perf_counter()
+        np.asarray(f(x))
+        best = min(best, _time.perf_counter() - t0)
+    return best
+
+
+# Measured best ex-dispatch 2-D row-sort rates on this chip, ns per element
+# for one FULL sort at row length L (best of XLA lax.sort / Pallas bitonic,
+# ~2^27 elements per shape so the subtracted floor is <1% of device time).
+# Source: benchmarks/sort_rate_table.py -> micro.jsonl bench="sort_rate_table"
+# (re-run it to recalibrate; rates drift with libtpu updates).  The old model
+# priced sorts as quadratic-in-log bitonic passes at a rate measured only at
+# L<=2^13, which overshot the ceiling at large L (blocked-32k read
+# fraction_of_dual = 1.26 — VERDICT r03 weak #2); this table is measured at
+# every production L bucket instead.
+SORT_RATE_2D_NS = {
+    # L: ns/elem ex-dispatch, measured 2026-08-20 22:24-22:31 on the
+    # attached v5e (micro.jsonl bench="sort_rate_table"; best of XLA
+    # is_stable=False vs Pallas bitonic at 2^27 elems/shape)
+    256: 0.0443,
+    512: 0.0815,
+    1024: 0.1274,
+    2048: 0.1882,
+    4096: 0.2374,  # the one Pallas-won length
+    8192: 0.3319,
+}
+# Flat (1-D) sort rates for the unrolled engine's multi-million-slot sorts
+# (same run, 22:36; chained-sort protocol so the dispatch floor amortizes).
+SORT_RATE_FLAT_NS = {
+    1 << 19: 0.3882,
+    1 << 20: 0.4242,
+    1 << 22: 0.4975,
+    1 << 23: 0.5385,
+    1 << 25: 1.2118,
+}
+
+
+def sort_rate_ns(L: int, *, flat: bool = False) -> float:
+    """Interpolated measured sort rate (ns/elem for one full sort of row
+    length ``L``), log-linear between calibrated points, clamped at the
+    table edges (clamping at the large end UNDER-estimates time — i.e. the
+    ceiling stays a ceiling)."""
+    import math
+
+    table = SORT_RATE_FLAT_NS if flat else SORT_RATE_2D_NS
+    pts = sorted(table.items())
+    if L <= pts[0][0]:
+        return pts[0][1]
+    if L >= pts[-1][0]:
+        return pts[-1][1]
+    for (l0, r0), (l1, r1) in zip(pts, pts[1:]):
+        if l0 <= L <= l1:
+            f = (math.log2(L) - math.log2(l0)) / (math.log2(l1) - math.log2(l0))
+            return r0 + f * (r1 - r0)
+    return pts[-1][1]
 
 # Per-chip HBM bandwidth for roofline estimates (bytes/s).  v5e ≈ 819 GB/s.
 HBM_BYTES_PER_S = {
@@ -92,6 +174,7 @@ def roofline(
     device=None,
     *,
     sort_len: int | None = None,
+    floor_s: float | None = None,
 ) -> dict:
     """Speed-of-light audit of one sort-based SpGEMM call.
 
@@ -128,34 +211,37 @@ def roofline(
         "bandwidth_assumed_gbps": bw / 1e9,
     }
     # Dual roofline: the bandwidth model above assumes sorts stream at HBM
-    # speed, but a compare-exchange network is COMPUTE-bound on the VPU —
-    # the measured floor (Pallas bitonic, results.jsonl ab="pallas-sort":
-    # 0.224 ns/elem at L=4096/78 passes, 0.22 at L=2048/66) is
-    # ~3e-3 ns/elem/pass.  No sort-based engine can beat
-    # max(bandwidth_s, sort_compute_s); report the fraction against that
-    # achievable ceiling alongside the legacy bandwidth-only figure.
-    # Calibration caveat: the per-pass rate is measured at the batched
-    # engine's lengths (L <= 2^13).  At the unrolled engine's multi-
-    # million-slot lengths XLA's in-context sorts beat the quadratic-in-
-    # log pass model, so fraction_of_dual can exceed 1 there (blocked-32k:
-    # 1.25) — read >1 as "at the modeled ceiling", not super-luminal.
+    # speed, but row sorts at production lengths are COMPUTE-bound on the
+    # VPU.  Price the two sorts with the MEASURED per-L rate table
+    # (:func:`sort_rate_ns` — best kernel, ex-dispatch, calibrated by
+    # benchmarks/sort_rate_table.py) instead of the old quadratic
+    # bitonic-pass pencil model, which overshot at large L (blocked-32k
+    # read fraction_of_dual = 1.26).  The dual ceiling is
+    # max(bandwidth_s, sort_compute_s): no sort-based engine on this chip
+    # beats it, and fractions stay in (0, 1] by construction (the table is
+    # the fastest any sort has measured here; a future faster sort means
+    # re-running the calibration, not a >1 fraction).
     if "tpu" in kind:
-        m = math.log2(L)
-        net_passes = m * (m + 1) / 2
-        sort_compute_s = 2 * flops_pad * SORT_NS_PER_ELEM_PASS * net_passes / 1e9
+        rate = sort_rate_ns(int(L), flat=L > max(SORT_RATE_2D_NS))
+        sort_compute_s = 2 * flops_pad * rate / 1e9
         dual = max(sol_s, sort_compute_s)
         rec["sort_compute_s"] = sort_compute_s
+        rec["sort_rate_ns_per_elem"] = rate
         rec["fraction_of_dual"] = dual / seconds if seconds else 0.0
-    # This environment's remote-dispatch tunnel adds a measured ~27 ms floor
-    # to EVERY device call (benchmarks/micro.jsonl "sort_rate27" protocol) —
-    # at mid-64k the floor alone is 3.2x the model SOL, capping the raw
-    # fraction at ~24% regardless of kernel quality.  Report the
-    # floor-adjusted fraction alongside so device-time progress stays
-    # visible: fraction_ex_dispatch = SOL / (achieved - floor).  On a
-    # PCIe-attached host the two columns converge.
-    if "tpu" in kind and seconds > DISPATCH_FLOOR_S:
-        rec["dispatch_floor_s"] = DISPATCH_FLOOR_S
-        rec["fraction_ex_dispatch"] = sol_s / (seconds - DISPATCH_FLOOR_S)
+    # This environment's remote-dispatch tunnel adds a ~27 ms floor to EVERY
+    # device call — at mid-64k the floor alone is 3.2x the model SOL,
+    # capping the raw fraction at ~24% regardless of kernel quality.
+    # Report the floor-adjusted fraction alongside so device-time progress
+    # stays visible: fraction_ex_dispatch = SOL / (achieved - floor).
+    # ``floor_s`` should be the floor MEASURED IN-RUN
+    # (:func:`measure_dispatch_floor`) — the constant drifts ±10% between
+    # windows; it remains the fallback for callers without a measurement.
+    if "tpu" in kind:
+        floor = DISPATCH_FLOOR_S if floor_s is None else floor_s
+        if seconds > floor:
+            rec["dispatch_floor_s"] = floor
+            rec["floor_measured_in_run"] = floor_s is not None
+            rec["fraction_ex_dispatch"] = sol_s / (seconds - floor)
     return rec
 
 

@@ -21,18 +21,20 @@ def test_bitonic_network_matches_npsort(k, L):
 
 def test_eligibility_gate(monkeypatch):
     # CPU backend (this test env) is never eligible
-    assert not bitonic.eligible(128, 2048)
-    # on TPU: pow2 L inside the measured window, block-divisible k
+    assert not bitonic.eligible(128, 4096)
+    # on TPU: the window is exactly L=4096 (round-4 recalibration vs the
+    # UNSTABLE lax.sort the engines use — XLA wins at L<=2048, micro.jsonl
+    # bench="sort_rate_table"), block-divisible k
     monkeypatch.setattr(bitonic, "_on_tpu", lambda: True)
-    assert bitonic.eligible(128, 2048)
-    assert bitonic.eligible(8, 256)
-    assert not bitonic.eligible(128, 2048 + 32)  # non-pow2 L
+    assert bitonic.eligible(128, 4096)
+    assert not bitonic.eligible(128, 2048)  # XLA unstable sort faster
+    assert not bitonic.eligible(8, 256)  # XLA 4x faster (0.044 vs 0.169)
+    assert not bitonic.eligible(128, 4096 + 32)  # non-pow2 L
     assert not bitonic.eligible(128, 8192)  # pathological Mosaic compile
-    assert not bitonic.eligible(128, 128)  # below window
-    assert not bitonic.eligible(129, 2048)  # no block divides k
+    assert not bitonic.eligible(129, 4096)  # no block divides k
     assert bitonic.eligible(32768, 4096)  # L=4096 runs at block<=32
     monkeypatch.setenv("BSPGEMM_PALLAS_SORT", "0")
-    assert not bitonic.eligible(128, 2048)  # kill switch
+    assert not bitonic.eligible(128, 4096)  # kill switch
 
 
 def test_block_cap_by_length():
