@@ -1287,7 +1287,19 @@ def _batched_deal_plan(
         return groups
 
     def groups_stats(cnt_pref, groups):
-        """(padded slots, gather ns/chunk) for a grouping."""
+        """(padded slots, gather ns/chunk) for a grouping.
+
+        The k-RANKING prices gathered classes at the measured IN-KERNEL
+        fused rate (~3.2/w + 0.05 ns/slot — the 256k profile clocks the
+        w~16 expansion at 0.22 ns/slot; micro "decomp2"), not the isolated
+        microbench curve `_gather_rate_ns` the DP merge keeps (its relative
+        weights were validated against measured groupings; see the dp_merge
+        NOTE).  The old 4x-overpriced gathered term made non-inlined
+        configs (cage: 128k-row tables, under the inline threshold) refuse
+        high-k plans whose shorter sorts measured 8% faster end-to-end
+        (ab="pow2cliff" k=16384 vs 4096, 2026-08-20).  The masked/fused
+        family (``discount_sorts=False``) keeps the old curve — its
+        measured low-k optima were calibrated against it."""
         slots, gather = 0, 0.0
         for j, i in groups:
             w = int(classes[i - 1])
@@ -1297,7 +1309,13 @@ def _batched_deal_plan(
             slots += s
             rows_g = int(cls_rows_pref[i] - cls_rows_pref[j])
             inl = w <= INLINE_TABLE_W_MAX and rows_g > INLINE_TABLE_ROWS
-            gather += s * (0.05 if inl else _gather_rate_ns(w))
+            if inl:
+                rate = 0.05
+            elif discount_sorts:
+                rate = 3.2 / w + 0.05  # measured fused rate (plain family)
+            else:
+                rate = _gather_rate_ns(w)
+            gather += s * rate
         return slots, gather
 
     if deal_k:
@@ -1326,7 +1344,7 @@ def _batched_deal_plan(
         )
     ecls64 = ecls.astype(np.int64)
 
-    def eval_k(k, sample_step=1):
+    def eval_k(k, sample_step=1, cliff=False):
         asg = snake(k)
         e, r = (ecls64, rr) if sample_step == 1 else (
             ecls64[::sample_step], rr[::sample_step]
@@ -1374,6 +1392,16 @@ def _batched_deal_plan(
             and _bitonic_ok(k, p2)
         ):
             sort_cost = 2.0 * 0.75 * _sort_rate_ns(p2, packed) * p2
+        elif cliff:
+            # pow2-cliff pricing (round-4 measurement, micro.jsonl
+            # "sort_rate_table" + ab="pow2cliff"): XLA's 2-D sort at
+            # non-pow2 L costs close to rate(next_pow2)·L, NOT the smooth
+            # interp — [32768, 1088] measured 0.190 ns/elem vs 0.100 at
+            # [32768, 1024].  Pricing the rate at the pow2 ceiling makes
+            # plans that land just UNDER a power of two (L=992 vs 1088)
+            # win, which measured -13% e2e at hypersparse (k=32768 ->
+            # 45056: 0.0581 -> 0.0506, device -24%).
+            sort_cost = 2.0 * _sort_rate_ns(p2, packed) * L
         else:
             sort_cost = 2.0 * _sort_rate_ns(L, packed) * L
         cost = (sort_cost + gather * sample_step + BIN_NS) * k
@@ -1390,9 +1418,49 @@ def _batched_deal_plan(
         # the distortion below the candidate gaps.
         step = 4 if len(rr) > (1 << 24) else 1
         evals = sorted((eval_k(k, step) for k in ks), key=lambda t: t[0])
-        model_ranking = [(c, kk) for c, kk, *_ in evals]
-        ranked = evals[0]
-        plans = [ranked if step == 1 else eval_k(ranked[1])]
+        k0 = evals[0][1]
+        # Pow2-cliff refinement (round 4): the coarse grid only holds pow2
+        # multiples of k_pack, but XLA's 2-D sort at non-pow2 L costs
+        # ~rate(next_pow2)·L (measured: [32768, 1088] 0.190 ns/elem vs
+        # [32768, 1024] 0.100 — micro.jsonl "sort_rate_table"), so the
+        # best bin count usually sits at a FRACTIONAL multiple of the
+        # coarse winner that lands sort_pad just under a power of two.
+        # Re-rank k0·{1, 9/8, ..., 2} under cliff pricing (the coarse
+        # ranking itself is untouched — its calibration against the
+        # measured optima still holds).  Measured wins through this path
+        # (ab="pow2cliff", 2026-08-20, bit-exact, same-window):
+        # hypersparse k=32768→36864+ 0.0581→0.0506-0.053 e2e (device
+        # −16..24%), large-1m k=16384→28672 device 102.6→96.8 ms.
+        # The refinement is for the PLAIN family only: the masked/fused
+        # kernels sort [k, sort_pad + pair_pad] streams, so "sort_pad just
+        # under a pow2" does not land the REAL sort length under the
+        # cliff — and their measured optima sit at LOW k (ops-256k:
+        # k=8192 0.1585 vs k=32768 0.1761, round 3).  They keep the
+        # coarse pick (discount_sorts=False is how they plan).
+        if discount_sorts:
+            gran = max(k0 // 8, 32)
+            cands = sorted(
+                {min(k0 + j * gran, 1 << 17) for j in range(9)}
+                | {min(k0 * m // 4, 1 << 17) for m in range(9, 17)}
+            )
+            refined = sorted(
+                (eval_k(kk, step, cliff=True) for kk in cands),
+                key=lambda t: t[0],
+            )
+            # the tuner consumes this ranking: cliff-priced fractional
+            # candidates first (their costs are mutually comparable), then
+            # the coarse tail for context
+            model_ranking = [(c, kk) for c, kk, *_ in refined] + [
+                (c, kk) for c, kk, *_ in evals if kk not in cands
+            ]
+            ranked = refined[0]
+            plans = [
+                ranked if step == 1 else eval_k(ranked[1], cliff=True)
+            ]
+        else:
+            model_ranking = [(c, kk) for c, kk, *_ in evals]
+            ranked = evals[0]
+            plans = [ranked if step == 1 else eval_k(ranked[1])]
     cost, k, assign, groups, rows_pad, pref = plans[0]
 
     group_widths = tuple(int(classes[i - 1]) for _, i in groups)
