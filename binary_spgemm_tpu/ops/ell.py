@@ -482,6 +482,58 @@ def _ell_spgemm_sep2d_jit(
         "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
     ),
 )
+def _ell_spgemm_padded2d_jit(
+    tables: tuple[jax.Array, ...],
+    entry_rows: tuple[jax.Array, ...],
+    entry_pos: tuple[jax.Array, ...],
+    *,
+    n_chunks: int,
+    rows_pad: int,
+    n_cols: int,
+    widths: tuple[int, ...],
+    pads: tuple[int, ...],
+    sort_pad: int,
+) -> tuple[jax.Array, jax.Array]:
+    """ONE-SORT variant of :func:`_ell_spgemm_sep2d_jit`: stops after the
+    dedup-demote, returning the sorted-with-holes PACKED KEY stream
+    (``int32 max`` holes) plus per-chunk valid counts — the compaction
+    moves to the host (:meth:`EllSpGEMMExecutor.assemble_padded`).
+
+    Measured (ab="one-sort", 2026-08-20, bit-exact): dropping the second
+    sort halves device time at mid-64k (34.9 -> 17.3 ms) and cuts 33% at
+    mid-256k — the fast path when the consumer tolerates a padded pull
+    (PCIe-attached hosts; this environment's ~25 MB/s tunnel makes the
+    compacted default win e2e above 64k).  Requires packed keys
+    (``packable(rows_pad, n_cols)`` — always true for batched plans, which
+    cap rows per bin exactly to keep keys packed)."""
+    from .bitonic import sort_rows as sort_rows_1key
+    from .spgemm import packable
+
+    if not packable(rows_pad, n_cols):  # pragma: no cover - plans guarantee
+        raise ValueError("run_padded requires packed keys")
+    row, col = _assemble_stream_2d(
+        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+        widths, pads, sort_pad,
+    )
+    shift = int(n_cols).bit_length()
+    key = (row << shift) | col
+    limit = rows_pad << shift
+    key_s = sort_rows_1key(key)
+    prev = jnp.concatenate(
+        [jnp.full((n_chunks, 1), -1, INT), key_s[:, :-1]], axis=1
+    )
+    keep = (key_s != prev) & (key_s < limit)
+    nnz = jnp.sum(keep, axis=1, dtype=INT)
+    demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+    return demoted, nnz
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
+    ),
+)
 def _ell_masked2d_jit(
     tables,
     entry_rows,
@@ -1479,6 +1531,7 @@ def _batched_deal_plan(
 
 _flat_spgemm_sep = _make_flat_kernel(_ell_spgemm_sep_jit)
 _flat_spgemm_sep2d = _make_flat_kernel(_ell_spgemm_sep2d_jit)
+_flat_spgemm_padded2d = _make_flat_kernel(_ell_spgemm_padded2d_jit)
 _flat_masked = _make_flat_kernel(_ell_masked_jit)
 _flat_masked2d = _make_flat_kernel(_ell_masked2d_jit)
 _flat_counts = _make_flat_kernel(_ell_counts_jit)
@@ -1922,6 +1975,57 @@ class EllSpGEMMExecutor:
         return tuple(
             jnp.concatenate([o[i] for o in outs]) for i in range(2)
         )
+
+    def run_padded(self):
+        """ONE-SORT device step: stacked ``(keys, nnz)`` where ``keys`` is
+        each chunk's sorted packed-key stream with ``int32 max`` holes
+        (duplicates and out-of-chunk sentinels demoted, NOT compacted) and
+        separators embedded — :meth:`assemble_padded` compacts on the host.
+
+        Halves device time vs :meth:`run` at mid-64k (34.9 -> 17.3 ms
+        measured, ab="one-sort" 2026-08-20, bit-exact) by dropping the
+        compaction sort; the price is pulling the full ``[k, sort_pad]``
+        stream instead of ``[k, out_pad]``.  Use on PCIe-attached hosts or
+        when results feed device-resident composition; on this
+        environment's ~25 MB/s result tunnel the compacted default wins
+        e2e for one-shot calls above the 64k class.  Batched plans only
+        (they keep keys packed by construction).
+        """
+        if not self.batched:
+            raise ValueError("run_padded requires a batched executor")
+        outs = [
+            _flat_spgemm_padded2d(
+                self.tables_flat, self.er_all, self.ep_all, row0,
+                **self._flat_kw(),
+            )
+            for row0 in self._row0s()
+        ]
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(
+            jnp.concatenate([o[i] for o in outs]) for i in range(2)
+        )
+
+    def assemble_padded(self, outputs) -> "BCSR":
+        """Host assembly of :meth:`run_padded` outputs: drop the
+        ``int32 max`` holes, unpack columns, and hand the per-chunk
+        separator-embedded streams to the same assembler :meth:`assemble`
+        uses — bit-exact with the two-sort path by construction."""
+        dem_dev, nnz_dev = outputs
+        dem = np.asarray(dem_dev)
+        nnz = np.asarray(nnz_dev).astype(np.int64)
+        valid = nnz.copy()
+        valid[self.n_chunks :] = 0
+        sent = np.iinfo(np.int32).max
+        shift = int(self.n_cols).bit_length()
+        flat = dem[: self.n_chunks].ravel()
+        keys = flat[flat != sent]
+        cols = (keys & ((1 << shift) - 1)).astype(np.int32)
+        bounds = np.cumsum(valid[: self.n_chunks])
+        chunk_idx = (
+            np.split(cols, bounds[:-1]) if self.n_chunks else []
+        )
+        return self._assemble_seps_batch(chunk_idx, valid)
 
     def staged_nnz_pad(self, mat: "BCSR") -> int:
         """Per-chunk padded nnz a staged side operand (mask / fused-OR D)

@@ -38,6 +38,25 @@ def test_batched_rectangular_and_skew():
     b = BCSR.random(1500, 2500, 2.0, seed=7)
     ex = EllSpGEMMExecutor(a, b, batched=True)
     assert ex.assemble(ex.run()).equals(spgemm_oracle(a, b))
+
+
+@pytest.mark.parametrize("n,d,seed", [(3000, 4.0, 5), (8000, 2.0, 6)])
+def test_run_padded_one_sort_matches_oracle(n, d, seed):
+    # one-sort mode: device skips the compaction sort, host compacts the
+    # sorted-with-holes stream — must be bit-exact with both the oracle
+    # and the two-sort path (measured device win: ab="one-sort")
+    a = BCSR.random(n, n, d, seed=seed)
+    ex = EllSpGEMMExecutor(a, a, batched=True)
+    c = ex.assemble_padded(ex.run_padded())
+    assert c.equals(spgemm_oracle(a, a))
+    assert c.equals(ex.assemble(ex.run()))
+
+
+def test_run_padded_requires_batched():
+    a = BCSR.random(500, 500, 2.0, seed=8)
+    ex = EllSpGEMMExecutor(a, a)  # unrolled
+    with pytest.raises(ValueError, match="batched"):
+        ex.run_padded()
     r = BCSR.rmat(12, 8.0, seed=8)  # power-law skew
     ex = EllSpGEMMExecutor(r, r, batched=True)
     assert ex.assemble(ex.run()).equals(spgemm_oracle(r, r))
