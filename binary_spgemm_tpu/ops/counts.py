@@ -119,6 +119,36 @@ def sort_compress_counts(
     return c_indptr, c_indices, c_counts, nnz_c
 
 
+def sort_compress_counts_seps_2d_keys(
+    key: jax.Array, n_rows: int, n_cols: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Packed branch of :func:`sort_compress_counts_seps_2d` taking the
+    candidate stream as PRE-PACKED keys (``(row << bl) | col`` — assembled
+    directly by `ops/ell.py::_assemble_stream_2d(shift=...)`, no pair
+    streams or pack pass).  Bit-identical to the pair form."""
+    k, L = key.shape
+    mark = jnp.arange(L, dtype=INT)[None, :]
+    shift = int(n_cols).bit_length()
+    key_s = sort_rows_1key(key)
+    valid = key_s < (n_rows << shift)  # separators valid, padding not
+    q = jnp.cumsum(valid.astype(INT), axis=1) - valid.astype(INT)
+    total = jnp.sum(valid, axis=1, dtype=INT)[:, None]
+    prev = jnp.concatenate(
+        [jnp.full((k, 1), -1, INT), key_s[:, :-1]], axis=1
+    )
+    keep = (key_s != prev) & valid
+    nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+    demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+    c_keys, qc = jax.lax.sort(
+        (demoted, q), dimension=1, num_keys=1, is_stable=False
+    )
+    nxt = jnp.where(
+        mark + 1 < nnz_c[:, None], jnp.roll(qc, -1, axis=1), total
+    )
+    c_counts = jnp.where(mark < nnz_c[:, None], nxt - qc, 0)
+    return c_keys & ((1 << shift) - 1), c_counts, nnz_c
+
+
 def sort_compress_counts_seps_2d(
     row: jax.Array, col: jax.Array, n_rows: int, n_cols: int
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -138,25 +168,9 @@ def sort_compress_counts_seps_2d(
     mark = jnp.arange(L, dtype=INT)[None, :]
     if packable(n_rows, n_cols):
         shift = int(n_cols).bit_length()
-        key = (row << shift) | col
-        key_s = sort_rows_1key(key)
-        valid = key_s < (n_rows << shift)  # separators valid, padding not
-        q = jnp.cumsum(valid.astype(INT), axis=1) - valid.astype(INT)
-        total = jnp.sum(valid, axis=1, dtype=INT)[:, None]
-        prev = jnp.concatenate(
-            [jnp.full((k, 1), -1, INT), key_s[:, :-1]], axis=1
+        return sort_compress_counts_seps_2d_keys(
+            (row << shift) | col, n_rows, n_cols
         )
-        keep = (key_s != prev) & valid
-        nnz_c = jnp.sum(keep, axis=1, dtype=INT)
-        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
-        c_keys, qc = jax.lax.sort(
-            (demoted, q), dimension=1, num_keys=1, is_stable=False
-        )
-        nxt = jnp.where(
-            mark + 1 < nnz_c[:, None], jnp.roll(qc, -1, axis=1), total
-        )
-        c_counts = jnp.where(mark < nnz_c[:, None], nxt - qc, 0)
-        return c_keys & ((1 << shift) - 1), c_counts, nnz_c
 
     row_s, col_s = jax.lax.sort(
         (row, col), dimension=1, num_keys=2, is_stable=False
@@ -181,6 +195,64 @@ def sort_compress_counts_seps_2d(
     return c_indices, c_counts, nnz_c
 
 
+def masked_counts_compress_seps_2d_keys(
+    key: jax.Array,
+    f_row: jax.Array,
+    f_col: jax.Array,
+    n_rows: int,
+    n_cols: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Packed branch of :func:`masked_counts_compress_seps_2d` taking the
+    candidate stream as PRE-PACKED plain keys (``(row << bl) | col``);
+    stage 2's tagged join key derives as ``(u_keys << 1) | 1``.
+    Bit-identical to the pair form (caller checks
+    ``packable(n_rows, 2 * n_cols + 1)``)."""
+    k, L = key.shape
+    mark = jnp.arange(L, dtype=INT)[None, :]
+    bl = int(n_cols).bit_length()
+    key_s = sort_rows_1key(key)
+    valid = key_s < (n_rows << bl)
+    q = jnp.cumsum(valid.astype(INT), axis=1) - valid.astype(INT)
+    total = jnp.sum(valid, axis=1, dtype=INT)[:, None]
+    prev = jnp.concatenate(
+        [jnp.full((k, 1), -1, INT), key_s[:, :-1]], axis=1
+    )
+    keep = (key_s != prev) & valid
+    n_uniq = jnp.sum(keep, axis=1, dtype=INT)
+    demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max >> 1)
+    u_keys, qc = jax.lax.sort(
+        (demoted, q), dimension=1, num_keys=1, is_stable=False
+    )
+    nxt = jnp.where(
+        mark + 1 < n_uniq[:, None], jnp.roll(qc, -1, axis=1), total
+    )
+    u_counts = jnp.where(mark < n_uniq[:, None], nxt - qc, 0)
+    # stage 2: tagged join against the mask, counts as payload
+    jk = jnp.concatenate(
+        [(u_keys << 1) | 1, (((f_row << bl) | f_col) << 1)], axis=1
+    )
+    jc = jnp.concatenate([u_counts, jnp.zeros(f_row.shape, INT)], axis=1)
+    jk_s, jc_s = jax.lax.sort(
+        (jk, jc), dimension=1, num_keys=1, is_stable=False
+    )
+    jprev = jnp.concatenate(
+        [jnp.full((k, 1), -2, INT), jk_s[:, :-1]], axis=1
+    )
+    is_cand = (jk_s & 1) == 1
+    in_range = jk_s < ((n_rows << (bl + 1)) | 1)
+    is_sep = is_cand & in_range & (
+        ((jk_s >> 1) & ((1 << bl) - 1)) == n_cols
+    )
+    keep2 = (is_cand & (jprev == (jk_s & ~1)) & in_range) | is_sep
+    nnz_c = jnp.sum(keep2, axis=1, dtype=INT)
+    dem2 = jnp.where(keep2, jk_s, jnp.iinfo(jnp.int32).max)
+    c_keys, c_counts = jax.lax.sort(
+        (dem2, jnp.where(keep2, jc_s, 0)),
+        dimension=1, num_keys=1, is_stable=False,
+    )
+    return (c_keys >> 1) & ((1 << bl) - 1), c_counts, nnz_c
+
+
 def masked_counts_compress_seps_2d(
     row: jax.Array,
     col: jax.Array,
@@ -197,54 +269,15 @@ def masked_counts_compress_seps_2d(
     ``(n_rows, n_cols)``.  Returns ``(c_indices, c_counts, nnz)`` stacked.
     """
     k, L = row.shape
-    mark = jnp.arange(L, dtype=INT)[None, :]
     if packable(n_rows, 2 * n_cols + 1):
         bl = int(n_cols).bit_length()
-        key = (row << bl) | col
-        key_s = sort_rows_1key(key)
-        valid = key_s < (n_rows << bl)
-        q = jnp.cumsum(valid.astype(INT), axis=1) - valid.astype(INT)
-        total = jnp.sum(valid, axis=1, dtype=INT)[:, None]
-        prev = jnp.concatenate(
-            [jnp.full((k, 1), -1, INT), key_s[:, :-1]], axis=1
+        return masked_counts_compress_seps_2d_keys(
+            (row << bl) | col, f_row, f_col, n_rows, n_cols
         )
-        keep = (key_s != prev) & valid
-        n_uniq = jnp.sum(keep, axis=1, dtype=INT)
-        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max >> 1)
-        u_keys, qc = jax.lax.sort(
-            (demoted, q), dimension=1, num_keys=1, is_stable=False
-        )
-        nxt = jnp.where(
-            mark + 1 < n_uniq[:, None], jnp.roll(qc, -1, axis=1), total
-        )
-        u_counts = jnp.where(mark < n_uniq[:, None], nxt - qc, 0)
-        # stage 2: tagged join against the mask, counts as payload
-        jk = jnp.concatenate(
-            [(u_keys << 1) | 1, (((f_row << bl) | f_col) << 1)], axis=1
-        )
-        jc = jnp.concatenate([u_counts, jnp.zeros(f_row.shape, INT)], axis=1)
-        jk_s, jc_s = jax.lax.sort(
-            (jk, jc), dimension=1, num_keys=1, is_stable=False
-        )
-        jprev = jnp.concatenate(
-            [jnp.full((k, 1), -2, INT), jk_s[:, :-1]], axis=1
-        )
-        is_cand = (jk_s & 1) == 1
-        in_range = jk_s < ((n_rows << (bl + 1)) | 1)
-        is_sep = is_cand & in_range & (
-            ((jk_s >> 1) & ((1 << bl) - 1)) == n_cols
-        )
-        keep2 = (is_cand & (jprev == (jk_s & ~1)) & in_range) | is_sep
-        nnz_c = jnp.sum(keep2, axis=1, dtype=INT)
-        dem2 = jnp.where(keep2, jk_s, jnp.iinfo(jnp.int32).max)
-        c_keys, c_counts = jax.lax.sort(
-            (dem2, jnp.where(keep2, jc_s, 0)),
-            dimension=1, num_keys=1, is_stable=False,
-        )
-        return (c_keys >> 1) & ((1 << bl) - 1), c_counts, nnz_c
 
     # general path: 2-key counts compression (rows kept explicit so the join
     # can re-key on them), then a 3-key tagged join against the mask
+    mark = jnp.arange(L, dtype=INT)[None, :]
     row_s, col_s = jax.lax.sort(
         (row, col), dimension=1, num_keys=2, is_stable=False
     )
@@ -307,6 +340,38 @@ def _masked_run_marks_2d(is_mask, new):
     return (m_mask == m_all) & (m_all >= 0)
 
 
+def masked_counts_sum_2d_keys(
+    key: jax.Array,
+    f_row: jax.Array,
+    f_col: jax.Array,
+    n_rows: int,
+    n_cols: int,
+) -> jax.Array:
+    """Packed branch of :func:`masked_counts_sum_2d` taking PRE-PACKED
+    plain candidate keys; the tagged key derives as ``(key << 1) | 1``.
+    Bit-identical to the pair form."""
+    k = key.shape[0]
+    shift = int(n_cols).bit_length() + 1
+    keys = jnp.concatenate(
+        [
+            (key << 1) | 1,
+            (f_row << shift) | (f_col << 1),
+        ],
+        axis=1,
+    )
+    key_s = sort_rows_1key(keys)
+    is_mask = (key_s & 1) == 0
+    prev = jnp.concatenate(
+        [jnp.full((k, 1), -2, INT), key_s[:, :-1]], axis=1
+    )
+    new = (key_s >> 1) != (prev >> 1)
+    masked_run = _masked_run_marks_2d(is_mask, new)
+    counted = (
+        (~is_mask) & masked_run & (key_s < (n_rows << shift))
+    )
+    return jnp.sum(counted, axis=1, dtype=INT)
+
+
 def masked_counts_sum_2d(
     row: jax.Array,
     col: jax.Array,
@@ -319,28 +384,13 @@ def masked_counts_sum_2d(
     chunk row of the ``[k, L]`` candidate stream (mask pairs ``[k, Pf]``
     pre-sentineled).  Row separators in the stream are harmless — their
     ``n_cols`` column never matches a mask pair."""
-    k = row.shape[0]
     if packable(n_rows, 2 * n_cols + 1):
-        shift = int(n_cols).bit_length() + 1
-        keys = jnp.concatenate(
-            [
-                ((row << shift) | (col << 1)) | 1,
-                (f_row << shift) | (f_col << 1),
-            ],
-            axis=1,
+        bl = int(n_cols).bit_length()
+        return masked_counts_sum_2d_keys(
+            (row << bl) | col, f_row, f_col, n_rows, n_cols
         )
-        key_s = sort_rows_1key(keys)
-        is_mask = (key_s & 1) == 0
-        prev = jnp.concatenate(
-            [jnp.full((k, 1), -2, INT), key_s[:, :-1]], axis=1
-        )
-        new = (key_s >> 1) != (prev >> 1)
-        masked_run = _masked_run_marks_2d(is_mask, new)
-        counted = (
-            (~is_mask) & masked_run & (key_s < (n_rows << shift))
-        )
-        return jnp.sum(counted, axis=1, dtype=INT)
 
+    k = row.shape[0]
     rows = jnp.concatenate([row, f_row], axis=1)
     cols = jnp.concatenate([col, f_col], axis=1)
     tags = jnp.concatenate(

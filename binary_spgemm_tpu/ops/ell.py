@@ -336,8 +336,16 @@ def _expand_class_2d(
     rows_pad: int,
     n_cols: int,
     w: int = 1,
-) -> tuple[jax.Array, jax.Array]:
+    shift: int | None = None,
+) -> tuple[jax.Array, jax.Array] | jax.Array:
     """Batched :func:`_expand_class`: all k chunks' gathers in one op.
+
+    With ``shift`` (the packed-key column-field width), emits the packed
+    int32 key stream ``(row << shift) | col`` directly — ONE ``[k, slots]``
+    array instead of separate row/col streams, with invalid slots at the
+    sentinel key ``(rows_pad << shift) | n_cols`` (element-identical to
+    packing the pair streams after the fact, so bit-exactness is by
+    construction).  Halves the assembled stream's HBM traffic.
 
     NOTE (measured rejection, 2026-08-20): a w-major rewrite — strided
     de-interleave for inlined classes, transposed-table ``take`` for
@@ -359,9 +367,13 @@ def _expand_class_2d(
         cols = table[entry_pos]  # [k, ec_pad, w] — THE row-gather, batched
     rows = jnp.broadcast_to(entry_rows[..., None], cols.shape)
     valid = (cols < n_cols) & (rows < rows_pad)
+    k = entry_rows.shape[0]
+    if shift is not None:
+        sentinel = (rows_pad << shift) | n_cols
+        key = jnp.where(valid, (rows << shift) | cols, sentinel)
+        return key.reshape(k, -1)
     rows = jnp.where(valid, rows, rows_pad)
     cols = jnp.where(valid, cols, n_cols)
-    k = entry_rows.shape[0]
     return rows.reshape(k, -1), cols.reshape(k, -1)
 
 
@@ -376,12 +388,49 @@ def _assemble_stream_2d(
     pads: tuple[int, ...],
     sort_pad: int,
     extra: tuple = (),
-) -> tuple[jax.Array, jax.Array]:
+    shift: int | None = None,
+) -> tuple[jax.Array, jax.Array] | jax.Array:
     """The batched engine's ``[k, sort_pad]`` candidate stream: per-class
     expansions (:func:`_expand_class_2d`), optional extra (row, col) pair
     blocks (fused-OR D operands), one ``(r, n_cols)`` separator per chunk
     row, and sentinel fill up to ``sort_pad``.  Shared by every batched
-    kernel (plain/masked/counts/or)."""
+    kernel (plain/masked/counts/or).
+
+    With ``shift`` the stream is assembled DIRECTLY as packed int32 keys
+    (one ``[k, sort_pad]`` array; see :func:`_expand_class_2d`) — the
+    element-wise pack that used to run as a separate full-stream pass over
+    both pair arrays fuses into each piece's producer instead.  Measured
+    (ab="key-stream", 2026-08-21, streams element-identical + bit-exact vs
+    scipy): device mid-64k 28.7→24.3 ms (−15%), hypersparse 29.2→26.8
+    (−8%), large-1m 92.9→89.8, mid-256k tie (106.3/106.7 — sort-dominated
+    there)."""
+    total = (
+        sum(p * w for p, w in zip(pads, widths))
+        + rows_pad
+        + sum(int(er.shape[1]) for er, _ in extra)
+    )
+    fill = sort_pad - total
+    # NOTE: the separator and sentinel-fill tails stay SEPARATE pieces on
+    # purpose — merging them into one arange-derived broadcast measured
+    # hypersparse 0.0772 -> 0.0812 (variant="piece-cost-v2", 2026-08-20):
+    # the wide fill piece is a splat constant XLA lowers as a memset, and
+    # folding it into a non-splat piece forfeits that fast path.
+    if shift is not None:
+        sentinel = (rows_pad << shift) | n_cols
+        parts = [
+            _expand_class_2d(t, er, ep, rows_pad, n_cols, w, shift=shift)
+            for t, er, ep, w in zip(tables, entry_rows, entry_pos, widths)
+        ]
+        parts.extend((er << shift) | ec for er, ec in extra)
+        parts.append(
+            jnp.broadcast_to(
+                (jnp.arange(rows_pad, dtype=INT) << shift) | n_cols,
+                (k, rows_pad),
+            )
+        )
+        if fill:
+            parts.append(jnp.full((k, fill), sentinel, INT))
+        return jnp.concatenate(parts, axis=1)
     parts_r, parts_c = [], []
     for t, er, ep, w in zip(tables, entry_rows, entry_pos, widths):
         r, c = _expand_class_2d(t, er, ep, rows_pad, n_cols, w)
@@ -390,23 +439,12 @@ def _assemble_stream_2d(
     for er, ec in extra:
         parts_r.append(er)
         parts_c.append(ec)
-    # NOTE: the separator and sentinel-fill tails stay SEPARATE pieces on
-    # purpose — merging them into one arange-derived broadcast measured
-    # hypersparse 0.0772 -> 0.0812 (variant="piece-cost-v2", 2026-08-20):
-    # the wide fill piece is a splat constant XLA lowers as a memset, and
-    # folding it into a non-splat piece forfeits that fast path.
     parts_r.append(
         jnp.broadcast_to(
             jnp.arange(rows_pad, dtype=INT)[None, :], (k, rows_pad)
         )
     )
     parts_c.append(jnp.full((k, rows_pad), n_cols, INT))
-    total = (
-        sum(p * w for p, w in zip(pads, widths))
-        + rows_pad
-        + sum(int(er.shape[1]) for er, _ in extra)
-    )
-    fill = sort_pad - total
     if fill:
         parts_r.append(jnp.full((k, fill), rows_pad, INT))
         parts_c.append(jnp.full((k, fill), n_cols, INT))
@@ -464,13 +502,22 @@ def _ell_spgemm_sep2d_jit(
     compiled program).  Chunk count is no longer a compile-size concern —
     it is one stacked tensor op regardless of k.
     """
-    from .spgemm import sort_compress_seps_2d
-
-    row, col = _assemble_stream_2d(
-        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
-        widths, pads, sort_pad,
+    from .spgemm import (
+        packable, sort_compress_seps_2d, sort_compress_seps_2d_keys,
     )
-    idx, nnz = sort_compress_seps_2d(row, col, rows_pad, n_cols)
+
+    if packable(rows_pad, n_cols):
+        key = _assemble_stream_2d(
+            tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+            widths, pads, sort_pad, shift=int(n_cols).bit_length(),
+        )
+        idx, nnz = sort_compress_seps_2d_keys(key, rows_pad, n_cols)
+    else:
+        row, col = _assemble_stream_2d(
+            tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+            widths, pads, sort_pad,
+        )
+        idx, nnz = sort_compress_seps_2d(row, col, rows_pad, n_cols)
     if out_pad is not None and out_pad < sort_pad:
         idx = idx[:, :out_pad]
     return idx, nnz
@@ -511,12 +558,11 @@ def _ell_spgemm_padded2d_jit(
 
     if not packable(rows_pad, n_cols):  # pragma: no cover - plans guarantee
         raise ValueError("run_padded requires packed keys")
-    row, col = _assemble_stream_2d(
-        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
-        widths, pads, sort_pad,
-    )
     shift = int(n_cols).bit_length()
-    key = (row << shift) | col
+    key = _assemble_stream_2d(
+        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+        widths, pads, sort_pad, shift=shift,
+    )
     limit = rows_pad << shift
     key_s = sort_rows_1key(key)
     prev = jnp.concatenate(
@@ -553,16 +599,28 @@ def _ell_masked2d_jit(
     (:func:`..spgemm.sort_compress_masked_seps_2d`).  Valid entries per
     chunk never exceed mask nnz + separators, so the stacked output
     truncates to ``f_pad + rows_pad``.  ≡ final/SpGEMM_mpi_omp.c:232-288."""
-    from .spgemm import sort_compress_masked_seps_2d
+    from .spgemm import (
+        packable, sort_compress_masked_seps_2d,
+        sort_compress_masked_seps_2d_keys,
+    )
 
-    row, col = _assemble_stream_2d(
-        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
-        widths, pads, sort_pad,
-    )
     f_row, f_col = _staged_pairs_2d(f_ptr, f_idx, rows_pad, n_cols)
-    idx, nnz = sort_compress_masked_seps_2d(
-        row, col, f_row, f_col, rows_pad, n_cols
-    )
+    if packable(rows_pad, 2 * n_cols + 1):
+        key = _assemble_stream_2d(
+            tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+            widths, pads, sort_pad, shift=int(n_cols).bit_length(),
+        )
+        idx, nnz = sort_compress_masked_seps_2d_keys(
+            key, f_row, f_col, rows_pad, n_cols
+        )
+    else:
+        row, col = _assemble_stream_2d(
+            tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+            widths, pads, sort_pad,
+        )
+        idx, nnz = sort_compress_masked_seps_2d(
+            row, col, f_row, f_col, rows_pad, n_cols
+        )
     return idx[:, : f_idx.shape[-1] + rows_pad], nnz
 
 
@@ -590,13 +648,27 @@ def _ell_counts2d_jit(
     axis-(-1) compaction sorts as a cumsum payload
     (:func:`..counts.sort_compress_counts_seps_2d`); row pointers ride as
     embedded separators (their count slots are dropped host-side)."""
-    from .counts import sort_compress_counts_seps_2d
-
-    row, col = _assemble_stream_2d(
-        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
-        widths, pads, sort_pad,
+    from .counts import (
+        sort_compress_counts_seps_2d, sort_compress_counts_seps_2d_keys,
     )
-    idx, cnt, nnz = sort_compress_counts_seps_2d(row, col, rows_pad, n_cols)
+    from .spgemm import packable
+
+    if packable(rows_pad, n_cols):
+        key = _assemble_stream_2d(
+            tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+            widths, pads, sort_pad, shift=int(n_cols).bit_length(),
+        )
+        idx, cnt, nnz = sort_compress_counts_seps_2d_keys(
+            key, rows_pad, n_cols
+        )
+    else:
+        row, col = _assemble_stream_2d(
+            tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+            widths, pads, sort_pad,
+        )
+        idx, cnt, nnz = sort_compress_counts_seps_2d(
+            row, col, rows_pad, n_cols
+        )
     if out_pad is not None and out_pad < sort_pad:
         idx = idx[:, :out_pad]
         cnt = cnt[:, :out_pad]
@@ -626,16 +698,28 @@ def _ell_masked_counts2d_jit(
     """Batched :func:`_ell_masked_counts_jit`
     (:func:`..counts.masked_counts_compress_seps_2d` over the stacked
     stream); output truncates to mask pad + separators."""
-    from .counts import masked_counts_compress_seps_2d
+    from .counts import (
+        masked_counts_compress_seps_2d, masked_counts_compress_seps_2d_keys,
+    )
+    from .spgemm import packable
 
-    row, col = _assemble_stream_2d(
-        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
-        widths, pads, sort_pad,
-    )
     f_row, f_col = _staged_pairs_2d(f_ptr, f_idx, rows_pad, n_cols)
-    idx, cnt, nnz = masked_counts_compress_seps_2d(
-        row, col, f_row, f_col, rows_pad, n_cols
-    )
+    if packable(rows_pad, 2 * n_cols + 1):
+        key = _assemble_stream_2d(
+            tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+            widths, pads, sort_pad, shift=int(n_cols).bit_length(),
+        )
+        idx, cnt, nnz = masked_counts_compress_seps_2d_keys(
+            key, f_row, f_col, rows_pad, n_cols
+        )
+    else:
+        row, col = _assemble_stream_2d(
+            tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+            widths, pads, sort_pad,
+        )
+        idx, cnt, nnz = masked_counts_compress_seps_2d(
+            row, col, f_row, f_col, rows_pad, n_cols
+        )
     cut = f_idx.shape[-1] + rows_pad
     return idx[:, :cut], cnt[:, :cut], nnz
 
@@ -663,13 +747,22 @@ def _ell_counts_sum2d_jit(
     """Batched :func:`_ell_counts_sum_jit`: one int32 wedge-sum scalar per
     chunk (:func:`..counts.masked_counts_sum_2d`); stream separators are
     inert (their column never matches a mask pair)."""
-    from .counts import masked_counts_sum_2d
+    from .counts import masked_counts_sum_2d, masked_counts_sum_2d_keys
+    from .spgemm import packable
 
+    f_row, f_col = _staged_pairs_2d(f_ptr, f_idx, rows_pad, n_cols)
+    if packable(rows_pad, 2 * n_cols + 1):
+        key = _assemble_stream_2d(
+            tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+            widths, pads, sort_pad, shift=int(n_cols).bit_length(),
+        )
+        return masked_counts_sum_2d_keys(
+            key, f_row, f_col, rows_pad, n_cols
+        )
     row, col = _assemble_stream_2d(
         tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
         widths, pads, sort_pad,
     )
-    f_row, f_col = _staged_pairs_2d(f_ptr, f_idx, rows_pad, n_cols)
     return masked_counts_sum_2d(row, col, f_row, f_col, rows_pad, n_cols)
 
 
@@ -698,14 +791,24 @@ def _ell_or2d_jit(
     """Batched :func:`_ell_or_jit`: D's chunk-local pairs join the stacked
     stream before the axis-(-1) sort (the SPA pre-seed analogue,
     ≡ ``SpGEMM_dor``, old/BSpGEMM.c:75-126)."""
-    from .spgemm import sort_compress_seps_2d
+    from .spgemm import (
+        packable, sort_compress_seps_2d, sort_compress_seps_2d_keys,
+    )
 
     d_rows, d_cols = _staged_pairs_2d(d_ptr, d_idx, rows_pad, n_cols)
-    row, col = _assemble_stream_2d(
-        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
-        widths, pads, sort_pad, extra=((d_rows, d_cols),),
-    )
-    idx, nnz = sort_compress_seps_2d(row, col, rows_pad, n_cols)
+    if packable(rows_pad, n_cols):
+        key = _assemble_stream_2d(
+            tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+            widths, pads, sort_pad, extra=((d_rows, d_cols),),
+            shift=int(n_cols).bit_length(),
+        )
+        idx, nnz = sort_compress_seps_2d_keys(key, rows_pad, n_cols)
+    else:
+        row, col = _assemble_stream_2d(
+            tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+            widths, pads, sort_pad, extra=((d_rows, d_cols),),
+        )
+        idx, nnz = sort_compress_seps_2d(row, col, rows_pad, n_cols)
     if out_pad is not None and out_pad < sort_pad:
         idx = idx[:, :out_pad]
     return idx, nnz
@@ -737,17 +840,29 @@ def _ell_or_masked2d_jit(
     (mask < D < candidate) along axis -1 with embedded row separators
     (:func:`..fused._sort_compress_or_masked_seps_2d`);
     ≡ ``SpGEMM_dor_masked``, old/BSpGEMM.c:185-254."""
-    from .fused import _sort_compress_or_masked_seps_2d
-
-    row, col = _assemble_stream_2d(
-        tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
-        widths, pads, sort_pad,
+    from .fused import (
+        _sort_compress_or_masked_seps_2d, _sort_compress_or_masked_seps_2d_keys,
     )
+    from .spgemm import packable
+
     d_rows, d_cols = _staged_pairs_2d(d_ptr, d_idx, rows_pad, n_cols)
     f_rows, f_cols = _staged_pairs_2d(f_ptr, f_idx, rows_pad, n_cols)
-    idx, nnz = _sort_compress_or_masked_seps_2d(
-        row, col, d_rows, d_cols, f_rows, f_cols, rows_pad, n_cols
-    )
+    if packable(rows_pad, 4 * n_cols + 3):
+        key = _assemble_stream_2d(
+            tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+            widths, pads, sort_pad, shift=int(n_cols).bit_length(),
+        )
+        idx, nnz = _sort_compress_or_masked_seps_2d_keys(
+            key, d_rows, d_cols, f_rows, f_cols, rows_pad, n_cols
+        )
+    else:
+        row, col = _assemble_stream_2d(
+            tables, entry_rows, entry_pos, n_chunks, rows_pad, n_cols,
+            widths, pads, sort_pad,
+        )
+        idx, nnz = _sort_compress_or_masked_seps_2d(
+            row, col, d_rows, d_cols, f_rows, f_cols, rows_pad, n_cols
+        )
     return idx[:, : d_idx.shape[-1] + f_idx.shape[-1] + rows_pad], nnz
 
 

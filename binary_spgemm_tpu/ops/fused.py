@@ -174,6 +174,44 @@ def _sort_compress_or_masked(
     return c_indptr, c_indices, nnz_c
 
 
+def _sort_compress_or_masked_seps_2d_keys(
+    key, d_row, d_col, f_row, f_col, n_rows: int, n_cols: int
+):
+    """Packed branch of :func:`_sort_compress_or_masked_seps_2d` taking the
+    candidate stream as PRE-PACKED plain keys; the 2-bit-tagged join key
+    derives as ``(key << 2) | 2``.  Bit-identical to the pair form (caller
+    checks ``packable(n_rows, 4 * n_cols + 3)``)."""
+    k = key.shape[0]
+    shift = int(n_cols).bit_length() + 2
+    col_mask = (1 << (shift - 2)) - 1
+    keys = jnp.concatenate(
+        [
+            (key << 2) | 2,  # candidates last in run
+            ((d_row << shift) | (d_col << 2)) | 1,
+            (f_row << shift) | (f_col << 2),  # mask first in run
+        ],
+        axis=1,
+    )
+    key_s = sort_rows_1key(keys)
+    prev = jnp.concatenate(
+        [jnp.full((k, 1), -1, INT), key_s[:, :-1]], axis=1
+    )
+    pair = jax.lax.shift_right_logical(key_s, 2)
+    prev_pair = jax.lax.shift_right_logical(prev, 2)
+    tag = key_s & 3
+    prev_tag = prev & 3
+    same = pair == prev_pair
+    bound = key_s < ((n_rows << shift) | 2)
+    is_sep = (tag == 2) & bound & (((key_s >> 2) & col_mask) == n_cols)
+    keep_d = (tag == 1) & (~same | (prev_tag == 0))
+    keep_c = (tag == 2) & same & (prev_tag == 0)
+    keep = ((keep_d | keep_c) & bound) | is_sep
+    nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+    demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+    c_keys = sort_rows_1key(demoted)
+    return (c_keys >> 2) & col_mask, nnz_c
+
+
 def _sort_compress_or_masked_seps_2d(
     row, col, d_row, d_col, f_row, f_col, n_rows: int, n_cols: int
 ):
@@ -188,37 +226,13 @@ def _sort_compress_or_masked_seps_2d(
     ``tag==cand ∧ col==n_cols ∧ row<n_rows`` identifies exactly the
     separators, which survive unconditionally.  Returns sep-embedded
     ``(indices, nnz)`` stacked over chunks."""
-    k = row.shape[0]
     if packable(n_rows, 4 * n_cols + 3):
-        shift = int(n_cols).bit_length() + 2
-        col_mask = (1 << (shift - 2)) - 1
-        keys = jnp.concatenate(
-            [
-                ((row << shift) | (col << 2)) | 2,  # candidates last in run
-                ((d_row << shift) | (d_col << 2)) | 1,
-                (f_row << shift) | (f_col << 2),  # mask first in run
-            ],
-            axis=1,
+        bl = int(n_cols).bit_length()
+        return _sort_compress_or_masked_seps_2d_keys(
+            (row << bl) | col, d_row, d_col, f_row, f_col, n_rows, n_cols
         )
-        key_s = sort_rows_1key(keys)
-        prev = jnp.concatenate(
-            [jnp.full((k, 1), -1, INT), key_s[:, :-1]], axis=1
-        )
-        pair = jax.lax.shift_right_logical(key_s, 2)
-        prev_pair = jax.lax.shift_right_logical(prev, 2)
-        tag = key_s & 3
-        prev_tag = prev & 3
-        same = pair == prev_pair
-        bound = key_s < ((n_rows << shift) | 2)
-        is_sep = (tag == 2) & bound & (((key_s >> 2) & col_mask) == n_cols)
-        keep_d = (tag == 1) & (~same | (prev_tag == 0))
-        keep_c = (tag == 2) & same & (prev_tag == 0)
-        keep = ((keep_d | keep_c) & bound) | is_sep
-        nnz_c = jnp.sum(keep, axis=1, dtype=INT)
-        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
-        c_keys = sort_rows_1key(demoted)
-        return (c_keys >> 2) & col_mask, nnz_c
 
+    k = row.shape[0]
     rows = jnp.concatenate([row, d_row, f_row], axis=1)
     cols = jnp.concatenate([col, d_col, f_col], axis=1)
     tags = jnp.concatenate(

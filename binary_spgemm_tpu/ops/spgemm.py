@@ -312,24 +312,14 @@ def sort_compress_seps_2d(
     """
     k = row.shape[0]
     if packable(n_rows, n_cols):
-        shift = int(n_cols).bit_length()
-        key = (row << shift) | col
-        limit = n_rows << shift
         # NOTE: a fully-fused Pallas sort–dedup–sort kernel
         # (bitonic.fused_sort_compress) measured a TIE with this composition
         # end-to-end (0.1355 vs 0.1352 s at mid-256k k=32768, results.jsonl
         # ab="bitonic-e2e") — XLA already fuses the dedup pass between the
         # two sort_rows_1key calls, so the extra kernel complexity buys
         # nothing; kept unfused.
-        key_s = sort_rows_1key(key)
-        prev = jnp.concatenate(
-            [jnp.full((k, 1), -1, INT), key_s[:, :-1]], axis=1
-        )
-        keep = (key_s != prev) & (key_s < limit)
-        nnz_c = jnp.sum(keep, axis=1, dtype=INT)
-        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
-        c_keys = sort_rows_1key(demoted)
-        return c_keys & ((1 << shift) - 1), nnz_c
+        shift = int(n_cols).bit_length()
+        return sort_compress_seps_2d_keys((row << shift) | col, n_rows, n_cols)
 
     row_s, col_s = jax.lax.sort(
         (row, col), dimension=1, num_keys=2, is_stable=False
@@ -346,6 +336,64 @@ def sort_compress_seps_2d(
         (demoted_r, demoted_c), dimension=1, num_keys=2, is_stable=False
     )
     return c_indices, nnz_c
+
+
+def sort_compress_masked_seps_2d_keys(
+    key: jax.Array,
+    f_row: jax.Array,
+    f_col: jax.Array,
+    n_rows: int,
+    n_cols: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Packed branch of :func:`sort_compress_masked_seps_2d` taking the
+    candidate stream as PRE-PACKED plain keys (``(row << bl) | col``): the
+    tagged join key is one fused elementwise derivation ``(key << 1) | 1``
+    (bit-identical to packing tagged pairs; requires the caller-checked
+    ``packable(n_rows, 2 * n_cols + 1)``)."""
+    k = key.shape[0]
+    shift = int(n_cols).bit_length() + 1
+    col_mask = (1 << (shift - 1)) - 1
+    keys = jnp.concatenate(
+        [
+            (key << 1) | 1,
+            (f_row << shift) | (f_col << 1),
+        ],
+        axis=1,
+    )
+    key_s = sort_rows_1key(keys)
+    prev = jnp.concatenate(
+        [jnp.full((k, 1), -2, INT), key_s[:, :-1]], axis=1
+    )
+    is_cand = (key_s & 1) == 1
+    in_range = key_s < ((n_rows << shift) | 1)
+    is_sep = is_cand & in_range & (
+        ((key_s >> 1) & col_mask) == n_cols
+    )
+    keep = (is_cand & (prev == (key_s & ~1)) & in_range) | is_sep
+    nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+    demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+    c_keys = sort_rows_1key(demoted)
+    return (c_keys >> 1) & col_mask, nnz_c
+
+
+def sort_compress_seps_2d_keys(
+    key: jax.Array, n_rows: int, n_cols: int
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`sort_compress_seps_2d` taking the PRE-PACKED ``[k, L]`` key
+    stream (``(row << shift) | col``) — the batched engine assembles keys
+    directly per class piece (`ops/ell.py::_assemble_stream_2d(shift=...)`)
+    so no full-stream pack pass runs.  Element-identical to packing pair
+    streams, hence bit-exact with the pair form."""
+    k = key.shape[0]
+    shift = int(n_cols).bit_length()
+    limit = n_rows << shift
+    key_s = sort_rows_1key(key)
+    prev = jnp.concatenate([jnp.full((k, 1), -1, INT), key_s[:, :-1]], axis=1)
+    keep = (key_s != prev) & (key_s < limit)
+    nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+    demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+    c_keys = sort_rows_1key(demoted)
+    return c_keys & ((1 << shift) - 1), nnz_c
 
 
 def sort_compress_2d(
@@ -510,29 +558,10 @@ def sort_compress_masked_seps_2d(
     (final/SpGEMM_mpi_omp.c:232-288) chunk by chunk."""
     k = row.shape[0]
     if packable(n_rows, 2 * n_cols + 1):
-        shift = int(n_cols).bit_length() + 1
-        col_mask = (1 << (shift - 1)) - 1
-        keys = jnp.concatenate(
-            [
-                ((row << shift) | (col << 1)) | 1,
-                (f_row << shift) | (f_col << 1),
-            ],
-            axis=1,
+        bl = int(n_cols).bit_length()
+        return sort_compress_masked_seps_2d_keys(
+            (row << bl) | col, f_row, f_col, n_rows, n_cols
         )
-        key_s = sort_rows_1key(keys)
-        prev = jnp.concatenate(
-            [jnp.full((k, 1), -2, INT), key_s[:, :-1]], axis=1
-        )
-        is_cand = (key_s & 1) == 1
-        in_range = key_s < ((n_rows << shift) | 1)
-        is_sep = is_cand & in_range & (
-            ((key_s >> 1) & col_mask) == n_cols
-        )
-        keep = (is_cand & (prev == (key_s & ~1)) & in_range) | is_sep
-        nnz_c = jnp.sum(keep, axis=1, dtype=INT)
-        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
-        c_keys = sort_rows_1key(demoted)
-        return (c_keys >> 1) & col_mask, nnz_c
 
     rows = jnp.concatenate([row, f_row], axis=1)
     cols = jnp.concatenate([col, f_col], axis=1)
