@@ -44,7 +44,9 @@ CONFIGS = {
 def bucket_of(name: str) -> str:
     if name.startswith("jit_") or "(" in name and name.index("(") < 4:
         return "_program"
-    if "sort" in name:
+    # lax.sort HLOs, and the Pallas bitonic kernel's platform_dependent
+    # branch custom-calls (ops/bitonic.py::sort_rows)
+    if "sort" in name or "branch_" in name:
         return "sort"
     if name.startswith(("copy", "%copy")):
         return "layout-copy"

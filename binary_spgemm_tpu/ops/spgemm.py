@@ -396,6 +396,36 @@ def sort_compress_seps_2d_keys(
     return c_keys & ((1 << shift) - 1), nnz_c
 
 
+def sort_compress_2d_keys(
+    key: jax.Array, n_rows: int, n_cols: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Packed branch of :func:`sort_compress_2d` taking the PRE-PACKED
+    ``[C, L]`` key stream (``(row << bl) | col``) — the SPMD batched step
+    assembles keys directly per sub-chunk
+    (`parallel/dist_spgemm.py::_ell_expand_chunk(shift=...)`).
+    Bit-identical to the pair form."""
+    C = key.shape[0]
+    cidx = jnp.arange(C, dtype=INT)[:, None]
+    shift = int(n_cols).bit_length()
+    key_s = sort_rows_1key(key)
+    prev = jnp.concatenate(
+        [jnp.full((C, 1), -1, INT), key_s[:, :-1]], axis=1
+    )
+    keep = (key_s != prev) & (key_s < (n_rows << shift))
+    nnz_c = jnp.sum(keep, axis=1, dtype=INT)
+    demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+    c_keys = sort_rows_1key(demoted)
+    c_indices = c_keys & ((1 << shift) - 1)
+    rows_sorted = jnp.minimum(
+        jax.lax.shift_right_logical(c_keys, shift), n_rows
+    )
+    counts = jnp.zeros((C, n_rows + 2), INT).at[
+        cidx, rows_sorted + 1
+    ].add(1)
+    c_indptr = jnp.cumsum(counts, axis=1, dtype=INT)[:, : n_rows + 1]
+    return c_indptr, c_indices, nnz_c
+
+
 def sort_compress_2d(
     row: jax.Array, col: jax.Array, n_rows: int, n_cols: int
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -410,24 +440,7 @@ def sort_compress_2d(
     cidx = jnp.arange(C, dtype=INT)[:, None]
     if packable(n_rows, n_cols):
         shift = int(n_cols).bit_length()
-        key = (row << shift) | col
-        key_s = sort_rows_1key(key)
-        prev = jnp.concatenate(
-            [jnp.full((C, 1), -1, INT), key_s[:, :-1]], axis=1
-        )
-        keep = (key_s != prev) & (key_s < (n_rows << shift))
-        nnz_c = jnp.sum(keep, axis=1, dtype=INT)
-        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
-        c_keys = sort_rows_1key(demoted)
-        c_indices = c_keys & ((1 << shift) - 1)
-        rows_sorted = jnp.minimum(
-            jax.lax.shift_right_logical(c_keys, shift), n_rows
-        )
-        counts = jnp.zeros((C, n_rows + 2), INT).at[
-            cidx, rows_sorted + 1
-        ].add(1)
-        c_indptr = jnp.cumsum(counts, axis=1, dtype=INT)[:, : n_rows + 1]
-        return c_indptr, c_indices, nnz_c
+        return sort_compress_2d_keys((row << shift) | col, n_rows, n_cols)
 
     row_s, col_s = jax.lax.sort(
         (row, col), dimension=1, num_keys=2, is_stable=False

@@ -1386,7 +1386,9 @@ def dist_spgemm_ell(
     fill = sort_pad - sum(p * w for p, w in zip(pads, widths))
 
     def shard_fn(tables, entry_rows, entry_pos):
-        from ..ops.spgemm import sort_compress_2d
+        from ..ops.spgemm import (
+            packable, sort_compress_2d, sort_compress_2d_keys,
+        )
 
         if gather_tables:
             # [1, tbl_pad, w] shard -> [S*tbl_pad, w] gap-padded full table
@@ -1394,6 +1396,18 @@ def dist_spgemm_ell(
                 jax.lax.all_gather(t[0], ROWS_AXIS).reshape(-1, t.shape[-1])
                 for t in tables
             )
+        if batched and packable(rows_pad, n_cols):
+            # direct packed-key sub-chunk streams (ab="key-stream")
+            bl = int(n_cols).bit_length()
+            keys = jnp.stack([
+                _ell_expand_chunk(
+                    tables, entry_rows, entry_pos, c, rows_pad, n_cols,
+                    fill, shift=bl,
+                )
+                for c in range(n_chunks)
+            ])
+            ptr2, idx2, nnz2 = sort_compress_2d_keys(keys, rows_pad, n_cols)
+            return _two_level_ptr_fix_stacked(ptr2, idx2, nnz2)
         streams = [
             _ell_expand_chunk(
                 tables, entry_rows, entry_pos, c, rows_pad, n_cols, fill
@@ -1430,12 +1444,27 @@ def dist_spgemm_ell(
 def _ell_expand_chunk(
     tables, entry_rows, entry_pos, c: int, rows_pad: int, n_cols: int,
     fill: int,
+    shift: int | None = None,
 ):
     """Expand one sub-chunk's candidate stream from the ELL class tables
     (inside shard_map): per-class row-gather expansion plus ``fill``
-    sentinel pairs so every chunk shares the static ``sort_pad`` length."""
+    sentinel pairs so every chunk shares the static ``sort_pad`` length.
+
+    With ``shift`` the stream is emitted directly as packed int32 sort keys
+    (the SPMD form of `ops/ell.py::_assemble_stream_2d(shift=...)` —
+    element-identical to packing the pair stream, one array instead of
+    two)."""
     from ..ops.ell import _expand_class
 
+    if shift is not None:
+        parts = []
+        for t, er, ep in zip(tables, entry_rows, entry_pos):
+            r, cc = _expand_class(t, er[0, c], ep[0, c], rows_pad, n_cols)
+            parts.append((r << shift) | cc)
+        if fill:
+            sent = jnp.full((fill,), (rows_pad << shift) | n_cols, INT)
+            parts.append(jax.lax.pcast(sent, (ROWS_AXIS,), to="varying"))
+        return jnp.concatenate(parts)
     parts_r, parts_c = [], []
     for t, er, ep in zip(tables, entry_rows, entry_pos):
         r, cc = _expand_class(t, er[0, c], ep[0, c], rows_pad, n_cols)

@@ -289,3 +289,99 @@ def test_big_table_classes_inline():
     )
     assert ex2.assemble(ex2.run()).equals(spgemm_oracle(a, a))
     assert ex.assemble(ex.run()).equals(spgemm_oracle(a, a))
+
+
+def test_keys_compressors_match_pair_forms(monkeypatch):
+    """The `_keys` compressor variants (direct packed-key stream assembly,
+    ab="key-stream") must produce the same results as the GENERAL 2-key/
+    3-key pair branches on the same logical streams — two independent
+    implementations of the same contract (`packable` is forced False for
+    the pair calls so they cannot delegate to the keys forms)."""
+    import jax.numpy as jnp
+    from binary_spgemm_tpu.ops import spgemm as spgemm_mod
+    from binary_spgemm_tpu.ops import counts as counts_mod
+    from binary_spgemm_tpu.ops import fused as fused_mod
+    from binary_spgemm_tpu.ops.spgemm import (
+        INT, sort_compress_seps_2d, sort_compress_seps_2d_keys,
+        sort_compress_masked_seps_2d, sort_compress_masked_seps_2d_keys,
+        sort_compress_2d, sort_compress_2d_keys,
+    )
+    from binary_spgemm_tpu.ops.counts import (
+        sort_compress_counts_seps_2d, sort_compress_counts_seps_2d_keys,
+        masked_counts_compress_seps_2d, masked_counts_compress_seps_2d_keys,
+        masked_counts_sum_2d, masked_counts_sum_2d_keys,
+    )
+    from binary_spgemm_tpu.ops.fused import (
+        _sort_compress_or_masked_seps_2d, _sort_compress_or_masked_seps_2d_keys,
+    )
+
+    for mod in (spgemm_mod, counts_mod, fused_mod):
+        monkeypatch.setattr(mod, "packable", lambda *a: False)
+
+    rng = np.random.default_rng(5)
+    k, L, n_rows, n_cols, P = 6, 256, 40, 1000, 64
+    bl = int(n_cols).bit_length()
+
+    def stream():
+        row = rng.integers(0, n_rows + 1, (k, L)).astype(np.int32)
+        col = np.where(
+            row < n_rows,
+            rng.integers(0, n_cols, (k, L)),
+            n_cols,
+        ).astype(np.int32)
+        # embed one separator per row id (sorts after its real cols)
+        for c in range(k):
+            row[c, :n_rows] = np.arange(n_rows)
+            col[c, :n_rows] = n_cols
+        return jnp.asarray(row), jnp.asarray(col)
+
+    def pairs():
+        r = rng.integers(0, n_rows + 1, (k, P)).astype(np.int32)
+        c = np.where(
+            r < n_rows, rng.integers(0, n_cols, (k, P)), n_cols
+        ).astype(np.int32)
+        return jnp.asarray(r), jnp.asarray(c)
+
+    row, col = stream()
+    key = (row << bl) | col
+    f_row, f_col = pairs()
+    d_row, d_col = pairs()
+
+    def eq(a, b):
+        """Compare outputs up to each chunk's valid count (the padding tail
+        beyond nnz is unspecified: general pair forms pad with sentinels,
+        keys forms with masked int32-max)."""
+        a, b = [np.asarray(x) for x in a], [np.asarray(x) for x in b]
+        nnz_a, nnz_b = a[-1], b[-1]
+        assert np.array_equal(nnz_a, nnz_b)
+        for x, y in zip(a[:-1], b[:-1]):
+            assert x.shape == y.shape
+            if x.ndim == 2 and x.shape[-1] >= nnz_a.max():
+                for c in range(x.shape[0]):
+                    m = nnz_a[c] if nnz_a.ndim else int(nnz_a)
+                    assert np.array_equal(x[c, :m], y[c, :m])
+            else:
+                assert np.array_equal(x, y)
+
+    eq(sort_compress_seps_2d(row, col, n_rows, n_cols),
+       sort_compress_seps_2d_keys(key, n_rows, n_cols))
+    eq(sort_compress_2d(row, col, n_rows, n_cols),
+       sort_compress_2d_keys(key, n_rows, n_cols))
+    eq(sort_compress_counts_seps_2d(row, col, n_rows, n_cols),
+       sort_compress_counts_seps_2d_keys(key, n_rows, n_cols))
+    eq(sort_compress_masked_seps_2d(row, col, f_row, f_col, n_rows, n_cols),
+       sort_compress_masked_seps_2d_keys(key, f_row, f_col, n_rows, n_cols))
+    eq(masked_counts_compress_seps_2d(
+           row, col, f_row, f_col, n_rows, n_cols),
+       masked_counts_compress_seps_2d_keys(
+           key, f_row, f_col, n_rows, n_cols))
+    assert np.array_equal(
+        np.asarray(masked_counts_sum_2d(row, col, f_row, f_col,
+                                        n_rows, n_cols)),
+        np.asarray(masked_counts_sum_2d_keys(key, f_row, f_col,
+                                             n_rows, n_cols)),
+    )
+    eq(_sort_compress_or_masked_seps_2d(
+           row, col, d_row, d_col, f_row, f_col, n_rows, n_cols),
+       _sort_compress_or_masked_seps_2d_keys(
+           key, d_row, d_col, f_row, f_col, n_rows, n_cols))
