@@ -49,10 +49,19 @@ def main():
     ap.add_argument("--n", type=int, default=1 << 16)
     ap.add_argument("--d", type=float, default=8.0)
     ap.add_argument("--times", type=int, default=3)
+    ap.add_argument(
+        "--engines", default="esc,ell",
+        help="comma-separated engine filter (esc,ell) — ESC steps at "
+        "n>=1M run XLA:CPU's single-threaded sorts and can take an hour",
+    )
+    ap.add_argument(
+        "--layouts", default="replicated,sharded,ring",
+        help="comma-separated b_layout filter",
+    )
     args = ap.parse_args()
     a = BCSR.random(args.n, args.n, args.d, seed=7)
-    for engine in ("esc", "ell"):
-        for layout in ("replicated", "sharded", "ring"):
+    for engine in args.engines.split(","):
+        for layout in args.layouts.split(","):
             rep = scaling_report(
                 a, engine=engine, b_layout=layout, times=args.times
             )
