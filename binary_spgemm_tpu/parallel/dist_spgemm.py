@@ -1386,6 +1386,7 @@ def dist_spgemm_ell(
     fill = sort_pad - sum(p * w for p, w in zip(pads, widths))
 
     def shard_fn(tables, entry_rows, entry_pos):
+        from ..ops.ell import _expand_class_2d
         from ..ops.spgemm import (
             packable, sort_compress_2d, sort_compress_2d_keys,
         )
@@ -1397,15 +1398,27 @@ def dist_spgemm_ell(
                 for t in tables
             )
         if batched and packable(rows_pad, n_cols):
-            # direct packed-key sub-chunk streams (ab="key-stream")
+            # Direct packed-key sub-chunk streams, VECTORIZED over the
+            # sub-chunk axis (ab="key-stream"): the staged [C, pad_c] entry
+            # arrays feed one batched gather per class — the SPMD form of
+            # `ops/ell.py::_assemble_stream_2d(shift=...)`.  The earlier
+            # per-chunk python loop emitted C unrolled expansion graphs,
+            # which at production scale (1M rows / 1024 packed sub-chunks)
+            # exploded XLA compile time (>45 min on the CPU mesh; the same
+            # blowup would hit this environment's remote-compile tunnel).
             bl = int(n_cols).bit_length()
-            keys = jnp.stack([
-                _ell_expand_chunk(
-                    tables, entry_rows, entry_pos, c, rows_pad, n_cols,
-                    fill, shift=bl,
+            parts = [
+                _expand_class_2d(t, e[0], p[0], rows_pad, n_cols, shift=bl)
+                for t, e, p in zip(tables, entry_rows, entry_pos)
+            ]
+            if fill:
+                sent = jnp.full(
+                    (n_chunks, fill), (rows_pad << bl) | n_cols, INT
                 )
-                for c in range(n_chunks)
-            ])
+                parts.append(
+                    jax.lax.pcast(sent, (ROWS_AXIS,), to="varying")
+                )
+            keys = jnp.concatenate(parts, axis=1)
             ptr2, idx2, nnz2 = sort_compress_2d_keys(keys, rows_pad, n_cols)
             return _two_level_ptr_fix_stacked(ptr2, idx2, nnz2)
         streams = [
@@ -1444,27 +1457,14 @@ def dist_spgemm_ell(
 def _ell_expand_chunk(
     tables, entry_rows, entry_pos, c: int, rows_pad: int, n_cols: int,
     fill: int,
-    shift: int | None = None,
 ):
     """Expand one sub-chunk's candidate stream from the ELL class tables
     (inside shard_map): per-class row-gather expansion plus ``fill``
     sentinel pairs so every chunk shares the static ``sort_pad`` length.
-
-    With ``shift`` the stream is emitted directly as packed int32 sort keys
-    (the SPMD form of `ops/ell.py::_assemble_stream_2d(shift=...)` —
-    element-identical to packing the pair stream, one array instead of
-    two)."""
+    (The batched SPMD branch does NOT use this per-chunk form — it expands
+    all sub-chunks at once as packed keys; see ``dist_spgemm_ell``.)"""
     from ..ops.ell import _expand_class
 
-    if shift is not None:
-        parts = []
-        for t, er, ep in zip(tables, entry_rows, entry_pos):
-            r, cc = _expand_class(t, er[0, c], ep[0, c], rows_pad, n_cols)
-            parts.append((r << shift) | cc)
-        if fill:
-            sent = jnp.full((fill,), (rows_pad << shift) | n_cols, INT)
-            parts.append(jax.lax.pcast(sent, (ROWS_AXIS,), to="varying"))
-        return jnp.concatenate(parts)
     parts_r, parts_c = [], []
     for t, er, ep in zip(tables, entry_rows, entry_pos):
         r, cc = _expand_class(t, er[0, c], ep[0, c], rows_pad, n_cols)
