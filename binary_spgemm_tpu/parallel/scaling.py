@@ -289,6 +289,14 @@ def scaling_report(
     multi = [r for r in rows if r["devices"] > 1]
     n_cores = __import__("os").cpu_count() or 1
     platform = jax.devices()[0].platform
+    # On a virtual CPU mesh, mesh sizes past the PHYSICAL core count can
+    # only measure oversubscription (the artifact_note below), so the
+    # target gate quantifies over devices <= cores there; on real
+    # multi-chip meshes every size counts.
+    gated = [
+        r for r in multi
+        if platform != "cpu" or r["devices"] <= n_cores
+    ]
     rep = {
         "kind": "scaling_report",
         "engine": engine,
@@ -303,8 +311,15 @@ def scaling_report(
         "bit_exact": bit_exact,
         "efficiency_target": EFFICIENCY_TARGET,
         "meets_target": bool(
-            multi
-            and all(r["efficiency_norm"] >= EFFICIENCY_TARGET for r in multi)
+            gated
+            and all(r["efficiency_norm"] >= EFFICIENCY_TARGET for r in gated)
+        ),
+        "meets_target_scope": (
+            f"devices<={n_cores} (physical cpu cores)"
+            if platform == "cpu" and any(
+                r["devices"] > n_cores for r in multi
+            )
+            else "all mesh sizes"
         ),
         "rows": rows,
     }
