@@ -306,7 +306,14 @@ def _ell_spgemm_sep_jit(
     host reads pointers off the separator positions (``split_seps``).
     Measured: the searchsorted/histogram stage was ~10 ms of the 70 ms
     headline (benchmarks/decompose.py); separators cost rows_pad extra sort
-    slots per chunk (~0.3%)."""
+    slots per chunk (~0.3%).
+
+    NOTE (measured rejection, ab="key-stream-1d" 2026-08-21): the 2-D
+    key-stream assembly does NOT transfer to this unrolled 1-D form —
+    emitting packed keys per class piece measured rmat-s18 2.10 → 2.37 s
+    (+12.7%, same-window, streams element-equal).  At multi-million-slot
+    1-D lengths XLA fuses the single full-stream pack into the sort's
+    first pass better than per-piece packing, so the pair form stays."""
     from .spgemm import sort_compress_seps
 
     sep_rows = jnp.arange(rows_pad, dtype=INT)
@@ -898,13 +905,6 @@ def _chunk_pair_streams(
     return streams
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
-        "out_pad",
-    ),
-)
 def _ell_counts_jit(
     tables,
     entry_rows,  # per class, stacked [n_chunks, pad_c]

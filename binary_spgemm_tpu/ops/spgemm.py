@@ -274,14 +274,7 @@ def sort_compress_seps(
     """
     if packable(n_rows, n_cols):
         shift = int(n_cols).bit_length()
-        key = (row << shift) | col
-        key_s = jax.lax.sort((key,), is_stable=False)[0]
-        prev = jnp.concatenate([jnp.full((1,), -1, INT), key_s[:-1]])
-        keep = (key_s != prev) & (key_s < (n_rows << shift))
-        nnz_c = jnp.sum(keep, dtype=INT)
-        demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
-        c_keys = jax.lax.sort((demoted,), is_stable=False)[0]
-        return c_keys & ((1 << shift) - 1), nnz_c
+        return sort_compress_seps_keys((row << shift) | col, n_rows, n_cols)
 
     row_s, col_s = jax.lax.sort((row, col), num_keys=2, is_stable=False)
     prev_row = jnp.concatenate([jnp.full((1,), -1, INT), row_s[:-1]])
@@ -295,6 +288,22 @@ def sort_compress_seps(
         (demoted_r, demoted_c), num_keys=2, is_stable=False
     )
     return c_indices, nnz_c
+
+
+def sort_compress_seps_keys(
+    key: jax.Array, n_rows: int, n_cols: int
+) -> tuple[jax.Array, jax.Array]:
+    """1-D packed branch of :func:`sort_compress_seps` taking the
+    PRE-PACKED key stream (separator keys ``(r << shift) | n_cols``
+    included by the caller) — the unrolled engine's key-stream assembly."""
+    shift = int(n_cols).bit_length()
+    key_s = jax.lax.sort((key,), is_stable=False)[0]
+    prev = jnp.concatenate([jnp.full((1,), -1, INT), key_s[:-1]])
+    keep = (key_s != prev) & (key_s < (n_rows << shift))
+    nnz_c = jnp.sum(keep, dtype=INT)
+    demoted = jnp.where(keep, key_s, jnp.iinfo(jnp.int32).max)
+    c_keys = jax.lax.sort((demoted,), is_stable=False)[0]
+    return c_keys & ((1 << shift) - 1), nnz_c
 
 
 def sort_compress_seps_2d(
