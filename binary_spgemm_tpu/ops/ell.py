@@ -905,6 +905,13 @@ def _chunk_pair_streams(
     return streams
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_chunks", "rows_pad", "n_cols", "widths", "pads", "sort_pad",
+        "out_pad",
+    ),
+)
 def _ell_counts_jit(
     tables,
     entry_rows,  # per class, stacked [n_chunks, pad_c]
