@@ -35,17 +35,23 @@ def k_hop(
     *,
     chunk_flops: int | None = None,
     device: bool = False,
+    one_sort: bool = True,
 ) -> BCSR:
     """Structure of A^k (nodes reachable in exactly ≤k-hop products).
 
     Computed by binary exponentiation — log2(k) SpGEMMs.  ``device=True``
     keeps the running power and result in HBM between products (see
     :func:`transitive_closure`); raises OverflowError past the resident
-    whole-matrix flop budget.
+    whole-matrix flop budget.  ``one_sort`` (device path only, default on)
+    chains the products through uncompacted sentinel-holed streams
+    (:mod:`.onesort`) — each product pays ONE sort instead of two; set
+    False for the compacted rounds.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     if device:
+        if one_sort:
+            return _k_hop_device_onesort(a, k)
         return _k_hop_device(a, k)
     result = None
     power = a.sum_duplicates()
@@ -66,22 +72,31 @@ def transitive_closure(
     max_iters: int | None = None,
     chunk_flops: int | None = None,
     device: bool = False,
+    one_sort: bool = True,
 ) -> BCSR:
     """Reachability closure: OR of A, A², A⁴, ... until fixpoint.
 
     Doubling iteration: R ← R OR R·R; converges in ⌈log2(diameter)⌉ rounds.
 
-    ``device=True`` keeps R resident in HBM between rounds (the fused
-    :func:`..device_api.spgemm_or_device` step + a between-round compact):
-    the host syncs two scalars per round instead of pulling each
-    intermediate — the win whenever the device→host link is slow relative
-    to compute, or when the closure feeds further device-resident ops.
+    ``device=True`` keeps R resident in HBM between rounds: the host syncs
+    two scalars per round instead of pulling each intermediate — the win
+    whenever the device→host link is slow relative to compute, or when the
+    closure feeds further device-resident ops.  ``one_sort`` (default on)
+    runs those rounds on the uncompacted one-sort contract
+    (:mod:`.onesort`): R carries its demoted duplicates as sentinel holes
+    into the next round's gather and D-seed, so every round pays ONE sort
+    instead of sort+compaction (the round-4 measured −24..50% device-time
+    lever, ab="one-sort"); a ratio gate compacts only when holes compound
+    past profit.  ``one_sort=False`` keeps the compacted rounds
+    (:func:`..device_api.spgemm_or_device` + between-round compact).
     Raises OverflowError when a round's flop bound exceeds the resident
     whole-matrix budget (use the chunked host path then).
     """
     if a.n_rows != a.n_cols:
         raise ValueError("closure needs a square matrix")
     if device:
+        if one_sort:
+            return _transitive_closure_device_onesort(a, max_iters)
         return _transitive_closure_device(a, max_iters)
     r = a.sum_duplicates()
     iters = max_iters if max_iters is not None else max(1, a.n_rows.bit_length())
@@ -140,6 +155,84 @@ def _transitive_closure_device(a: BCSR, max_iters: int | None) -> BCSR:
         prev_nnz = nnz
         r = nxt.compact()
     return r.to_host()
+
+
+# Compact a one-sort stream between rounds once holes push its length past
+# this multiple of its valid count.  Cost math: a one-sort round sorts
+# (flops·h + stream) slots vs the compact pipeline's 2·(flops + nnz_d); with
+# in-span hole ratio h = stream/nnz the one-sort round is cheaper while
+# h ≲ 2, and the compaction itself costs one stream-length sort — so the
+# gate sits where the next round's guaranteed saving pays for it.
+ONESORT_COMPACT_RATIO = 2.0
+
+
+def _onesort_guarded_pad(r, s) -> int:
+    """Padded-span flop bound for one one-sort product r·s, raising past the
+    resident budget (mirrors :func:`_guarded_flops_pad`)."""
+    from .onesort import flops_bound_onesort
+    from .spgemm import pad_bucket
+
+    fb, est = flops_bound_onesort(r, s)
+    if float(est) > 0.98 * DEVICE_CLOSURE_MAX_FLOPS:
+        raise OverflowError(
+            f"padded product flop bound ~{float(est):.3g} exceeds the "
+            f"resident budget {DEVICE_CLOSURE_MAX_FLOPS}; use the chunked "
+            "host path (device=False) or one_sort=False"
+        )
+    return pad_bucket(max(int(fb), 8))
+
+
+def _onesort_regate(r):
+    """Between-round hole gate: ONE compaction sort when the stream has
+    grown past :data:`ONESORT_COMPACT_RATIO` × its valid count."""
+    from .onesort import PaddedDeviceBCSR
+
+    if r.stream_len > ONESORT_COMPACT_RATIO * max(int(r.nnz), 1):
+        return PaddedDeviceBCSR.from_device(r.compact())
+    return r
+
+
+def _transitive_closure_device_onesort(a: BCSR, max_iters: int | None) -> BCSR:
+    from .onesort import PaddedDeviceBCSR, spgemm_or_onesort_device
+    from .spgemm import require_int32_operands
+
+    require_int32_operands(a)
+    r = PaddedDeviceBCSR.from_host(a.sum_duplicates())
+    iters = max_iters if max_iters is not None else max(1, a.n_rows.bit_length())
+    prev_nnz = int(r.nnz)
+    for _ in range(iters):
+        nxt = spgemm_or_onesort_device(
+            r, r, r, flops_pad=_onesort_guarded_pad(r, r)
+        )
+        nnz = int(nxt.nnz)
+        if nnz == prev_nnz:
+            # nxt = R OR (R·R) is a superset of R; equal nnz => fixpoint
+            break
+        prev_nnz = nnz
+        r = _onesort_regate(nxt)
+    return r.to_host()
+
+
+def _k_hop_device_onesort(a: BCSR, k: int) -> BCSR:
+    from .onesort import PaddedDeviceBCSR, spgemm_onesort_device
+    from .spgemm import require_int32_operands
+
+    require_int32_operands(a)
+
+    def prod(x, y):
+        return _onesort_regate(
+            spgemm_onesort_device(x, y, flops_pad=_onesort_guarded_pad(x, y))
+        )
+
+    result = None
+    power = PaddedDeviceBCSR.from_host(a.sum_duplicates())
+    while k:
+        if k & 1:
+            result = power if result is None else prod(result, power)
+        k >>= 1
+        if k:
+            power = prod(power, power)
+    return result.to_host()
 
 
 def _guarded_flops_pad(step_bound, x, y) -> int:
