@@ -22,6 +22,11 @@ from .ops.fused import spgemm_or
 from .ops.bsr import bsr_spgemm
 from .ops.ell import EllSpGEMMExecutor, ell_spgemm
 from .ops.counts import masked_spgemm_counts, spgemm_counts
+from .ops.onesort import (
+    PaddedDeviceBCSR,
+    spgemm_onesort_device,
+    spgemm_or_onesort_device,
+)
 from .ops.graph import (
     bfs_levels,
     k_hop,
@@ -49,6 +54,9 @@ __all__ = [
     "masked_spgemm_counts",
     "spm_or",
     "bsr_spgemm",
+    "PaddedDeviceBCSR",
+    "spgemm_onesort_device",
+    "spgemm_or_onesort_device",
     "bfs_levels",
     "k_hop",
     "reachable",

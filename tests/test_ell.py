@@ -383,7 +383,7 @@ def test_cached_executor_identity():
     assert cached_executor(b, a) is not ex1        # order matters
     assert ex1.assemble(ex1.run()).equals(spgemm_oracle(a, b))
     # dead-weakref entries are dropped, not returned
-    key = (id(a), id(b), False)
+    key = (id(a), id(b), False, False)
     assert key in ell_mod._EXEC_CACHE
     import weakref
 
