@@ -33,10 +33,14 @@ from benchmarks._provenance import emit
 
 CONFIGS = [
     # (name, n, d): round-2 padded flop bounds must clear the 2^28 resident
-    # budget — d picked so r1·r1 lands in the tens-of-millions-slot regime
-    ("closure-round-256k-d4", 1 << 18, 4.0),
-    ("closure-round-1m-d2", 1 << 20, 2.0),
-    ("khop-round-64k-d6", 1 << 16, 6.0),
+    # budget AND stay inside the remote compiler's tractable envelope —
+    # fresh fused one-/two-sort programs at ≥37M slots sat 35-50 min in
+    # the remote compiler without returning (256k-d4 ~80M and 1m-d2 ~37M
+    # attempts, both killed; the known huge-shape compile pathology,
+    # CLAUDE.md).  These land round 2 at 17-23M slots: tens-of-ms device
+    # times, minutes-class compiles.
+    ("closure-round-64k-d4", 1 << 16, 4.0),
+    ("khop-round-64k-d4", 1 << 16, 4.0),
 ]
 
 

@@ -311,10 +311,13 @@ def cmd_graph(args) -> int:
     if args.op == "closure":
         c = transitive_closure(
             a, max_iters=args.max_iters, chunk_flops=args.chunk_flops,
-            device=args.device,
+            device=args.device, one_sort=not args.two_sort,
         )
     elif args.op == "khop":
-        c = k_hop(a, args.k, chunk_flops=args.chunk_flops, device=args.device)
+        c = k_hop(
+            a, args.k, chunk_flops=args.chunk_flops, device=args.device,
+            one_sort=not args.two_sort,
+        )
     elif args.op == "ktruss":
         from .ops.graph import k_truss
 
@@ -470,6 +473,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--device",
         action="store_true",
         help="HBM-resident iteration (closure/khop): two scalar syncs per round",
+    )
+    gr.add_argument(
+        "--two-sort",
+        action="store_true",
+        help="with --device: compacted rounds instead of the default "
+        "one-sort sentinel-holed streams (ops/onesort.py)",
     )
     gr.add_argument("--out", default=None, help="write the result .mtx")
     gr.set_defaults(fn=cmd_graph)
