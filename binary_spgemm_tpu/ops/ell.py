@@ -2697,12 +2697,15 @@ DISPATCH_SLOT_BUDGET = 1 << 27
 
 # Small batched plans deliberately split into this many async dispatch
 # groups (cross-dispatch assembly/sort pipelining — see the group_size
-# comment in EllSpGEMMExecutor.__init__; measured −12% device at mid-64k,
-# ab="group-overlap").  SMALL_PLAN_SLOTS gates the split to the small
-# configs: the mid-256k/1m single-dispatch plans already overlap well and
-# keep their verified shapes.
+# comment in EllSpGEMMExecutor.__init__).  Measured same-window, all
+# bit-exact (ab="group-overlap" + warm-run A/Bs, 2026-08-21): mid-64k
+# device 24.3 -> 21.8 ms at 4 groups; hypersparse-5m e2e 0.044-0.051 ->
+# 0.0353; cage-128k device 49.4 -> 43.9 ms.  SMALL_PLAN_SLOTS gates the
+# split at 2^26 (cage's 61M in): the mid-256k/1m single-dispatch plans
+# (117-134M slots) already hide assembly behind their longer in-program
+# sort chains and keep their verified shapes.
 SMALL_PLAN_GROUPS = 4
-SMALL_PLAN_SLOTS = 48 << 20
+SMALL_PLAN_SLOTS = 1 << 26
 
 # Resident-output budget for auto-choosing ELL over chunked ESC: all chunks'
 # truncated index outputs (out_pad each) are live at once at 4 B/slot, on top
