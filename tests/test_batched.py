@@ -385,3 +385,30 @@ def test_keys_compressors_match_pair_forms(monkeypatch):
            row, col, d_row, d_col, f_row, f_col, n_rows, n_cols),
        _sort_compress_or_masked_seps_2d_keys(
            key, d_row, d_col, f_row, f_col, n_rows, n_cols))
+
+
+def test_small_plan_dispatch_groups():
+    # r5: batched plans <= SMALL_PLAN_SLOTS split into ~SMALL_PLAN_GROUPS
+    # async dispatch groups (ab="group-overlap"); assemble() must stitch the
+    # multi-group outputs bit-exactly, including the padded dummy tail
+    from binary_spgemm_tpu.ops import ell as ell_mod
+    from binary_spgemm_tpu.utils.oracle import spgemm_oracle
+
+    a = BCSR.random(1 << 16, 1 << 16, 2.0, seed=31)
+    ex = ell_mod.EllSpGEMMExecutor(
+        a, a, batched=True, batched_slots_cap=ell_mod.BATCHED_MAX_SLOTS
+    )
+    assert ex.total_slots <= ell_mod.SMALL_PLAN_SLOTS
+    assert ex.n_groups >= 2  # the split actually planned
+    assert ex.assemble(ex.run()).equals(spgemm_oracle(a, a))
+    # over the gate: single-group planning preserved
+    s0 = ell_mod.SMALL_PLAN_SLOTS
+    try:
+        ell_mod.SMALL_PLAN_SLOTS = 0
+        ex1 = ell_mod.EllSpGEMMExecutor(
+            a, a, batched=True, batched_slots_cap=ell_mod.BATCHED_MAX_SLOTS
+        )
+    finally:
+        ell_mod.SMALL_PLAN_SLOTS = s0
+    assert ex1.n_groups == 1
+    assert ex1.assemble(ex1.run()).equals(spgemm_oracle(a, a))
