@@ -2695,17 +2695,17 @@ def ell_spgemm(a: BCSR, b: BCSR) -> BCSR:
 # dispatches sharing one compile (see EllSpGEMMExecutor._row0s).
 DISPATCH_SLOT_BUDGET = 1 << 27
 
-# Small batched plans deliberately split into this many async dispatch
-# groups (cross-dispatch assembly/sort pipelining — see the group_size
-# comment in EllSpGEMMExecutor.__init__).  Measured same-window, all
-# bit-exact (ab="group-overlap" + warm-run A/Bs, 2026-08-21): mid-64k
-# device 24.3 -> 21.8 ms at 4 groups; hypersparse-5m e2e 0.044-0.051 ->
-# 0.0353; cage-128k device 49.4 -> 43.9 ms.  SMALL_PLAN_SLOTS gates the
-# split at 2^26 (cage's 61M in): the mid-256k/1m single-dispatch plans
-# (117-134M slots) already hide assembly behind their longer in-program
-# sort chains and keep their verified shapes.
+# Batched plans deliberately split into this many async dispatch groups
+# (cross-dispatch assembly/sort pipelining — see the group_size comment in
+# EllSpGEMMExecutor.__init__).  Measured same-window, all bit-exact
+# (ab="group-overlap" + warm-run A/Bs, 2026-08-21): mid-64k device 24.3 ->
+# 21.8 ms at 4 groups; hypersparse-5m e2e 0.044-0.051 -> 0.0353;
+# cage-128k device 49.4 -> 43.9; mid-256k 106.0 -> 99.2 (−6.4%); 1m-d8
+# 91.6 -> 89.4 (−2.4%, ambient-band).  Every tier won, so the gate covers
+# every plan whose slots fit ONE dispatch budget (bigger plans already
+# split by the budget itself).
 SMALL_PLAN_GROUPS = 4
-SMALL_PLAN_SLOTS = 1 << 26
+SMALL_PLAN_SLOTS = 1 << 27
 
 # Resident-output budget for auto-choosing ELL over chunked ESC: all chunks'
 # truncated index outputs (out_pad each) are live at once at 4 B/slot, on top
