@@ -1820,7 +1820,15 @@ class EllSpGEMMExecutor:
                 k_d = int(deal_k)
             else:
                 m_pack = -(-n // cap) if cap >= 512 else 257
-                k_d = max(32, m_pack) if m_pack <= 256 else 48
+                # 2x the packability minimum: halving sort_pad buys more at
+                # the measured flat-sort rates than the finer bins' extra
+                # max-over-bins padding costs — rmat-s18 same-window probe
+                # (ab="rmat-k256", 2026-08-21, bit-exact): k=128 2.098 s /
+                # 1.141G slots vs k=256 2.037 s / 1.275G (−2.9%); k=512
+                # RESOURCE_EXHAUSTED (padding inflation outruns HBM).
+                k_d = (
+                    max(32, min(2 * m_pack, 256)) if m_pack <= 256 else 48
+                )
             order = np.argsort(-rfp, kind="stable")
             pos = np.arange(n)
             lane = (pos % k_d).astype(np.int32)
