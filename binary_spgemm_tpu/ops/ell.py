@@ -2706,13 +2706,15 @@ DISPATCH_SLOT_BUDGET = 1 << 27
 # Batched plans deliberately split into this many async dispatch groups
 # (cross-dispatch assembly/sort pipelining — see the group_size comment in
 # EllSpGEMMExecutor.__init__).  Measured same-window, all bit-exact
-# (ab="group-overlap" + warm-run A/Bs, 2026-08-21): mid-64k device 24.3 ->
-# 21.8 ms at 4 groups; hypersparse-5m e2e 0.044-0.051 -> 0.0353;
-# cage-128k device 49.4 -> 43.9; mid-256k 106.0 -> 99.2 (−6.4%); 1m-d8
-# 91.6 -> 89.4 (−2.4%, ambient-band).  Every tier won, so the gate covers
-# every plan whose slots fit ONE dispatch budget (bigger plans already
-# split by the budget itself).
-SMALL_PLAN_GROUPS = 4
+# (ab="group-overlap" + g8/g16 probes, 2026-08-21), device ms per tier at
+# 1 / 4 / 8 / 16 groups: mid-64k 24.3 / 21.8 / 21.3 / 21.9; cage-128k
+# 49.4 / 43.6 / **24.5** / 27.7; mid-256k 106.0 / 98.9 / **91.3** / 93.6;
+# 1m-d8 91.6 / 84.8 / **80.9**; hypersparse 17.9-24 / 12.1 / **10.5**
+# (e2e 0.044-0.051 -> 0.036).  Eight is the sweet spot everywhere
+# (sixteen regresses on cage and ties elsewhere); the gate covers every
+# plan whose slots fit ONE dispatch budget (bigger plans already split by
+# the budget itself).
+SMALL_PLAN_GROUPS = 8
 SMALL_PLAN_SLOTS = 1 << 27
 
 # Resident-output budget for auto-choosing ELL over chunked ESC: all chunks'

@@ -217,10 +217,15 @@ def roofline(
     # benchmarks/sort_rate_table.py) instead of the old quadratic
     # bitonic-pass pencil model, which overshot at large L (blocked-32k
     # read fraction_of_dual = 1.26).  The dual ceiling is
-    # max(bandwidth_s, sort_compute_s): no sort-based engine on this chip
-    # beats it, and fractions stay in (0, 1] by construction (the table is
-    # the fastest any sort has measured here; a future faster sort means
-    # re-running the calibration, not a >1 fraction).
+    # max(bandwidth_s, sort_compute_s) — a SERIAL-sort bound: it prices
+    # the full 2·slots of sort work as if nothing else ran concurrently.
+    # Since the round-5 multi-dispatch-group pipelining, a sort-dominated
+    # config can legitimately exceed it at the device level (group i+1's
+    # non-sort work overlaps group i's sorts AND the groups' shorter sorts
+    # run below the monolithic-L rate: cage-128k read
+    # fraction_of_dual_device = 1.09 in the closing r5 sweep).  Fractions
+    # near or above 1 therefore mean "at/past the serial-sort bound", not
+    # a calibration error.
     dual = None
     if "tpu" in kind:
         rate = sort_rate_ns(int(L), flat=L > max(SORT_RATE_2D_NS))
