@@ -237,6 +237,80 @@ def _sort_dedup_padded(
     return cols, indptr_pos, nnz
 
 
+def _sort_dedup_padded_masked(
+    row, col, d_rows, d_cols, f_rows, f_cols, n_rows: int, n_cols: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """ONE-sort three-way tagged join: D OR (F .* candidates), uncompacted.
+
+    Same join as :func:`..fused._sort_compress_or_masked` (mask < D <
+    candidate within an equal (row, col) run; a D entry survives as its
+    run's first D, a candidate survives only behind its pair's mask entry)
+    minus the compaction sort — losers demote to in-span holes, and the
+    mask's own entries ride along as holes too (they were never output).
+    """
+    if packable(n_rows, 4 * n_cols + 3):
+        shift = int(n_cols).bit_length() + 2
+        keys = jnp.concatenate(
+            [
+                ((row << shift) | (col << 2)) | 2,  # candidates last in run
+                ((d_rows << shift) | (d_cols << 2)) | 1,
+                (f_rows << shift) | (f_cols << 2),  # mask first in run
+            ]
+        )
+        key_s = jax.lax.sort((keys,), is_stable=False)[0]
+        prev = jnp.concatenate([jnp.full((1,), -1, INT), key_s[:-1]])
+        pair = jax.lax.shift_right_logical(key_s, 2)
+        prev_pair = jax.lax.shift_right_logical(prev, 2)
+        tag = key_s & 3
+        prev_tag = prev & 3
+        same = pair == prev_pair
+        keep_d = (tag == 1) & (~same | (prev_tag == 0))
+        keep_c = (tag == 2) & same & (prev_tag == 0)
+        keep = (keep_d | keep_c) & (key_s < ((n_rows << shift) | 2))
+        nnz = jnp.sum(keep, dtype=INT)
+        row_s = jax.lax.shift_right_logical(key_s, shift)
+        cols = jnp.where(
+            keep, (key_s >> 2) & ((1 << (shift - 2)) - 1), n_cols
+        )
+        if _histogram_indptr_wins(n_rows, keys.shape[0]):
+            indptr_pos = _indptr_from_sorted_rows(row_s, n_rows)
+        else:
+            indptr_pos = jnp.searchsorted(
+                key_s, jnp.arange(n_rows + 1, dtype=INT) << shift,
+                side="left",
+            ).astype(INT)
+        return cols, indptr_pos, nnz
+
+    rows = jnp.concatenate([row, d_rows, f_rows])
+    cols = jnp.concatenate([col, d_cols, f_cols])
+    tags = jnp.concatenate(
+        [
+            jnp.full(row.shape[0], 2, INT),
+            jnp.ones(d_rows.shape[0], INT),
+            jnp.zeros(f_rows.shape[0], INT),
+        ]
+    )
+    row_s, col_s, tag_s = jax.lax.sort(
+        (rows, cols, tags), num_keys=3, is_stable=False
+    )
+    prev_row = jnp.concatenate([jnp.full((1,), -1, INT), row_s[:-1]])
+    prev_col = jnp.concatenate([jnp.full((1,), -1, INT), col_s[:-1]])
+    prev_tag = jnp.concatenate([jnp.full((1,), 2, INT), tag_s[:-1]])
+    same = (row_s == prev_row) & (col_s == prev_col)
+    keep_d = (tag_s == 1) & (~same | (prev_tag == 0))
+    keep_c = (tag_s == 2) & same & (prev_tag == 0)
+    keep = (keep_d | keep_c) & (row_s < n_rows)
+    nnz = jnp.sum(keep, dtype=INT)
+    out_cols = jnp.where(keep, col_s, n_cols)
+    if _histogram_indptr_wins(n_rows, rows.shape[0]):
+        indptr_pos = _indptr_from_sorted_rows(row_s, n_rows)
+    else:
+        indptr_pos = jnp.searchsorted(
+            row_s, jnp.arange(n_rows + 1, dtype=INT), side="left"
+        ).astype(INT)
+    return out_cols, indptr_pos, nnz
+
+
 def _as_padded(x) -> PaddedDeviceBCSR:
     if isinstance(x, PaddedDeviceBCSR):
         return x
@@ -280,6 +354,24 @@ def _onesort_spgemm_or_jit(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "flops_pad"))
+def _onesort_spgemm_or_masked_jit(
+    d_cols, d_pos, a_cols, a_pos, b_cols, b_pos, f_cols, f_pos,
+    *, shape, flops_pad,
+):
+    n_rows, n_cols = shape
+    row, col = _expand_from_padded(
+        a_cols, a_pos, b_cols, b_pos, n_cols=n_cols, flops_pad=flops_pad
+    )
+    d_rows = _row_ids(d_pos, d_cols.shape[0])
+    d_rows = jnp.where(d_cols < n_cols, d_rows, n_rows)
+    f_rows = _row_ids(f_pos, f_cols.shape[0])
+    f_rows = jnp.where(f_cols < n_cols, f_rows, n_rows)
+    return _sort_dedup_padded_masked(
+        row, col, d_rows, d_cols, f_rows, f_cols, n_rows, n_cols
+    )
+
+
 def spgemm_onesort_device(a, b, *, flops_pad: int) -> PaddedDeviceBCSR:
     """C = A·B structure, one sort, entirely on device.
 
@@ -299,13 +391,35 @@ def spgemm_onesort_device(a, b, *, flops_pad: int) -> PaddedDeviceBCSR:
     return PaddedDeviceBCSR(cols, pos, nnz, shape)
 
 
-def spgemm_or_onesort_device(d, a, b, *, flops_pad: int) -> PaddedDeviceBCSR:
-    """C = D OR (A·B), one sort, entirely on device — the one-sort
-    accumulation round (closure / k-hop / SPMD accumulators)."""
+def spgemm_or_onesort_device(
+    d, a, b, *, flops_pad: int, mask=None
+) -> PaddedDeviceBCSR:
+    """C = D OR (A·B), optionally D OR (mask .* (A·B)), one sort, entirely
+    on device — the one-sort accumulation round (closure / k-hop / SPMD
+    accumulators).
+
+    Masked semantics match :func:`..device_api.spgemm_or_device`: D is
+    unconditional, the mask applies only to the product term (PARITY.md
+    O6).  ``mask``'s valid set must be canonical; a hole-y padded stream
+    (e.g. a previous product) qualifies — its holes join the tagged sort
+    as sentinels.  The mask's entries ride the output stream as extra
+    in-span holes (never output), so masked rounds inflate the stream by
+    the mask's length until the next ratio-gated compaction.
+    """
     d, a, b = _as_padded(d), _as_padded(a), _as_padded(b)
     if a.shape[1] != b.shape[0] or tuple(d.shape) != (a.shape[0], b.shape[1]):
         raise ValueError(f"shape mismatch: D{d.shape} vs {a.shape} @ {b.shape}")
     shape = tuple(d.shape)
+    if mask is not None:
+        f = _as_padded(mask)
+        if tuple(f.shape) != shape:
+            raise ValueError(f"mask shape {f.shape} != {shape}")
+        cols, pos, nnz = _onesort_spgemm_or_masked_jit(
+            d.cols, d.indptr_pos, a.cols, a.indptr_pos,
+            b.cols, b.indptr_pos, f.cols, f.indptr_pos,
+            shape=shape, flops_pad=flops_pad,
+        )
+        return PaddedDeviceBCSR(cols, pos, nnz, shape)
     cols, pos, nnz = _onesort_spgemm_or_jit(
         d.cols, d.indptr_pos, a.cols, a.indptr_pos, b.cols, b.indptr_pos,
         shape=shape, flops_pad=flops_pad,

@@ -155,3 +155,67 @@ def test_empty_and_shape_checks():
         spgemm_onesort_device(b, b, flops_pad=8)
     with pytest.raises(TypeError):
         spgemm_onesort_device("nope", b, flops_pad=8)
+
+
+def test_onesort_masked_fused_matches_oracle():
+    # D OR (F .* (A·B)) through one sort — both key branches
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle
+
+    a = BCSR.random(600, 600, 4.0, seed=20).sum_duplicates()
+    d = BCSR.random(600, 600, 2.0, seed=21).sum_duplicates()
+    f = BCSR.random(600, 600, 3.0, seed=22).sum_duplicates()
+    pa, pd, pf = _pad_of(a), _pad_of(d), _pad_of(f)
+    bound, _ = flops_bound_onesort(pa, pa)
+    c = spgemm_or_onesort_device(
+        pd, pa, pa, flops_pad=max(int(bound), 8), mask=pf
+    )
+    want = masked_spgemm_oracle(f, a, a).to_scipy() + d.to_scipy()
+    want = BCSR.from_scipy((want > 0).tocsr())
+    assert c.to_host().equals(want)
+
+
+def test_onesort_masked_nonpackable_branch():
+    from binary_spgemm_tpu.ops.spgemm import packable
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle
+
+    n, m = 600, 1 << 22
+    assert not packable(n, 4 * m + 3)
+    a = BCSR.random(n, m, 2.0, seed=23).sum_duplicates()
+    b = BCSR.random(m, m, 0.0005, seed=24).sum_duplicates()
+    d = BCSR.random(n, m, 1.0, seed=25).sum_duplicates()
+    f = BCSR.random(n, m, 2.0, seed=26).sum_duplicates()
+    pa, pb, pd, pf = _pad_of(a), _pad_of(b), _pad_of(d), _pad_of(f)
+    bound, _ = flops_bound_onesort(pa, pb)
+    c = spgemm_or_onesort_device(
+        pd, pa, pb, flops_pad=max(int(bound), 8), mask=pf
+    )
+    want = masked_spgemm_oracle(f, a, b).to_scipy() + d.to_scipy()
+    want = BCSR.from_scipy((want > 0).tocsr())
+    assert c.to_host().equals(want)
+
+
+def test_onesort_masked_holey_operands_and_chain():
+    # mask AND seed are hole-y streams (previous products); the masked
+    # round's output chains into a further unmasked round
+    from binary_spgemm_tpu.utils.oracle import masked_spgemm_oracle
+
+    a = BCSR.random(500, 500, 3.0, seed=27).sum_duplicates()
+    pa = _pad_of(a)
+    p2 = _product(pa, pa)  # hole-y a² — serves as both mask and seed
+    bound, _ = flops_bound_onesort(pa, pa)
+    c = spgemm_or_onesort_device(
+        p2, pa, pa, flops_pad=max(int(bound), 8), mask=p2
+    )
+    a2 = spgemm_oracle(a, a)
+    # a² OR (a² .* a²) = a²
+    assert c.to_host().equals(a2)
+    assert c.stream_len > int(c.nnz)  # mask entries became in-span holes
+    nxt = _product(c, c)  # the masked output consumed downstream
+    assert nxt.to_host().equals(spgemm_oracle(a2, a2))
+
+
+def test_onesort_masked_shape_check():
+    a = _pad_of(BCSR.random(40, 40, 2.0, seed=28))
+    bad = _pad_of(BCSR.random(30, 30, 2.0, seed=29))
+    with pytest.raises(ValueError):
+        spgemm_or_onesort_device(a, a, a, flops_pad=8, mask=bad)
