@@ -61,3 +61,26 @@ def test_dist_closure_overflow_guard():
             dist_transitive_closure(a, mesh)
     finally:
         mod.DEVICE_CLOSURE_MAX_FLOPS = old
+
+
+@pytest.mark.parametrize("nd", [2, 8])
+def test_dist_k_hop_matches_host(nd):
+    from binary_spgemm_tpu.ops.graph import k_hop
+    from binary_spgemm_tpu.parallel.dist_onesort import dist_k_hop
+
+    mesh = make_row_mesh(nd)
+    a = BCSR.random(40 * nd + 3, 40 * nd + 3, 2.0, seed=12).sum_duplicates()
+    for k in (1, 2, 3, 5):
+        assert dist_k_hop(a, mesh, k).equals(k_hop(a, k))
+
+
+def test_dist_k_hop_validation():
+    from binary_spgemm_tpu.parallel.dist_onesort import dist_k_hop
+
+    mesh = make_row_mesh(2)
+    a = BCSR.random(60, 60, 2.0, seed=13)
+    with pytest.raises(ValueError):
+        dist_k_hop(a, mesh, 0)
+    rect = BCSR.random(40, 60, 2.0, seed=14)
+    with pytest.raises(ValueError):
+        dist_k_hop(rect, mesh, 2)
